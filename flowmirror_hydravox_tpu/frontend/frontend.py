@@ -1,0 +1,174 @@
+"""Frontend glue: CosyVoiceFrontEnd equivalent (reference cli/frontend.py:39-219).
+
+Responsibilities:
+  - text tokenize + normalize + split
+  - speaker registry (spk2info) for preset-speaker TTS
+  - zero-shot prompt featurization: 24k mel (for flow conditioning),
+    speech tokens (JAX FSQ tokenizer), speaker embedding — with the
+    reference's exact 30 s prompt cap and 2:1 mel:token trim
+    (cli/frontend.py:94, 169-173).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HydraVoxConfig
+from ..utils import audio
+from . import speech_tokenizer as st
+from .text_norm import normalize, split_text_by_punctuation
+from .tokenizer import get_tokenizer
+
+
+@dataclasses.dataclass
+class SpeakerInfo:
+    embedding: np.ndarray  # (192,)
+    prompt_text: Optional[np.ndarray] = None  # (Lt,) tokens
+    prompt_speech_tokens: Optional[np.ndarray] = None  # (Lp,)
+    prompt_mel: Optional[np.ndarray] = None  # (Lm, 80)
+
+
+class Frontend:
+    def __init__(
+        self,
+        cfg: HydraVoxConfig,
+        tokenizer=None,
+        tokenizer_params=None,
+        speaker_params=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer or get_tokenizer()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(rng)
+        self.st_cfg = st.SpeechTokenizerConfig()
+        self.spk_cfg = st.SpeakerEncoderConfig()
+        self.tokenizer_params = (
+            tokenizer_params
+            if tokenizer_params is not None
+            else st.init_tokenizer_params(k1, self.st_cfg)
+        )
+        self.speaker_params = (
+            speaker_params
+            if speaker_params is not None
+            else st.init_speaker_params(k2, self.spk_cfg)
+        )
+        self.spk2info: Dict[str, SpeakerInfo] = {}
+        self._tokenize_jit = jax.jit(
+            lambda p, w: st.tokenize_waveform(p, self.st_cfg, w)
+        )
+        self._spk_embed_jit = jax.jit(
+            lambda p, m: st.speaker_embedding(p, self.spk_cfg, m)
+        )
+
+    # -- text ---------------------------------------------------------------
+
+    def text_normalize(self, text: str, split: bool = True) -> List[str]:
+        text = normalize(text)
+        if not split:
+            return [text]
+        return split_text_by_punctuation(text) or [text]
+
+    def extract_text_tokens(self, text: str) -> np.ndarray:
+        return np.asarray(self.tokenizer.encode(text), np.int32)
+
+    # -- audio --------------------------------------------------------------
+
+    def extract_speech_tokens(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Prompt wav -> 25 Hz speech tokens; 30 s cap (cli/frontend.py:94)."""
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        wav = wav[: sample_rate * 30]
+        wav16 = np.asarray(audio.resample_linear(jnp.asarray(wav)[None], sample_rate, 16000))
+        # pad to a whole number of 640-sample token frames
+        t = wav16.shape[-1]
+        frame = 640  # 16000 / 25
+        pad = (-t) % frame
+        if pad:
+            wav16 = np.pad(wav16, [(0, 0), (0, pad)])
+        toks = self._tokenize_jit(self.tokenizer_params, jnp.asarray(wav16))
+        return np.asarray(toks)[0]
+
+    def extract_mel(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Prompt wav -> 24 kHz 80-bin mel (Lm, 80) (cli/frontend.py:117-123)."""
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        wav24 = np.asarray(
+            audio.resample_linear(jnp.asarray(wav)[None], sample_rate, self.cfg.mel.sample_rate)
+        )
+        m = self.cfg.mel
+        mel = audio.mel_spectrogram(
+            jnp.asarray(wav24), m.n_fft, m.num_mels, m.sample_rate, m.hop_size, m.win_size,
+            m.fmin, m.fmax,
+        )
+        return np.asarray(mel)[0].T  # (Lm, 80)
+
+    def extract_spk_embedding(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        wav16 = np.asarray(audio.resample_linear(
+            jnp.asarray(np.asarray(wav, np.float32).reshape(-1))[None], sample_rate, 16000
+        ))
+        mel = audio.mel_spectrogram(jnp.asarray(wav16), 400, 80, 16000, 160, 400)
+        emb = self._spk_embed_jit(self.speaker_params, mel)
+        return np.asarray(emb)[0]
+
+    # -- request assembly ---------------------------------------------------
+
+    def frontend_zero_shot(
+        self, tts_text: str, prompt_text: str, prompt_wav: np.ndarray, sample_rate: int
+    ) -> dict:
+        """Zero-shot featurization with the reference's 2:1 mel:token trim
+        (cli/frontend.py:163-209)."""
+        tts_tokens = self.extract_text_tokens(tts_text)
+        prompt_tokens = self.extract_text_tokens(prompt_text)
+        speech_tokens = self.extract_speech_tokens(prompt_wav, sample_rate)
+        mel = self.extract_mel(prompt_wav, sample_rate)
+        # enforce exact token:mel = 1:2 (trim the longer one)
+        n = min(len(speech_tokens), mel.shape[0] // 2)
+        speech_tokens = speech_tokens[:n]
+        mel = mel[: 2 * n]
+        emb = self.extract_spk_embedding(prompt_wav, sample_rate)
+        return dict(
+            text_tokens=np.concatenate([prompt_tokens, tts_tokens]),
+            tts_text_len=len(tts_tokens),
+            prompt_speech_tokens=speech_tokens,
+            prompt_mel=mel,
+            spk_embedding=emb,
+        )
+
+    def frontend_sft(self, tts_text: str, spk_id: str) -> dict:
+        """Preset-speaker featurization (cli/frontend.py:157-162)."""
+        if spk_id not in self.spk2info:
+            raise KeyError(
+                f"unknown speaker_id '{spk_id}'; available: {self.available_speakers()}"
+            )
+        info = self.spk2info[spk_id]
+        tokens = self.extract_text_tokens(tts_text)
+        return dict(
+            text_tokens=tokens,
+            tts_text_len=len(tokens),
+            prompt_speech_tokens=info.prompt_speech_tokens,
+            prompt_mel=info.prompt_mel,
+            spk_embedding=info.embedding,
+        )
+
+    # -- speaker registry ---------------------------------------------------
+
+    def add_speaker(self, spk_id: str, info: SpeakerInfo):
+        self.spk2info[spk_id] = info
+
+    def available_speakers(self) -> List[str]:
+        return sorted(self.spk2info.keys())
+
+    def load_spk2info(self, path: str):
+        """Load a reference spk2info.pt registry (infer_speech_model.py:145-168)."""
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        for spk, entry in data.items():
+            emb = entry.get("llm_embedding", entry.get("embedding"))
+            self.spk2info[str(spk)] = SpeakerInfo(
+                embedding=np.asarray(emb, np.float32).reshape(-1)[:192],
+            )

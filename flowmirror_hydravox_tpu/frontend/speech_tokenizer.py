@@ -1,0 +1,186 @@
+"""Native speech tokenizer (FSQ encoder over whisper 128-mel) + CAM++-style
+speaker embedding — JAX replacements for the reference's ONNX graphs.
+
+The reference executes two opaque ONNX models at the frontend boundary
+(SURVEY.md §2.12 items 2-3):
+  - `speech_tokenizer_v3.onnx`: supervised FSQ tokenizer over whisper
+    128-bin log-mel, 25 tokens/s (cli/frontend.py:92-104)
+  - `campplus.onnx`: CAM++ speaker-verification embedding, 192-d
+    (cli/frontend.py:105-116)
+
+Those graphs ship with the weights (absent from the snapshot), so we define
+TPU-native architectures with the same interfaces: batched, jittable, with a
+weight-loading path (`convert/` can map exported tensors once available).
+Random-initialized instances keep the full zero-shot pipeline executable
+end-to-end for tests and benchmarks.
+
+Architecture (S3/CosyVoice3-style tokenizer): 2x strided conv subsampling of
+the 100 Hz mel -> transformer encoder -> linear head -> FSQ with per-dim
+levels (3^8 = 6561 codes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rope import rope_cos_sin, apply_rope_halved
+from ..utils.audio import whisper_log_mel
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechTokenizerConfig:
+    n_mels: int = 128
+    dim: int = 512
+    num_layers: int = 6
+    num_heads: int = 8
+    fsq_levels: Tuple[int, ...] = (3, 3, 3, 3, 3, 3, 3, 3)  # 3^8 = 6561
+    token_rate: int = 25  # tokens/sec (mel is 100 Hz -> stride 4 total)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeakerEncoderConfig:
+    n_mels: int = 80
+    dim: int = 256
+    num_layers: int = 4
+    embed_dim: int = 192
+
+
+def _layer_init(key, dim, heads, dtype):
+    ks = iter(jax.random.split(key, 8))
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    return {
+        "ln1": jnp.ones((dim,), dtype),
+        "qkv": w(next(ks), dim, 3 * dim),
+        "qkv_b": jnp.zeros((3 * dim,), dtype),
+        "out": w(next(ks), dim, dim),
+        "ln2": jnp.ones((dim,), dtype),
+        "ff1": w(next(ks), dim, 4 * dim),
+        "ff1_b": jnp.zeros((4 * dim,), dtype),
+        "ff2": w(next(ks), 4 * dim, dim),
+        "ff2_b": jnp.zeros((dim,), dtype),
+    }
+
+
+def init_tokenizer_params(rng: jax.Array, cfg: SpeechTokenizerConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, cfg.num_layers + 4))
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    d = cfg.dim
+    layers = [_layer_init(next(keys), d, cfg.num_heads, dtype) for _ in range(cfg.num_layers)]
+    return {
+        "conv1": {"w": w(next(keys), d, cfg.n_mels, 3), "b": jnp.zeros((d,), dtype)},
+        "conv2": {"w": w(next(keys), d, d, 3), "b": jnp.zeros((d,), dtype)},
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "ln_f": jnp.ones((d,), dtype),
+        "fsq_proj": w(next(keys), d, len(cfg.fsq_levels)),
+    }
+
+
+def _rms(x, w, eps=1e-6):
+    var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _encoder_block(layer, x, heads):
+    b, t, d = x.shape
+    hd = d // heads
+    qkv = _rms(x, layer["ln1"]) @ layer["qkv"] + layer["qkv_b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    cos, sin = rope_cos_sin(jnp.arange(t), hd, 10000.0)
+    q = apply_rope_halved(q.reshape(b, t, heads, hd), cos, sin)
+    k = apply_rope_halved(k.reshape(b, t, heads, hd), cos, sin)
+    v = v.reshape(b, t, heads, hd)
+    logits = jnp.einsum("bthd,bshd->bhts", q, k) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, d)
+    x = x + attn @ layer["out"]
+    h = _rms(x, layer["ln2"])
+    x = x + jax.nn.gelu(h @ layer["ff1"] + layer["ff1_b"]) @ layer["ff2"] + layer["ff2_b"]
+    return x
+
+
+def fsq_encode(z: jnp.ndarray, levels: Tuple[int, ...]) -> jnp.ndarray:
+    """Finite scalar quantization: bounded tanh lattice -> code index."""
+    lv = jnp.asarray(levels, jnp.float32)
+    half = (lv - 1.0) / 2.0
+    q = jnp.round(jnp.tanh(z.astype(jnp.float32)) * half) + half  # per-dim in [0, L-1]
+    mult = jnp.asarray(np.cumprod([1] + list(levels[:-1])), jnp.float32)
+    return jnp.sum(q * mult, axis=-1).astype(jnp.int32)
+
+
+def tokenize_mel(params: dict, cfg: SpeechTokenizerConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel: (B, 128, T) whisper log-mel (100 Hz) -> (B, T//4) tokens (25 Hz)."""
+
+    def conv(p, x, stride):
+        return jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(stride,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + p["b"][None, :, None]
+
+    h = jax.nn.gelu(conv(params["conv1"], mel, 2))
+    h = jax.nn.gelu(conv(params["conv2"], h, 2))
+    h = jnp.swapaxes(h, 1, 2)  # (B, T/4, D)
+
+    def body(x, layer):
+        return _encoder_block(layer, x, cfg.num_heads), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    z = _rms(h, params["ln_f"]) @ params["fsq_proj"]
+    return fsq_encode(z, cfg.fsq_levels)
+
+
+def tokenize_waveform(
+    params: dict, cfg: SpeechTokenizerConfig, wav_16k: jnp.ndarray
+) -> jnp.ndarray:
+    """wav_16k: (B, T) -> (B, n_tokens) at 25 Hz (frontend.py:92-104 path)."""
+    mel = whisper_log_mel(wav_16k, n_mels=cfg.n_mels)
+    return tokenize_mel(params, cfg, mel)
+
+
+# ---------------------------------------------------------------------------
+# speaker embedding (CAM++-interface replacement)
+
+
+def init_speaker_params(rng: jax.Array, cfg: SpeakerEncoderConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, cfg.num_layers + 3))
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.05).astype(dtype)
+
+    convs = []
+    ch = cfg.n_mels
+    for i in range(cfg.num_layers):
+        convs.append({"w": w(next(keys), cfg.dim, ch, 3), "b": jnp.zeros((cfg.dim,), dtype)})
+        ch = cfg.dim
+    return {
+        "convs": convs,
+        "proj": w(next(keys), 2 * cfg.dim, cfg.embed_dim),
+    }
+
+
+def speaker_embedding(params: dict, cfg: SpeakerEncoderConfig, mel80: jnp.ndarray) -> jnp.ndarray:
+    """mel80: (B, 80, T) fbank -> (B, 192) embedding (campplus interface,
+    cli/frontend.py:105-116; mean-subtracted fbank, stats pooling)."""
+    x = mel80 - jnp.mean(mel80, axis=-1, keepdims=True)
+    for i, conv in enumerate(params["convs"]):
+        dil = 2 ** min(i, 3)
+        x = jax.nn.relu(
+            jax.lax.conv_general_dilated(
+                x, conv["w"], window_strides=(1,), padding=[(dil, dil)],
+                rhs_dilation=(dil,), dimension_numbers=("NCH", "OIH", "NCH"),
+            ) + conv["b"][None, :, None]
+        )
+    mean = jnp.mean(x, axis=-1)
+    std = jnp.sqrt(jnp.maximum(jnp.var(x, axis=-1), 1e-8))
+    return jnp.concatenate([mean, std], axis=-1) @ params["proj"]

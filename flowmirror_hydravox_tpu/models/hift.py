@@ -1,0 +1,303 @@
+"""HiFT-Net vocoder (NSF source + ISTFT-Net head) — functional JAX.
+
+TPU-native reimplementation of reference `cosyvoice/hifigan/generator.py`:
+
+  - All conv stacks compile to XLA convolutions (the TPU-native answer to the
+    reference's cuDNN path).  Weight-norm parametrizations are folded into
+    plain weights at init/conversion time (inference-equivalent).
+  - The tiny n_fft=16/hop=4 STFT/ISTFT pair is implemented as framed matmul +
+    overlap-add via an identity-kernel `conv_transpose` — dense, static, MXU
+    friendly (reference generator.py:491-505 uses torch.stft/istft).
+  - SineGen2 (generator.py:192-317, the 24 kHz configuration): frame-rate
+    phase cumsum with linear down/up interpolation, harmonic stack, uv gating.
+  - f0 predictor: 5x conv(k=3)+ELU then linear+abs (f0_predictor.py:23-60).
+
+Defaults follow the 24 kHz config: upsample_rates (8,5,3) * istft hop 4 = 480
+samples per mel frame.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HiFTConfig
+from ..utils.audio import hann_window
+from .dit import _conv_init, _linear_init, conv1d, linear
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _convtr_init(key, in_ch, out_ch, kernel, dtype):
+    # torch ConvTranspose1d weight: (in_ch, out_ch, k); fan_in = out_ch * k
+    bound = 1.0 / math.sqrt(out_ch * kernel)
+    kw, kb = jax.random.split(key)
+    w = jax.random.uniform(kw, (in_ch, out_ch, kernel), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return {"w": w.astype(dtype), "b": b.astype(dtype)}
+
+
+def _resblock_init(key, channels, kernel, dilations, dtype):
+    keys = iter(jax.random.split(key, 2 * len(dilations)))
+    return {
+        "convs1": [_conv_init(next(keys), channels, channels, kernel, 1, dtype) for _ in dilations],
+        "convs2": [_conv_init(next(keys), channels, channels, kernel, 1, dtype) for _ in dilations],
+        "alpha1": [jnp.ones((channels,), dtype) for _ in dilations],
+        "alpha2": [jnp.ones((channels,), dtype) for _ in dilations],
+    }
+
+
+def init_params(rng: jax.Array, cfg: HiFTConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 64))
+    base = cfg.base_channels
+    n_fft2 = cfg.istft_n_fft + 2
+
+    f0 = {
+        "convs": [
+            _conv_init(next(keys), cfg.in_channels if i == 0 else cfg.f0_cond_channels,
+                       cfg.f0_cond_channels, 3, 1, dtype)
+            for i in range(5)
+        ],
+        "classifier": _linear_init(next(keys), cfg.f0_cond_channels, 1, dtype),
+    }
+
+    ups, resblocks, source_downs, source_resblocks = [], [], [], []
+    downsample_rates = (1,) + tuple(reversed(cfg.upsample_rates))[:-1]
+    down_cum = np.cumprod(downsample_rates)[::-1]
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ch_in, ch_out = base // (2 ** i), base // (2 ** (i + 1))
+        ups.append(_convtr_init(next(keys), ch_in, ch_out, k, dtype))
+        d = int(down_cum[i])
+        kernel = 1 if d == 1 else d * 2
+        source_downs.append(_conv_init(next(keys), n_fft2, ch_out, kernel, 1, dtype))
+        source_resblocks.append(
+            _resblock_init(next(keys), ch_out, cfg.source_resblock_kernel_sizes[i],
+                           cfg.source_resblock_dilation_sizes[i], dtype)
+        )
+        for k_r, d_r in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            resblocks.append(_resblock_init(next(keys), ch_out, k_r, d_r, dtype))
+
+    return {
+        "f0_predictor": f0,
+        "m_source_linear": _linear_init(next(keys), cfg.nb_harmonics + 1, 1, dtype),
+        "conv_pre": _conv_init(next(keys), cfg.in_channels, base, 7, 1, dtype),
+        "ups": ups,
+        "source_downs": source_downs,
+        "source_resblocks": source_resblocks,
+        "resblocks": resblocks,
+        "conv_post": _conv_init(next(keys), base // (2 ** len(cfg.upsample_rates)), n_fft2, 7, 1, dtype),
+    }
+
+
+def _source_down_strides(cfg: HiFTConfig):
+    downsample_rates = (1,) + tuple(reversed(cfg.upsample_rates))[:-1]
+    return tuple(int(x) for x in np.cumprod(downsample_rates)[::-1])
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+
+
+def snake(x, alpha):
+    """Snake activation, alpha_logscale=False (transformer/activation.py)."""
+    a = alpha[None, :, None]
+    return x + (1.0 / (a + 1e-9)) * jnp.sin(a * x) ** 2
+
+
+def _conv_same(p, x, dilation=1):
+    k = p["w"].shape[-1]
+    pad = (k * dilation - dilation) // 2
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + p["b"][None, :, None]
+
+
+def resblock(p, x, dilations):
+    for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], p["alpha1"], p["alpha2"], dilations):
+        xt = snake(x, a1)
+        xt = _conv_same(c1, xt, dilation=d)
+        xt = snake(xt, a2)
+        xt = _conv_same(c2, xt, dilation=1)
+        x = xt + x
+    return x
+
+
+def conv_transpose1d(p, x, stride, padding):
+    """torch ConvTranspose1d equivalent: out = (T-1)*stride - 2*padding + K.
+
+    Implemented as a fractionally-strided conv (lhs_dilation) with the kernel
+    flipped and IO-transposed — the exact adjoint of torch's forward conv.
+    p['w']: (I, O, K) torch layout; x: (B, I, T)."""
+    w = jnp.flip(p["w"], axis=-1).transpose(1, 0, 2)  # (O, I, K)
+    k = w.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + p["b"][None, :, None]
+
+
+# ---------------------------------------------------------------------------
+# tiny STFT / ISTFT (n_fft=16, hop=4), torch.stft/istft center=True semantics
+
+
+def _stft_16(x: jnp.ndarray, n_fft: int, hop: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: (B, T) -> (real, imag) each (B, n_fft//2+1, T//hop + 1)."""
+    window = jnp.asarray(hann_window(n_fft))
+    t = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    n_frames = t // hop + 1
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[:, idx] * window[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)  # (B, F_t, n_fft//2+1)
+    spec = jnp.swapaxes(spec, 1, 2)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+def _istft_16(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """torch.istft equivalent (center=True): windowed OLA with window-envelope
+    normalization, then trim n_fft//2 from both ends."""
+    window = jnp.asarray(hann_window(n_fft))
+    spec = jnp.swapaxes(real + 1j * imag, 1, 2)  # (B, TT, F)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, None, :]
+    b, tt, _ = frames.shape
+
+    # overlap-add as a fractionally-strided conv with a flipped-identity
+    # kernel: channel c (frame tap c) lands at output offset c of its frame.
+    # out[t] = sum_{f,c: hop*f + c = t} frames[f, c]
+    eye = jnp.flip(jnp.eye(n_fft, dtype=frames.dtype), axis=-1).reshape(1, n_fft, n_fft)
+
+    def ola(x):  # x: (B, n_fft, TT) -> (B, hop*(TT-1)+n_fft)
+        return jax.lax.conv_general_dilated(
+            x, eye, window_strides=(1,), padding=[(n_fft - 1, n_fft - 1)],
+            lhs_dilation=(hop,), dimension_numbers=("NCH", "OIH", "NCH"),
+        )[:, 0]
+
+    y = ola(jnp.swapaxes(frames, 1, 2))
+    # window-envelope normalization: sum_f window^2[t - hop*f]
+    env = ola(jnp.broadcast_to((window ** 2)[None, :, None], (1, n_fft, tt)).astype(frames.dtype))
+    y = y / jnp.maximum(env, 1e-11)
+    return y[:, n_fft // 2 : -(n_fft // 2)]
+
+
+# ---------------------------------------------------------------------------
+# NSF source (SineGen2, generator.py:192-317)
+
+
+def _interp_linear(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) over last axis."""
+    t = x.shape[-1]
+    scale = t / out_len
+    pos = (jnp.arange(out_len) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t - 1)
+    hi = jnp.clip(lo + 1, 0, t - 1)
+    w = jnp.clip(pos - lo, 0.0, 1.0).astype(x.dtype)
+    return x[..., lo] * (1 - w) + x[..., hi] * w
+
+
+def sine_source(
+    rng: jax.Array, cfg: HiFTConfig, f0_up: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """f0_up: (B, T_samples, 1) sample-rate F0. Returns (source (B, T, 1), uv)."""
+    rng_ini, rng_noise = jax.random.split(rng)
+    b, t, _ = f0_up.shape
+    nh = cfg.nb_harmonics + 1
+    harmonics = jnp.arange(1, nh + 1, dtype=jnp.float32)
+    fn = f0_up * harmonics[None, None, :]  # (B, T, nh)
+
+    rad = (fn / cfg.sampling_rate) % 1.0
+    rand_ini = jax.random.uniform(rng_ini, (b, nh))
+    rand_ini = rand_ini.at[:, 0].set(0.0)
+    rad = rad.at[:, 0, :].add(rand_ini)
+
+    up = cfg.upsample_scale
+    rad_frame = _interp_linear(jnp.swapaxes(rad, 1, 2), t // up)  # (B, nh, T/up)
+    phase = jnp.cumsum(rad_frame, axis=-1) * 2.0 * jnp.pi
+    phase_up = _interp_linear(phase * up, t)  # (B, nh, T)
+    sines = jnp.swapaxes(jnp.sin(phase_up), 1, 2)  # (B, T, nh)
+
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)  # (B, T, 1)
+    sine_waves = sines * cfg.nsf_alpha
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    noise = noise_amp * jax.random.normal(rng_noise, sine_waves.shape)
+    return sine_waves * uv + noise, uv
+
+
+def predict_f0(params: dict, mel: jnp.ndarray) -> jnp.ndarray:
+    """(B, 80, T_mel) -> (B, T_mel) non-negative F0."""
+    x = mel
+    for conv in params["f0_predictor"]["convs"]:
+        x = jax.nn.elu(_conv_same(conv, x))
+    x = jnp.swapaxes(x, 1, 2)
+    return jnp.abs(linear(params["f0_predictor"]["classifier"], x)[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def decode(params: dict, cfg: HiFTConfig, mel: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+    """mel: (B, 80, T_mel); source: (B, 1, T_samples). Returns (B, T_samples)."""
+    n_fft, hop = cfg.istft_n_fft, cfg.istft_hop_len
+    s_real, s_imag = _stft_16(source[:, 0], n_fft, hop)
+    s_stft = jnp.concatenate([s_real, s_imag], axis=1)  # (B, n_fft+2, TT)
+
+    x = _conv_same(params["conv_pre"], mel)
+    n_up = len(cfg.upsample_rates)
+    for i in range(n_up):
+        u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
+        x = jax.nn.leaky_relu(x, cfg.lrelu_slope)
+        x = conv_transpose1d(params["ups"][i], x, u, (k - u) // 2)
+        if i == n_up - 1:
+            # reflection_pad (1, 0) (generator.py:517)
+            x = jnp.concatenate([x[:, :, 1:2], x], axis=2)
+        sd = params["source_downs"][i]
+        stride = _source_down_strides(cfg)[i]
+        if stride == 1:
+            si = conv1d(sd, s_stft)
+        else:
+            si = jax.lax.conv_general_dilated(
+                s_stft, sd["w"], window_strides=(stride,),
+                padding=[(stride // 2, stride // 2)], dimension_numbers=("NCH", "OIH", "NCH"),
+            ) + sd["b"][None, :, None]
+        si = resblock(params["source_resblocks"][i], si, cfg.source_resblock_dilation_sizes[i])
+        x = x + si
+        xs = None
+        nk = len(cfg.resblock_kernel_sizes)
+        for j in range(nk):
+            r = resblock(params["resblocks"][i * nk + j], x, cfg.resblock_dilation_sizes[j])
+            xs = r if xs is None else xs + r
+        x = xs / nk
+
+    x = jax.nn.leaky_relu(x)  # default slope 0.01 (generator.py:532)
+    x = _conv_same(params["conv_post"], x)
+    magnitude = jnp.exp(jnp.clip(x[:, : n_fft // 2 + 1], None, math.log(1e2)))
+    phase = jnp.sin(x[:, n_fft // 2 + 1 :])
+    real = magnitude * jnp.cos(phase)
+    imag = magnitude * jnp.sin(phase)
+    audio = _istft_16(real, imag, n_fft, hop)
+    return jnp.clip(audio, -cfg.audio_limit, cfg.audio_limit)
+
+
+def inference(
+    params: dict,
+    cfg: HiFTConfig,
+    mel: jnp.ndarray,  # (B, 80, T_mel)
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """mel -> waveform (B, T_mel * upsample_scale) (generator.py:557-569)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    f0 = predict_f0(params, mel)  # (B, T_mel)
+    f0_up = jnp.repeat(f0, cfg.upsample_scale, axis=-1)[..., None]  # nearest upsample
+    s, _ = sine_source(rng, cfg, f0_up)
+    sine_merge = jnp.tanh(linear(params["m_source_linear"], s))  # (B, T, 1)
+    return decode(params, cfg, mel, jnp.swapaxes(sine_merge, 1, 2))

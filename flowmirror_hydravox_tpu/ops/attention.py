@@ -1,0 +1,69 @@
+"""Attention ops — XLA reference implementations.
+
+The MXU-friendly path: single fused einsum chains with f32 softmax
+accumulation, static shapes, boolean masks turned into additive bias.
+The Pallas fused decode kernel (ops/pallas_attention.py) is a drop-in
+replacement for `decode_attention` on TPU; these XLA versions are the
+portable reference used in tests and as CPU fallback.
+
+Replaces (TPU-natively) the reference's torch SDPA / vLLM paths
+(DiT/modules.py:391, llm_multi_head_v3.py:232-260).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = -1.0e10
+
+
+def mha(
+    q: jnp.ndarray,  # (B, T, Hq, D)
+    k: jnp.ndarray,  # (B, S, Hkv, D)
+    v: jnp.ndarray,  # (B, S, Hkv, D)
+    mask: jnp.ndarray | None = None,  # (B, T, S) or (B, 1, T, S) bool, True=attend
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Grouped-query attention. Returns (B, T, Hq, D)."""
+    b, t, hq, d = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    group = hq // hkv
+    qg = q.reshape(b, t, hkv, group, d)
+    # (B, Hkv, G, T, S)
+    logits = jnp.einsum("bthgd,bshd->bhgts", qg, k).astype(jnp.float32) * scale
+    if mask is not None:
+        if mask.ndim == 3:
+            bias = jnp.where(mask[:, None, None, :, :], 0.0, NEG_INF)
+        else:  # (B, 1, T, S)
+            bias = jnp.where(mask[:, :, None, :, :], 0.0, NEG_INF)
+        logits = logits + bias
+    probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(v.dtype), v)
+    return out.reshape(b, t, hq, d)
+
+
+def decode_attention(
+    q: jnp.ndarray,  # (B, T, Hq, D) — T = small new-token block
+    k_cache: jnp.ndarray,  # (B, S_max, Hkv, D) — full preallocated cache
+    v_cache: jnp.ndarray,  # (B, S_max, Hkv, D)
+    cache_len: jnp.ndarray,  # (B,) int32 — valid prefix length (block written at cache_len)
+    block_causal: bool = True,
+) -> jnp.ndarray:
+    """Attention for incremental decode against a preallocated KV cache.
+
+    The new block of T tokens is assumed already written to the cache at
+    positions [cache_len, cache_len + T).  Query i (absolute position
+    cache_len + i) attends to cache positions < cache_len + i + 1.
+    """
+    b, t, hq, d = q.shape
+    s_max = k_cache.shape[1]
+    key_pos = jnp.arange(s_max)[None, None, :]  # (1, 1, S)
+    q_pos = cache_len[:, None, None] + jnp.arange(t)[None, :, None]  # (B, T, 1)
+    if block_causal:
+        mask = key_pos <= q_pos
+    else:
+        mask = key_pos < (cache_len[:, None, None] + t)
+    return mha(q, k_cache, v_cache, mask)

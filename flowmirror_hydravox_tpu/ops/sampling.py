@@ -1,0 +1,116 @@
+"""On-device repetition-aware sampling (RAS, VALL-E 2 style).
+
+TPU-native redesign of the reference's CPU-side Python sampling loop
+(cosyvoice/utils/common.py:138-166 `ras_sampling`/`nucleus_sampling`/
+`random_sampling` and llm_multi_head_v3.py:151-166 `sampling_ids`):
+
+  - The reference's nucleus set is built by iterating sorted probs and
+    including index i while (sum of previously included probs) < top_p AND
+    fewer than top_k tokens are included.  We express the identical set as
+    `exclusive_cumsum(sorted_p) < top_p  AND  rank < top_k` and sample with a
+    Gumbel trick — one fused XLA kernel, no host round-trip.
+  - The reference's `sampling_ids` resamples (up to 100 trials) until the
+    draw is a non-stop token when `ignore_eos=True`.  Rejection-resampling a
+    categorical until it lands outside a set is distributionally identical to
+    renormalizing the distribution with that set removed, so we mask the stop
+    ids and sample once.  (Exact equivalence for the nucleus candidate;
+    for the repetition fallback the reference re-runs the full procedure,
+    which re-draws the nucleus candidate too — a negligible higher-order
+    difference we accept and document here.)
+  - The repetition test (count of the candidate among the last `win_size`
+    decoded tokens >= win_size * tau_r -> fall back to plain multinomial)
+    runs on a device-resident token buffer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SamplingParams(NamedTuple):
+    top_p: jnp.ndarray  # f32 scalar
+    top_k: jnp.ndarray  # i32 scalar
+    win_size: jnp.ndarray  # i32 scalar
+    tau_r: jnp.ndarray  # f32 scalar
+
+    @staticmethod
+    def make(top_p=0.8, top_k=25, win_size=10, tau_r=0.1) -> "SamplingParams":
+        return SamplingParams(
+            jnp.float32(top_p), jnp.int32(top_k), jnp.int32(win_size), jnp.float32(tau_r)
+        )
+
+
+def _gumbel_argmax(rng, log_probs):
+    g = jax.random.gumbel(rng, log_probs.shape, dtype=jnp.float32)
+    return jnp.argmax(log_probs + g).astype(jnp.int32)
+
+
+def nucleus_sample(rng: jax.Array, logits: jnp.ndarray, top_p, top_k) -> jnp.ndarray:
+    """Sample from the reference's nucleus set (common.py:146-161).
+
+    logits: (V,) f32 (already masked if needed). Returns scalar int32 token.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32))
+    order = jnp.argsort(-probs)  # jnp sort is stable -> matches reference's stable sort
+    sorted_p = probs[order]
+    excl_cum = jnp.cumsum(sorted_p) - sorted_p
+    rank = jnp.arange(probs.shape[0])
+    keep = (excl_cum < top_p) & (rank < top_k)
+    kept_logp = jnp.where(keep, jnp.log(jnp.maximum(sorted_p, 1e-30)), -jnp.inf)
+    pick = _gumbel_argmax(rng, kept_logp)
+    return order[pick].astype(jnp.int32)
+
+
+def ras_sample(
+    rng: jax.Array,
+    logits: jnp.ndarray,  # (V,) raw logits (log-softmax offset is irrelevant)
+    token_history: jnp.ndarray,  # (L,) int32 decoded tokens buffer (padded with -1)
+    num_decoded: jnp.ndarray,  # scalar int32 — valid tokens in history
+    params: SamplingParams,
+    ignore_eos: jnp.ndarray,  # scalar bool
+    speech_token_size: int,
+) -> jnp.ndarray:
+    """Full RAS step on device. Returns scalar int32 token id."""
+    v = logits.shape[0]
+    token_ids = jnp.arange(v)
+    is_stop = token_ids >= speech_token_size
+    masked_logits = jnp.where(ignore_eos & is_stop, -jnp.inf, logits.astype(jnp.float32))
+
+    rng_nuc, rng_flat = jax.random.split(rng)
+    candidate = nucleus_sample(rng_nuc, masked_logits, params.top_p, params.top_k)
+
+    # repetition count over the last win_size decoded tokens
+    hist_pos = jnp.arange(token_history.shape[0])
+    in_window = (hist_pos < num_decoded) & (hist_pos >= num_decoded - params.win_size)
+    rep_num = jnp.sum(in_window & (token_history == candidate))
+    repeated = rep_num.astype(jnp.float32) >= params.win_size.astype(jnp.float32) * params.tau_r
+
+    flat = _gumbel_argmax(rng_flat, jax.nn.log_softmax(masked_logits))
+    return jnp.where(repeated, flat, candidate).astype(jnp.int32)
+
+
+def ras_sample_heads(
+    rng: jax.Array,
+    head_logits: jnp.ndarray,  # (K, V) — one row per MTP head
+    token_history: jnp.ndarray,  # (L,) int32
+    num_decoded: jnp.ndarray,  # scalar int32
+    params: SamplingParams,
+    min_len: jnp.ndarray,  # scalar int32
+    speech_token_size: int,
+) -> jnp.ndarray:
+    """Sample all MTP heads against the same history snapshot
+    (llm_multi_head_v3.py:890-900): head j uses ignore_eos iff
+    num_decoded + j < min_len. Returns (K,) int32."""
+    k = head_logits.shape[0]
+    rngs = jax.random.split(rng, k)
+    ignore = (num_decoded + jnp.arange(k)) < min_len
+
+    def one(j_rng, j_logits, j_ignore):
+        return ras_sample(
+            j_rng, j_logits, token_history, num_decoded, params, j_ignore, speech_token_size
+        )
+
+    return jax.vmap(one)(rngs, head_logits, ignore)

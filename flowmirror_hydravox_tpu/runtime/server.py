@@ -1,0 +1,272 @@
+"""HTTP serving layer with the reference's REST schema (server/router.py).
+
+Endpoints (identical JSON shapes):
+  POST /api/v1/tts        {text, speaker_id, output_format, extra_params}
+  POST /api/v1/zero-shot  {tts_text, prompt_text, prompt_audio_base64, extra_params}
+  POST /api/v1/load_pt    {llm_pt, flow_pt}
+  GET  /api/v1/speakers
+Responses: {success, message, data: {audio_base64, sample_rate, duration, ...},
+  error} matching APIResponse (router.py:61-66, 184-190).
+
+Architecture delta from the reference (documented, TPU-native): instead of a
+FastAPI process + N GPU worker processes wired through a multiprocessing
+Manager queue (app_server.py:22-66), requests run in one process against the
+jitted Engine; a worker thread pool drains a queue so the HTTP layer stays
+responsive while the device is busy (single TPU program stream).  FastAPI is
+not in this image; the stdlib ThreadingHTTPServer keeps the dependency
+surface zero while preserving the wire protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..config import SamplingConfig
+from ..utils.wavio import audio_to_base64, load_audio_from_base64
+from .engine import Engine
+
+logger = logging.getLogger("hydravox.server")
+
+DEFAULT_TTS_EXTRA = {"top_p": 0.9, "top_k": 10, "win_size": 24, "tau_r": 0.2,
+                     "speed": 1.0, "inference_head_num": 2}
+DEFAULT_ZS_EXTRA = {"top_p": 0.9, "top_k": 10, "win_size": 32, "tau_r": 0.2,
+                    "speed": 1.0, "inference_head_num": 2}
+
+
+class TTSService:
+    """Queue + worker thread around the Engine (one device program stream).
+
+    Mirrors worker.py:54-102 semantics: per-task sampling params rebind,
+    text normalization, error capture into the result payload."""
+
+    def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0):
+        self.engine = engine
+        self.frontend = frontend
+        self.timeout = request_timeout
+        self.tasks: "queue.Queue" = queue.Queue()
+        self.results: Dict[str, Any] = {}
+        self.results_lock = threading.Lock()
+        self._stop = threading.Event()
+        self.worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self.worker.start()
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            try:
+                task = self.tasks.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            tid = task["task_id"]
+            try:
+                result = self._process(task)
+            except Exception as e:  # error flows back through the result dict
+                logger.exception("task %s failed", tid)
+                result = {"error": str(e)}
+            with self.results_lock:
+                self.results[tid] = result
+
+    def _sampling(self, extra: dict) -> SamplingConfig:
+        return SamplingConfig(
+            top_p=float(extra.get("top_p", 0.9)),
+            top_k=int(extra.get("top_k", 10)),
+            win_size=int(extra.get("win_size", 24)),
+            tau_r=float(extra.get("tau_r", 0.2)),
+        )
+
+    def _process(self, task: dict) -> dict:
+        kind = task["type"]
+        extra = task.get("extra_params") or {}
+        sampling = self._sampling(extra)
+        head_num = int(extra.get("inference_head_num", 2))
+        speed = float(extra.get("speed", 1.0))
+
+        if kind == "tts":
+            feats_list = []
+            for segment in self.frontend.text_normalize(task["text"], split=True):
+                feats_list.append(self.frontend.frontend_sft(segment, task["speaker_id"]))
+        elif kind == "zero_shot":
+            wav, sr = task["prompt_audio"], task["prompt_sample_rate"]
+            norm_prompt = self.frontend.text_normalize(task["prompt_text"], split=False)[0]
+            feats_list = [
+                self.frontend.frontend_zero_shot(seg, norm_prompt, wav, sr)
+                for seg in self.frontend.text_normalize(task["tts_text"], split=True)
+            ]
+        else:
+            raise ValueError(f"unknown task type {kind}")
+
+        chunks = []
+        for feats in feats_list:
+            res = self.engine.synthesize(
+                text_tokens=feats["text_tokens"],
+                tts_text_len=feats["tts_text_len"],
+                sampling=sampling,
+                inference_head_num=head_num,
+                prompt_speech_tokens=feats.get("prompt_speech_tokens"),
+                prompt_mel=feats.get("prompt_mel"),
+                spk_embedding=feats.get("spk_embedding"),
+                speed=speed,
+            )
+            chunks.append(res.audio)
+        audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        return {"output_audio": audio, "sample_rate": self.engine.cfg.sample_rate}
+
+    def submit(self, task: dict) -> str:
+        tid = str(uuid.uuid4())
+        task["task_id"] = tid
+        self.tasks.put(task)
+        return tid
+
+    def wait(self, tid: str) -> dict:
+        """Poll the result dict (router.py:248-295: 50 ms poll, 60 s timeout)."""
+        deadline = time.time() + self.timeout
+        while time.time() < deadline:
+            with self.results_lock:
+                if tid in self.results:
+                    return self.results.pop(tid)
+            time.sleep(0.05)
+        raise TimeoutError("tts timeout")
+
+    def shutdown(self):
+        self._stop.set()
+
+
+def _response(success: bool, message: str, data=None, error=None) -> dict:
+    return {"success": success, "message": message, "data": data, "error": error}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: TTSService = None  # injected by make_server
+
+    def log_message(self, fmt, *args):
+        logger.debug(fmt, *args)
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/api/v1/speakers":
+            speakers = self.service.frontend.available_speakers()
+            self._send(200, _response(True, "ok", data={"speakers": speakers}))
+        elif self.path in ("/health", "/"):
+            self._send(200, {"status": "ok"})
+        else:
+            self._send(404, _response(False, "not found", error="not found"))
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+        except Exception as e:
+            self._send(400, _response(False, "bad request", error=str(e)))
+            return
+
+        try:
+            if self.path == "/api/v1/tts":
+                self._handle_tts(body)
+            elif self.path == "/api/v1/zero-shot":
+                self._handle_zero_shot(body)
+            elif self.path == "/api/v1/load_pt":
+                self._handle_load_pt(body)
+            else:
+                self._send(404, _response(False, "not found", error="not found"))
+        except TimeoutError:
+            self._send(408, _response(False, "timeout", error="tts timeout"))
+        except Exception as e:
+            logger.exception("request failed")
+            self._send(500, _response(False, "error", error=str(e)))
+
+    def _finish_audio(self, result: dict):
+        if "error" in result:
+            self._send(500, _response(False, "synthesis failed", error=result["error"]))
+            return
+        audio, sr = result["output_audio"], result["sample_rate"]
+        self._send(200, _response(
+            True, "ok",
+            data={
+                "audio_base64": audio_to_base64(audio, sr),
+                "sample_rate": sr,
+                "duration": float(len(audio)) / sr,
+            },
+        ))
+
+    def _handle_tts(self, body: dict):
+        extra = {**DEFAULT_TTS_EXTRA, **(body.get("extra_params") or {})}
+        tid = self.service.submit({
+            "type": "tts",
+            "text": body.get("text", ""),
+            "speaker_id": body.get("speaker_id"),
+            "extra_params": extra,
+        })
+        self._finish_audio(self.service.wait(tid))
+
+    def _handle_zero_shot(self, body: dict):
+        if not body.get("prompt_audio_base64"):
+            self._send(400, _response(False, "missing prompt audio",
+                                      error="prompt_audio_base64 required"))
+            return
+        wav, sr = load_audio_from_base64(body["prompt_audio_base64"])
+        extra = {**DEFAULT_ZS_EXTRA, **(body.get("extra_params") or {})}
+        tid = self.service.submit({
+            "type": "zero_shot",
+            "tts_text": body.get("tts_text", ""),
+            "prompt_text": body.get("prompt_text", ""),
+            "prompt_audio": wav,
+            "prompt_sample_rate": sr,
+            "extra_params": extra,
+        })
+        self._finish_audio(self.service.wait(tid))
+
+    def _handle_load_pt(self, body: dict):
+        """Hot-reload weights (router.py:307-340, infer_speech_model.py:169-184)."""
+        from ..convert import torch_import
+
+        engine = self.service.engine
+        loaded = {}
+        if body.get("llm_pt"):
+            sd = torch_import.load_torch_pt(body["llm_pt"])
+            engine.llm_params = _cast_like(
+                torch_import.llm_from_state_dict(sd, engine.cfg.llm), engine.llm_params
+            )
+            loaded["llm"] = body["llm_pt"]
+        if body.get("flow_pt"):
+            sd = torch_import.load_torch_pt(body["flow_pt"])
+            engine.flow_params = _cast_like(
+                torch_import.flow_from_state_dict(sd, engine.cfg.flow), engine.flow_params
+            )
+            loaded["flow"] = body["flow_pt"]
+        self._send(200, _response(True, "loaded", data=loaded))
+
+
+def _cast_like(new_params, old_params):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda n, o: jnp.asarray(n, getattr(o, "dtype", jnp.float32)), new_params, old_params
+    )
+
+
+def make_server(host: str, port: int, engine: Engine, frontend) -> ThreadingHTTPServer:
+    service = TTSService(engine, frontend)
+    handler = type("Handler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(host: str, port: int, engine: Engine, frontend):
+    server = make_server(host, port, engine, frontend)
+    logger.info("serving on %s:%d", host, port)
+    server.serve_forever()

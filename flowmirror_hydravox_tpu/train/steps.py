@@ -1,0 +1,149 @@
+"""Jitted train steps for the LLM (MTP multi-head CE) and Flow (CFM MSE).
+
+TPU-native replacement for the reference's HF-Trainer/Accelerate/DeepSpeed
+stack (SURVEY.md §2.7, train_speech_model.py:753-907):
+
+  - data parallelism = batch sharding over the mesh 'data' axis via pjit;
+    XLA inserts the gradient all-reduce over ICI (replaces DDP/NCCL).
+  - ZeRO-2 equivalent: optimizer moments sharded over 'data'
+    (parallel/sharding.py zero_sharding; replaces DeepSpeed stage 2,
+    configs/deepspeed_config.json).
+  - bf16 params with f32 master-grad accumulation via optax; grad-clip 1.0
+    matches the reference deepspeed config.
+  - inf/nan grad skip mirrors reference train_utils.py:305-315.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import FlowConfig, LLMConfig
+from ..models import flow as flow_model
+from ..models import llm as llm_model
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 1e-4
+    warmup_steps: int = 2500
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.999
+    schedule: str = "warmup_cosine"  # or "warmuplr" (WeNet WarmupLR)
+    total_steps: int = 200_000
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    if cfg.schedule == "warmup_cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
+        )
+    else:
+        # WeNet WarmupLR (scheduler.py:27): lr * min(step^-0.5, step * warmup^-1.5) * warmup^0.5
+        def sched(step):
+            s = jnp.maximum(step.astype(jnp.float32), 1.0)
+            w = float(cfg.warmup_steps)
+            return cfg.learning_rate * (w ** 0.5) * jnp.minimum(s ** -0.5, s * w ** -1.5)
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
+    )
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_state(params: Any, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
+
+
+def _apply_grads(state: TrainState, grads, optimizer) -> Tuple[TrainState, jnp.ndarray]:
+    """Skip the update on non-finite grad norm (train_utils.py:305-315)."""
+    gnorm = optax.global_norm(grads)
+    finite = jnp.isfinite(gnorm)
+    safe = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    updates, new_opt = optimizer.update(safe, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_params, state.params
+    )
+    new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old), new_opt, state.opt_state)
+    return TrainState(new_params, new_opt, state.step + 1), gnorm
+
+
+def llm_train_step(
+    state: TrainState,
+    batch: dict,
+    cfg: LLMConfig,
+    optimizer: optax.GradientTransformation,
+) -> Tuple[TrainState, dict]:
+    """batch: text_token (B, Lt), text_len (B,), speech_token (B, Ls),
+    speech_len (B,). Differentiable through forward_loss (MTP CE)."""
+
+    def loss_fn(params):
+        out = llm_model.forward_loss(
+            params, cfg, batch["text_token"], batch["text_len"],
+            batch["speech_token"], batch["speech_len"],
+        )
+        return out["loss"], out["acc"]
+
+    (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state, gnorm = _apply_grads(state, grads, optimizer)
+    return new_state, {"loss": loss, "acc": acc, "grad_norm": gnorm}
+
+
+def flow_train_step(
+    state: TrainState,
+    batch: dict,
+    rng: jax.Array,
+    cfg: FlowConfig,
+    optimizer: optax.GradientTransformation,
+) -> Tuple[TrainState, dict]:
+    """batch: speech_token (B, Lt), token_len, speech_feat (B, Tm, 80),
+    feat_len, embedding (B, 192)."""
+
+    def loss_fn(params):
+        return flow_model.compute_loss(
+            params, cfg, rng, batch["speech_token"], batch["token_len"],
+            batch["speech_feat"], batch["feat_len"], batch["embedding"],
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    # rand_noise is a fixed buffer — zero its grad so it never trains
+    grads = dict(grads)
+    grads["rand_noise"] = jnp.zeros_like(grads["rand_noise"])
+    new_state, gnorm = _apply_grads(state, grads, optimizer)
+    return new_state, {"loss": loss, "grad_norm": gnorm}
+
+
+def make_sharded_llm_step(mesh, cfg: LLMConfig, optimizer):
+    """pjit-wrapped data-parallel LLM train step over the mesh.
+
+    Params replicated (DP), batch sharded over 'data'. XLA inserts the
+    gradient psum over ICI. For TP, constrain params with
+    parallel/sharding.llm_param_specs instead of replication."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    step = partial(llm_train_step, cfg=cfg, optimizer=optimizer)
+    return jax.jit(
+        step,
+        in_shardings=(
+            None,  # state: let jit infer / keep as placed
+            {"text_token": data, "text_len": data, "speech_token": data, "speech_len": data},
+        ),
+        donate_argnums=(0,),
+    )

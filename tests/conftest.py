@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding tests run on this virtual mesh; the driver separately
+dry-runs the multichip path (see __graft_entry__.py)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))

@@ -1,0 +1,174 @@
+"""MTP LM: head parity vs torch Qwen2DecoderLayer, loss/target construction,
+and the KV-cached group-decode loop vs a naive full-recompute reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmirror_hydravox_tpu.config import tiny_config
+from flowmirror_hydravox_tpu.models import llm, qwen2
+from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
+
+CFG = tiny_config().llm
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llm.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+
+
+def test_mtp_head_matches_torch_decoder_layer():
+    """The reduced pointwise head must equal a full Qwen2DecoderLayer applied
+    to a length-1 sequence (llm_multi_head_v3.py:886-887)."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.qwen2.configuration_qwen2 import Qwen2Config as HFConfig
+    from transformers.models.qwen2.modeling_qwen2 import Qwen2DecoderLayer, Qwen2RotaryEmbedding
+
+    h, heads = 64, 4
+    hf_cfg = HFConfig(
+        hidden_size=h, num_attention_heads=heads, num_key_value_heads=heads,
+        intermediate_size=96, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    layer = Qwen2DecoderLayer(hf_cfg, 0).eval()
+    rot = Qwen2RotaryEmbedding(hf_cfg)
+
+    x = torch.randn(3, 1, h) * 0.2
+    with torch.no_grad():
+        pos = torch.zeros(3, 1, dtype=torch.long)
+        pe = rot(x, pos)
+        ref = layer(x, position_embeddings=pe)
+        if isinstance(ref, tuple):
+            ref = ref[0]
+    ref = ref.numpy()[:, 0]
+
+    sd = {k: v.detach().numpy() for k, v in layer.state_dict().items()}
+    head = {
+        "input_layernorm": sd["input_layernorm.weight"],
+        "v_proj_w": sd["self_attn.v_proj.weight"].T,
+        "v_proj_b": sd["self_attn.v_proj.bias"],
+        "o_proj_w": sd["self_attn.o_proj.weight"].T,
+        "post_attention_layernorm": sd["post_attention_layernorm.weight"],
+        "gate_proj_w": sd["mlp.gate_proj.weight"].T,
+        "up_proj_w": sd["mlp.up_proj.weight"].T,
+        "down_proj_w": sd["mlp.down_proj.weight"].T,
+    }
+    head = jax.tree.map(jnp.asarray, head)
+    ours = np.asarray(llm._mtp_head_apply(head, jnp.asarray(x.numpy()[:, 0]), 1e-6))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-4)
+
+
+def test_lm_targets_match_reference_layout():
+    """Targets per head k: IGNORE*(1+tlen) ++ speech[k:slen] ++ eos ++ IGNORE*k
+    (llm_multi_head_v3.py:749-762)."""
+    speech = jnp.asarray([[7, 8, 9, 10, 0]])  # slen=4 (last is pad)
+    tgt = llm.build_lm_targets(CFG, jnp.asarray([2]), speech, jnp.asarray([4]), t_total=9)
+    eos = CFG.eos_token
+    I = llm.IGNORE_ID
+    # head 0: [I, I, I, 7, 8, 9, 10, eos, I]
+    np.testing.assert_array_equal(np.asarray(tgt[0, 0]), [I, I, I, 7, 8, 9, 10, eos, I])
+    # head 1: [I, I, I, 8, 9, 10, eos, I, I]
+    np.testing.assert_array_equal(np.asarray(tgt[1, 0]), [I, I, I, 8, 9, 10, eos, I, I])
+    # head 2: [I, I, I, 9, 10, eos, I, I, I]
+    np.testing.assert_array_equal(np.asarray(tgt[2, 0]), [I, I, I, 9, 10, eos, I, I, I])
+
+
+def test_lm_input_layout(params):
+    """Input: [sos, text_emb, task, speech_emb], eos-padded."""
+    text = jnp.asarray([[3, 4, 0]])
+    speech = jnp.asarray([[11, 12]])
+    inp, lens = llm.build_lm_input(params, CFG, text, jnp.asarray([2]), speech, jnp.asarray([2]))
+    assert inp.shape == (1, 7, CFG.backbone.hidden_size)
+    assert int(lens[0]) == 6
+    se = params["speech_embedding"]
+    np.testing.assert_allclose(np.asarray(inp[0, 0]), np.asarray(se[CFG.sos]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inp[0, 1]), np.asarray(params["backbone"]["embed_tokens"][3]), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(inp[0, 3]), np.asarray(se[CFG.task_id]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(inp[0, 4]), np.asarray(se[11]), rtol=1e-6)
+    # pad position = eos embedding
+    np.testing.assert_allclose(np.asarray(inp[0, 6]), np.asarray(se[CFG.eos_token]), rtol=1e-6)
+
+
+def test_forward_loss_finite(params):
+    rng = jax.random.PRNGKey(1)
+    tt = jax.random.randint(rng, (2, 6), 0, 200)
+    st = jax.random.randint(rng, (2, 12), 0, CFG.speech_token_size)
+    out = llm.forward_loss(params, CFG, tt, jnp.asarray([6, 4]), st, jnp.asarray([12, 9]))
+    assert np.isfinite(float(out["loss"]))
+    assert 0.0 <= float(out["acc"]) <= 1.0
+
+
+def _naive_group_decode(params, cfg, rng, prompt_embeds, prompt_len, min_len, max_len, head_k):
+    """Reference-shaped decode: full-prefix recompute each step, no cache
+    (llm_multi_head_v3.py:871-922) — the oracle for the KV-cached loop."""
+    from flowmirror_hydravox_tpu.ops.sampling import ras_sample_heads
+
+    sampling = SamplingParams.make()
+    prefix = prompt_embeds[: int(prompt_len)]
+    out_tokens = []
+    hist = jnp.full((max_len + head_k,), -1, jnp.int32)
+    while len(out_tokens) < max_len:
+        rng, step_rng = jax.random.split(rng)
+        hidden = qwen2.forward(params["backbone"], cfg.backbone, prefix[None])
+        last = hidden[0, -1]
+        logits = llm.mtp_logits(params, cfg, last, head_k)
+        sampled = ras_sample_heads(
+            step_rng, logits, hist, jnp.int32(len(out_tokens)), sampling,
+            jnp.int32(min_len), cfg.speech_token_size,
+        )
+        sampled = np.asarray(sampled)
+        stop = False
+        group = []
+        for tid in sampled:
+            if tid >= cfg.speech_token_size:
+                stop = True
+                break
+            out_tokens.append(int(tid))
+            group.append(int(tid))
+            hist = hist.at[len(out_tokens) - 1].set(int(tid))
+            if len(out_tokens) >= max_len:
+                stop = True
+                break
+        if stop or not group:
+            break
+        emb = jnp.take(params["speech_embedding"], jnp.asarray(sampled), axis=0)
+        prefix = jnp.concatenate([prefix, emb], axis=0)
+    return out_tokens
+
+
+def test_generate_matches_naive_recompute(params):
+    """Same RNG stream -> the cached loop must emit the identical token
+    sequence as full-prefix recompute (validates cache + mask + sampling)."""
+    rng = jax.random.PRNGKey(7)
+    text = jax.random.randint(jax.random.PRNGKey(3), (5,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(5), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    head_k = 2
+    naive = _naive_group_decode(params, CFG, rng, emb, int(plen), 3, 30, head_k)
+    res = llm.generate(
+        params, CFG, rng, emb, plen, jnp.int32(3), jnp.int32(30),
+        SamplingParams.make(), inference_head_num=head_k, max_tokens=40,
+    )
+    got = list(np.asarray(res.tokens[: int(res.num_tokens)]))
+    assert got == naive, f"cached={got} naive={naive}"
+    assert len(got) <= 30
+
+
+def test_generate_respects_min_len(params):
+    """With ignore_eos active below min_len, at least min_len tokens emerge."""
+    rng = jax.random.PRNGKey(11)
+    text = jax.random.randint(rng, (4,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(4), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    res = llm.generate(
+        params, CFG, rng, emb, plen, jnp.int32(8), jnp.int32(20),
+        SamplingParams.make(), inference_head_num=2, max_tokens=32,
+    )
+    assert int(res.num_tokens) >= 8
+    toks = np.asarray(res.tokens[: int(res.num_tokens)])
+    assert (toks < CFG.speech_token_size).all()
