@@ -23,6 +23,13 @@ import numpy as np
 
 
 def main():
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from flowmirror_hydravox_tpu.config import HydraVoxConfig
     from flowmirror_hydravox_tpu.models import llm as llm_model
     from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
@@ -38,9 +45,9 @@ def main():
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
 
     t0 = time.time()
-    llm_params = llm_model.init_params(k1, cfg.llm, jnp.bfloat16)
-    flow_params = flow_model.init_params(k2, cfg.flow, jnp.bfloat16)
-    hift_params = hift_model.init_params(k3, cfg.hift, jnp.float32)
+    llm_params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(k1)
+    flow_params = jax.jit(lambda k: flow_model.init_params(k, cfg.flow, jnp.bfloat16))(k2)
+    hift_params = jax.jit(lambda k: hift_model.init_params(k, cfg.hift, jnp.float32))(k3)
     jax.block_until_ready(llm_params["llm_decoder"])
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 

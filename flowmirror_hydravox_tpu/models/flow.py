@@ -154,11 +154,20 @@ def inference(
     finalize: bool = True,
     streaming: bool = False,
     n_timesteps: Optional[int] = None,
+    emit_valid: Optional[jnp.ndarray] = None,  # (1, T) bool: tokens emitting mel
 ) -> jnp.ndarray:
     """Full flow inference (flow.py:367-430). Returns mel (1, 80, T_mel) incl.
-    the prompt region; caller slices [:, :, prompt_mel_len:]."""
+    the prompt region; caller slices [:, :, prompt_mel_len:].
+
+    finalize=False semantics (reference flow.py:401-404): the trailing
+    pre_lookahead_len tokens are conv context only and emit no mel frames.
+    For exact-shape calls the split happens here; for bucket-padded streaming
+    calls pass `emit_valid` marking the emitting (non-context) tokens —
+    context tokens stay in `token_valid` so the lookahead conv sees them,
+    while their mel frames are attention-masked and sliced off by the
+    caller."""
     n_timesteps = n_timesteps or cfg.n_timesteps
-    if finalize:
+    if finalize or emit_valid is not None:
         h = encode_tokens(params, cfg, token, token_valid)
     else:
         la = cfg.pre_lookahead_len
@@ -180,7 +189,8 @@ def inference(
         pf = jnp.where(in_prompt[None, :, None], pf_src[:, :t_mel], pf)
     conds = jnp.swapaxes(pf, 1, 2)  # (1, 80, T)
 
-    mask = token_valid.astype(jnp.float32)
+    mask_src = emit_valid if emit_valid is not None else token_valid
+    mask = mask_src.astype(jnp.float32)
     mask = jnp.repeat(mask, cfg.token_mel_ratio, axis=1)[:, None, :t_mel]  # (1, 1, T)
 
     z = params["rand_noise"][:, :, :t_mel].astype(jnp.float32)

@@ -265,56 +265,63 @@ def build_inference_prompt(
     return out.astype(text_emb.dtype), 2 + tlen + prompt_speech_len
 
 
-def generate(
+def init_generate_state(
     params: dict,
     cfg: LLMConfig,
     rng: jax.Array,
     prompt_embeds: jnp.ndarray,  # (T_prompt, H) padded; true length below
     prompt_len: jnp.ndarray,  # scalar int32
-    min_len: jnp.ndarray,  # scalar int32
-    max_len: jnp.ndarray,  # scalar int32 (runtime cap, <= max_tokens)
-    sampling: SamplingParams,
     *,
     inference_head_num: int,
     max_tokens: int = 1024,
     cache_len_cap: Optional[int] = None,
-) -> GenerateResult:
-    """Multi-head AR decode (llm_multi_head_v3.py:861-922), KV-cached.
+) -> dict:
+    """Prefill the KV cache and build the decode-loop carry state.
 
-    Per step: one base-LLM forward over the K tokens accepted in the previous
-    step -> last hidden -> K MTP heads -> K sampled ids (all against the same
-    history snapshot) -> accept until the first stop id.  While no stop id is
-    drawn every sampled token is accepted, so running steps always commit
-    exactly K tokens; the final (stopping) group commits the tokens before
-    the stop id.  jit-able with static shapes throughout.
-    """
-    k_heads = int(inference_head_num)
-    head_k = max(1, min(k_heads, cfg.head_num))
-    t_prompt, h = prompt_embeds.shape
+    The state is a pure pytree, so incremental decoding (streaming) can call
+    `generate_until` repeatedly with donated state — the cache stays
+    device-resident between chunks."""
+    head_k = max(1, min(int(inference_head_num), cfg.head_num))
+    t_prompt, _ = prompt_embeds.shape
     if cache_len_cap is None:
         cache_len_cap = t_prompt + max_tokens + head_k
     bb = cfg.backbone
 
     cache = qwen2.init_kv_cache(bb, 1, cache_len_cap, dtype=prompt_embeds.dtype)
-    # prefill: write prompt, read hidden at prompt_len-1
     hidden, cache = qwen2.forward_block_with_cache(
         params["backbone"], bb, prompt_embeds[None], cache, advance=prompt_len[None]
     )
-    last_hidden = hidden[0, prompt_len - 1]
-
-    tokens0 = jnp.full((max_tokens + head_k,), -1, jnp.int32)
-    state = dict(
+    return dict(
         rng=rng,
         cache=cache,
-        last_hidden=last_hidden,
-        tokens=tokens0,
+        last_hidden=hidden[0, prompt_len - 1],
+        tokens=jnp.full((max_tokens + head_k,), -1, jnp.int32),
         num=jnp.int32(0),
         steps=jnp.int32(0),
         finished=jnp.bool_(False),
     )
 
+
+def generate_until(
+    params: dict,
+    cfg: LLMConfig,
+    state: dict,
+    target_num: jnp.ndarray,  # scalar int32 — run until num >= target or done
+    min_len: jnp.ndarray,
+    max_len: jnp.ndarray,
+    sampling: SamplingParams,
+    *,
+    inference_head_num: int,
+) -> dict:
+    """Run group-decode steps until `target_num` tokens are available or
+    generation finishes.  Pass target_num == max_len for one-shot decoding;
+    smaller targets give streaming chunks."""
+    head_k = max(1, min(int(inference_head_num), cfg.head_num))
+    bb = cfg.backbone
+    emb_dtype = params["speech_embedding"].dtype
+
     def cond(s):
-        return ~s["finished"]
+        return (~s["finished"]) & (s["num"] < target_num)
 
     def body(s):
         rng, rng_step = jax.random.split(s["rng"])
@@ -339,9 +346,7 @@ def generate(
         finished = jnp.any(is_stop) | (num >= max_len) | (n_accept == 0)
 
         def continue_fn(cache):
-            emb = jnp.take(params["speech_embedding"], sampled, axis=0).astype(
-                prompt_embeds.dtype
-            )
+            emb = jnp.take(params["speech_embedding"], sampled, axis=0).astype(emb_dtype)
             hidden, cache = qwen2.forward_block_with_cache(
                 params["backbone"], bb, emb[None], cache,
                 advance=jnp.full((1,), head_k, jnp.int32),
@@ -357,7 +362,41 @@ def generate(
             num=num, steps=s["steps"] + 1, finished=finished,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def generate(
+    params: dict,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prompt_embeds: jnp.ndarray,  # (T_prompt, H) padded; true length below
+    prompt_len: jnp.ndarray,  # scalar int32
+    min_len: jnp.ndarray,  # scalar int32
+    max_len: jnp.ndarray,  # scalar int32 (runtime cap, <= max_tokens)
+    sampling: SamplingParams,
+    *,
+    inference_head_num: int,
+    max_tokens: int = 1024,
+    cache_len_cap: Optional[int] = None,
+) -> GenerateResult:
+    """Multi-head AR decode (llm_multi_head_v3.py:861-922), KV-cached.
+
+    Per step: one base-LLM forward over the K tokens accepted in the previous
+    step -> last hidden -> K MTP heads -> K sampled ids (all against the same
+    history snapshot) -> accept until the first stop id.  While no stop id is
+    drawn every sampled token is accepted, so running steps always commit
+    exactly K tokens; the final (stopping) group commits the tokens before
+    the stop id.  jit-able with static shapes throughout.
+    """
+    state = init_generate_state(
+        params, cfg, rng, prompt_embeds, prompt_len,
+        inference_head_num=inference_head_num, max_tokens=max_tokens,
+        cache_len_cap=cache_len_cap,
+    )
+    final = generate_until(
+        params, cfg, state, max_len, min_len, max_len, sampling,
+        inference_head_num=inference_head_num,
+    )
     return GenerateResult(
         tokens=final["tokens"][: max_tokens], num_tokens=final["num"], steps=final["steps"]
     )

@@ -4,11 +4,14 @@ Replaces the reference's per-GPU worker process + ModelManager
 (server/worker.py:25-137, infer_speech_model.py:40-230) with a single-process
 engine around jitted, shape-bucketed programs:
 
-  - LLM generate: one compilation per (prompt-bucket, head_num); decode loop
-    is a device-side while_loop (no host round trips per token).
-  - Flow: one compilation per token-count bucket (the XLA answer to the
-    reference's TensorRT shape-profile engine, SURVEY §2.12 item 4).
-  - HiFT: one compilation per mel-length bucket.
+  - Stage 1 (one jitted program per (text-bucket, prompt-bucket, heads)):
+    prompt embedding assembly + KV-cache prefill + the whole multi-head
+    decode while_loop.  No host round-trips per token.
+  - Stage 2 (one program per (token-bucket, prompt-mel-bucket)): speech
+    tokens -> flow 10-step CFM -> HiFT vocoder, fused — the mel never
+    leaves the device (the XLA answer to the reference's TRT engine +
+    separate vocoder launch, SURVEY §2.12 items 4-5).
+    Only the final waveform transfers to host.
 
 Metrics (TPS/RTF) follow the reference definitions
 (infer_speech_model.py:563-604): tps = tokens / llm_time,
@@ -20,7 +23,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from functools import partial
 from typing import Optional
 
 import jax
@@ -53,16 +55,18 @@ class SynthesisResult:
     audio: np.ndarray  # (T,) float32 at cfg.sample_rate
     speech_tokens: np.ndarray
     llm_time: float
-    flow_time: float
-    hift_time: float
+    synth_time: float  # fused flow+hift
     total_time: float
     tps: float
     rtf: float
     steps: int
+    # kept for logging parity with the reference's stage breakdown
+    flow_time: float = 0.0
+    hift_time: float = 0.0
 
 
 class Engine:
-    """Holds params + jit caches for the three-model pipeline."""
+    """Holds params + jit caches for the fused two-stage pipeline."""
 
     def __init__(
         self,
@@ -84,52 +88,89 @@ class Engine:
         self.token_buckets = token_buckets
         self.mel_buckets = mel_buckets
         self._gen_cache = {}
-        self._flow_cache = {}
-        self._hift_cache = {}
+        self._synth_cache = {}
         self._rng = jax.random.PRNGKey(int(time.time()))
+
+    # -- bucket helpers ------------------------------------------------------
+
+    def _bucket_prompt(self, n: int) -> int:
+        return _bucket(n, self.prompt_buckets)
+
+    def _bucket_token(self, n: int) -> int:
+        return _bucket(n, self.token_buckets)
+
+    def _bucket_mel(self, n: int) -> int:
+        return _bucket(n, self.mel_buckets)
 
     # -- jit-cached stages ---------------------------------------------------
 
-    def _generate_fn(self, prompt_bucket: int, head_num: int):
-        key = (prompt_bucket, head_num)
+    def _generate_fn(self, text_bucket: int, sp_bucket: int, head_num: int):
+        """Jitted: text tokens + prompt speech tokens -> GenerateResult."""
+        key = (text_bucket, sp_bucket, head_num)
         if key not in self._gen_cache:
             cfg = self.cfg.llm
+            cache_cap = 2 + text_bucket + sp_bucket + self.max_tokens + head_num
 
-            @partial(jax.jit, static_argnames=())
-            def fn(params, rng, prompt_embeds, prompt_len, min_len, max_len, sampling):
+            def fn(params, rng, text_tokens, text_len, sp_tokens, sp_len,
+                   min_len, max_len, sampling):
+                emb, plen = llm_model.build_inference_prompt(
+                    params, cfg, text_tokens, text_len, sp_tokens, sp_len
+                )
                 return llm_model.generate(
-                    params, cfg, rng, prompt_embeds, prompt_len, min_len, max_len,
-                    sampling, inference_head_num=head_num, max_tokens=self.max_tokens,
-                    cache_len_cap=prompt_bucket + self.max_tokens + head_num,
+                    params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                    inference_head_num=head_num, max_tokens=self.max_tokens,
+                    cache_len_cap=cache_cap,
                 )
 
-            self._gen_cache[key] = fn
+            self._gen_cache[key] = jax.jit(fn)
         return self._gen_cache[key]
 
-    def _flow_fn(self, token_bucket: int, prompt_mel_bucket: int):
-        key = (token_bucket, prompt_mel_bucket)
-        if key not in self._flow_cache:
-            cfg = self.cfg.flow
+    def _synth_fn(self, token_bucket: int, pm_bucket: int, sp_bucket: int):
+        """Jitted fused flow+hift: device token buffer -> waveform.
 
-            @jax.jit
-            def fn(params, token, token_valid, prompt_feat, prompt_mel_len, embedding):
-                return flow_model.inference(
-                    params, cfg, token, token_valid, prompt_feat, prompt_mel_len, embedding
+        tokens: (max_tokens+,) generated buffer (device-resident from stage 1)
+        num: scalar count; sp_tokens: (sp_bucket,) prompt speech tokens.
+        Returns wav (1, token_bucket * ratio * upsample)."""
+        key = (token_bucket, pm_bucket, sp_bucket)
+        if key not in self._synth_cache:
+            fcfg, hcfg = self.cfg.flow, self.cfg.hift
+            ratio = fcfg.token_mel_ratio
+            t_mel = token_bucket * ratio
+
+            def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
+                   prompt_mel, pm_len, embedding, rng):
+                pos = jnp.arange(token_bucket)
+                gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[0] - 1)
+                sp_idx = jnp.clip(pos, 0, max(sp_bucket - 1, 0))
+                if sp_bucket > 0:
+                    seq = jnp.where(pos < sp_len, sp_tokens[sp_idx], tokens[gen_idx])
+                else:
+                    seq = tokens[gen_idx]
+                n_all = sp_len + num
+                valid = pos < n_all
+
+                mel = flow_model.inference(
+                    flow_params, fcfg, seq[None], valid[None],
+                    prompt_mel, pm_len, embedding,
+                )  # (1, 80, t_mel) f32, includes prompt region
+
+                # drop the prompt-mel region with a dynamic-start slice
+                mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
+                mel_gen = jax.lax.dynamic_slice(
+                    mel_pad, (0, 0, pm_len), (1, 80, t_mel)
                 )
+                # edge-replicate past the valid end so the f0 convs near the
+                # boundary see plausible context instead of masked garbage
+                n_frames = num * ratio
+                frame = jnp.arange(t_mel)
+                src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
+                mel_gen = mel_gen[:, :, src]
 
-            self._flow_cache[key] = fn
-        return self._flow_cache[key]
+                wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
+                return wav, mel_gen
 
-    def _hift_fn(self, mel_bucket: int):
-        if mel_bucket not in self._hift_cache:
-            cfg = self.cfg.hift
-
-            @jax.jit
-            def fn(params, mel, rng):
-                return hift_model.inference(params, cfg, mel, rng)
-
-            self._hift_cache[mel_bucket] = fn
-        return self._hift_cache[mel_bucket]
+            self._synth_cache[key] = jax.jit(fn)
+        return self._synth_cache[key]
 
     # -- pipeline ------------------------------------------------------------
 
@@ -158,106 +199,101 @@ class Engine:
         sampling = sampling or cfg.tts_sampling
         head_num = inference_head_num or cfg.llm.inference_head_num
         rng = rng if rng is not None else self.next_rng()
-        prompt_speech_tokens = (
-            np.zeros((0,), np.int32) if prompt_speech_tokens is None else prompt_speech_tokens
+        sp_tokens = (
+            np.zeros((0,), np.int32)
+            if prompt_speech_tokens is None
+            else np.asarray(prompt_speech_tokens, np.int32)
         )
         if spk_embedding is None:
             spk_embedding = np.zeros((192,), np.float32)
 
-        # ---- LLM ----
-        lt = len(text_tokens)
-        lp = len(prompt_speech_tokens)
-        raw_len = 2 + lt + lp
-        pbucket = _bucket(raw_len, self.prompt_buckets)
-
-        # assemble prompt embeds at bucket size
-        text_pad = np.zeros((pbucket - 2 - lp,), np.int32)
+        # ---- stage 1: LLM ----
+        lt, lp = len(text_tokens), len(sp_tokens)
+        tbkt = _bucket(lt, self.prompt_buckets)
+        sbkt = _bucket(lp, self.prompt_buckets) if lp else 0
+        text_pad = np.zeros((tbkt,), np.int32)
         text_pad[:lt] = text_tokens
-        emb, plen = llm_model.build_inference_prompt(
-            self.llm_params, cfg.llm,
-            jnp.asarray(text_pad), jnp.int32(lt),
-            jnp.asarray(prompt_speech_tokens, jnp.int32), jnp.int32(lp),
-        )
+        sp_pad = np.zeros((sbkt,), np.int32)
+        sp_pad[:lp] = sp_tokens
+
         min_len = int(tts_text_len * min_token_text_ratio)
         max_len = min(int(tts_text_len * max_token_text_ratio), self.max_tokens)
-
         sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
+
         t0 = time.time()
-        gen = self._generate_fn(pbucket, head_num)
-        res = gen(self.llm_params, rng, emb, plen, jnp.int32(min_len), jnp.int32(max_len), sp)
-        n_tok = int(res.num_tokens)
+        gen = self._generate_fn(tbkt, sbkt, head_num)
+        res = gen(
+            self.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
+            jnp.asarray(sp_pad), jnp.int32(lp),
+            jnp.int32(min_len), jnp.int32(max_len), sp,
+        )
+        n_tok = int(res.num_tokens)  # sync point
         steps = int(res.steps)
-        tokens = np.asarray(res.tokens[:n_tok])
         llm_time = time.time() - t0
 
-        # ---- Flow ----
+        # ---- stage 2: fused flow + hift (tokens stay on device) ----
         t0 = time.time()
-        all_tokens = np.concatenate([np.asarray(prompt_speech_tokens, np.int32), tokens])
-        n_all = len(all_tokens)
-        tbucket = _bucket(max(n_all, 1), self.token_buckets)
-        tok_pad = np.zeros((1, tbucket), np.int32)
-        tok_pad[0, :n_all] = all_tokens
-        valid = np.zeros((1, tbucket), bool)
-        valid[0, :n_all] = True
-
+        n_all = lp + n_tok
+        tok_bkt = _bucket(max(n_all, 1), self.token_buckets)
         if prompt_mel is not None and len(prompt_mel) > 0:
             lm = len(prompt_mel)
             pm_bucket = _bucket(lm, self.mel_buckets)
             pm = np.zeros((1, pm_bucket, cfg.flow.output_size), np.float32)
             pm[0, :lm] = prompt_mel
-            prompt_mel_len = lm
+            pm_len = lm
         else:
             pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
-            pm_bucket, prompt_mel_len = 0, 0
+            pm_bucket, pm_len = 0, 0
 
-        flow_fn = self._flow_fn(tbucket, pm_bucket)
-        mel_full = flow_fn(
-            self.flow_params, jnp.asarray(tok_pad), jnp.asarray(valid),
-            jnp.asarray(pm), jnp.int32(prompt_mel_len),
-            jnp.asarray(spk_embedding, jnp.float32)[None],
+        synth = self._synth_fn(tok_bkt, pm_bucket, sbkt)
+        wav_dev, mel_dev = synth(
+            self.flow_params, self.hift_params, res.tokens, res.num_tokens,
+            jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
+            jnp.asarray(spk_embedding, jnp.float32)[None], rng,
         )
-        r = cfg.flow.token_mel_ratio
-        mel = np.asarray(mel_full)[:, :, prompt_mel_len : n_all * r]  # (1, 80, Tm)
-        flow_time = time.time() - t0
+        ratio = cfg.flow.token_mel_ratio
+        up = cfg.hift.upsample_scale
 
-        # speed adjustment by linear interp (infer_speech_model.py:586-587)
-        if speed != 1.0 and mel.shape[2] > 0:
+        if speed != 1.0:
+            # slow path: resample mel on host then re-vocode (rare;
+            # infer_speech_model.py:586-587)
+            mel = np.asarray(mel_dev)[:, :, : n_tok * ratio]
             new_t = max(1, int(mel.shape[2] / speed))
             src = np.linspace(0, mel.shape[2] - 1, new_t)
             lo = np.floor(src).astype(int)
             hi = np.minimum(lo + 1, mel.shape[2] - 1)
-            w = src - lo
-            mel = mel[:, :, lo] * (1 - w) + mel[:, :, hi] * w
-            mel = mel.astype(np.float32)
+            w = (src - lo).astype(np.float32)
+            mel = (mel[:, :, lo] * (1 - w) + mel[:, :, hi] * w).astype(np.float32)
+            mbkt = _bucket(mel.shape[2], self.mel_buckets)
+            mel_pad = np.concatenate(
+                [mel, np.repeat(mel[:, :, -1:], mbkt - mel.shape[2], axis=2)], axis=2
+            )
+            wav = np.asarray(
+                jax.jit(
+                    lambda p, m, r: hift_model.inference(p, cfg.hift, m, r)
+                )(self.hift_params, jnp.asarray(mel_pad), rng)
+            )[0, : mel.shape[2] * up]
+        else:
+            wav = np.asarray(wav_dev)[0, : n_tok * ratio * up]
+        synth_time = time.time() - t0
 
-        # ---- HiFT ----
-        t0 = time.time()
-        tm = mel.shape[2]
-        mbucket = _bucket(max(tm, 1), self.mel_buckets)
-        mel_pad = np.concatenate(
-            [mel, np.repeat(mel[:, :, -1:] if tm else np.zeros((1, 80, 1), np.float32),
-                            mbucket - tm, axis=2)], axis=2
-        ) if tm < mbucket else mel[:, :, :mbucket]
-        hift_fn = self._hift_fn(mbucket)
-        wav = hift_fn(self.hift_params, jnp.asarray(mel_pad), rng)
-        wav = np.asarray(wav)[0, : tm * cfg.hift.upsample_scale]
-        hift_time = time.time() - t0
-
+        tokens = np.asarray(res.tokens[:n_tok])
         total = time.time() - t_start
         dur = len(wav) / cfg.sample_rate if len(wav) else 1e-9
         result = SynthesisResult(
             audio=wav.astype(np.float32),
             speech_tokens=tokens,
             llm_time=llm_time,
-            flow_time=flow_time,
-            hift_time=hift_time,
+            synth_time=synth_time,
+            flow_time=synth_time,
+            hift_time=0.0,
             total_time=total,
             tps=n_tok / llm_time if llm_time > 0 else 0.0,
             rtf=total / dur,
             steps=steps,
         )
         logger.info(
-            "synth: %d tokens in %d steps, tps=%.1f rtf=%.4f (llm %.3fs flow %.3fs hift %.3fs)",
-            n_tok, steps, result.tps, result.rtf, llm_time, flow_time, hift_time,
+            "synth: %d tokens in %d steps, tps=%.1f rtf=%.4f (llm %.3fs flow+hift %.3fs)",
+            n_tok, steps, result.tps, result.rtf, llm_time, synth_time,
         )
         return result

@@ -1,0 +1,119 @@
+"""Flow (CFM) training CLI — data-parallel pjit over the device mesh.
+
+Replaces the reference's `accelerate launch train_speech_model.py --model
+flow` path; same structure as train_llm.py with the CFM MSE objective."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("hydravox.train_flow")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_data", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--model_ckpt", default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=2500)
+    p.add_argument("--max_steps", type=int, default=100_000)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--save_steps", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--resume", default=None)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import HydraVoxConfig, tiny_config
+    from ..models import flow as flow_model
+    from ..parallel.mesh import make_mesh
+    from ..utils import audio as audio_utils
+    from . import checkpoint as ckpt
+    from .data import FlowCollator, batch_iterator, load_hf_dataset
+    from .steps import OptimConfig, flow_train_step, init_state, make_optimizer
+
+    full_cfg = tiny_config() if args.tiny else HydraVoxConfig()
+    cfg = full_cfg.flow
+    mesh = make_mesh(model=1)
+    assert args.batch_size % mesh.shape["data"] == 0
+
+    rng = jax.random.PRNGKey(args.seed)
+    params = flow_model.init_params(rng, cfg, jnp.bfloat16)
+    if args.model_ckpt:
+        if args.model_ckpt.endswith(".npz"):
+            params = ckpt.load_params_npz(args.model_ckpt, params)
+        else:
+            from ..convert.torch_import import flow_from_state_dict, load_torch_pt
+
+            loaded = flow_from_state_dict(load_torch_pt(args.model_ckpt), cfg)
+            params = jax.tree.map(lambda a, t: jnp.asarray(a, t.dtype), loaded, params)
+
+    optimizer = make_optimizer(
+        OptimConfig(
+            learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+            total_steps=args.max_steps,
+        )
+    )
+    state = init_state(params, optimizer)
+    if args.resume:
+        state = ckpt.restore_train_state(args.resume, state)
+
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+    step_fn = jax.jit(
+        lambda s, b, r: flow_train_step(s, b, r, cfg, optimizer), donate_argnums=(0,)
+    )
+
+    m = full_cfg.mel
+
+    def mel_extract(wav, sr):
+        wav24 = np.asarray(
+            audio_utils.resample_linear(jnp.asarray(wav, jnp.float32)[None], sr, m.sample_rate)
+        )
+        mel = audio_utils.mel_spectrogram(
+            jnp.asarray(wav24), m.n_fft, m.num_mels, m.sample_rate, m.hop_size, m.win_size,
+            m.fmin, m.fmax,
+        )
+        return np.asarray(mel)[0].T
+
+    train_ds, _ = load_hf_dataset(args.train_data)
+    collator = FlowCollator(mel_extract_fn=mel_extract, token_mel_ratio=cfg.token_mel_ratio)
+    it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
+
+    t0 = time.time()
+    for batch in it:
+        rng, step_rng = jax.random.split(rng)
+        sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+        state, metrics = step_fn(state, sharded, step_rng)
+        step = int(state.step)
+        if step % args.logging_steps == 0:
+            logger.info(
+                "step %d loss %.5f gnorm %.3f (%.2f s/it)",
+                step, float(metrics["loss"]), float(metrics["grad_norm"]),
+                (time.time() - t0) / max(args.logging_steps, 1),
+            )
+            t0 = time.time()
+        if step % args.save_steps == 0 and step > 0:
+            ckpt.save_train_state(args.output_dir, jax.device_get(state), step)
+        if step >= args.max_steps:
+            break
+
+    ckpt.save_train_state(args.output_dir, jax.device_get(state), int(state.step))
+
+
+if __name__ == "__main__":
+    main()

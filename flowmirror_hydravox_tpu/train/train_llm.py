@@ -1,0 +1,140 @@
+"""LLM (MTP) training CLI — data-parallel pjit over the device mesh.
+
+Replaces the reference's `accelerate launch train_speech_model.py --model llm`
+path (train_speech_model.py:753-907): one process drives all local devices;
+DP gradients ride ICI via pjit instead of DeepSpeed/NCCL.
+
+Usage:
+  python -m flowmirror_hydravox_tpu.train.train_llm \
+      --train_data /path/to/hf_dataset --output_dir ckpts/llm \
+      --batch_size 8 --learning_rate 1e-4 --max_steps 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("hydravox.train_llm")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_data", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--model_ckpt", default=None, help="weights-only npz or torch .pt")
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--batch_size", type=int, default=8, help="global batch size")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=2500)
+    p.add_argument("--max_steps", type=int, default=100_000)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--save_steps", type=int, default=2000)
+    p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--auto_val_split", action="store_true")
+    p.add_argument("--val_split_ratio", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true", help="tiny config (tests)")
+    p.add_argument("--resume", default=None, help="orbax train-state dir")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import HydraVoxConfig, tiny_config
+    from ..frontend.tokenizer import get_tokenizer
+    from ..models import llm as llm_model
+    from ..parallel.mesh import make_mesh
+    from . import checkpoint as ckpt
+    from .data import LLMCollator, batch_iterator, load_hf_dataset
+    from .steps import OptimConfig, init_state, llm_train_step, make_optimizer
+
+    cfg = (tiny_config() if args.tiny else HydraVoxConfig()).llm
+    mesh = make_mesh(model=1)
+    n_data = mesh.shape["data"]
+    assert args.batch_size % n_data == 0, (
+        f"batch_size {args.batch_size} not divisible by {n_data} data shards"
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    params = llm_model.init_params(rng, cfg, jnp.bfloat16)
+    if args.model_ckpt:
+        if args.model_ckpt.endswith(".npz"):
+            params = ckpt.load_params_npz(args.model_ckpt, params)
+        else:
+            from ..convert.torch_import import llm_from_state_dict, load_torch_pt
+
+            sd = load_torch_pt(args.model_ckpt)
+            loaded = llm_from_state_dict(sd, cfg)
+            params = jax.tree.map(lambda a, t: jnp.asarray(a, t.dtype), loaded, params)
+        logger.info("loaded weights from %s", args.model_ckpt)
+
+    optimizer = make_optimizer(
+        OptimConfig(
+            learning_rate=args.learning_rate,
+            warmup_steps=args.warmup_steps,
+            total_steps=args.max_steps,
+        )
+    )
+    state = init_state(params, optimizer)
+    if args.resume:
+        state = ckpt.restore_train_state(args.resume, state)
+        logger.info("resumed at step %d", int(state.step))
+
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+
+    step_fn = jax.jit(
+        lambda s, b: llm_train_step(s, b, cfg, optimizer), donate_argnums=(0,)
+    )
+
+    train_ds, val_ds = load_hf_dataset(
+        args.train_data, args.val_split_ratio if args.auto_val_split else 0.0, args.seed
+    )
+    tokenizer = get_tokenizer(args.tokenizer_path)
+    collator = LLMCollator(tokenizer)
+    it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
+
+    t0 = time.time()
+    for batch in it:
+        sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+        state, metrics = step_fn(state, sharded)
+        step = int(state.step)
+        if step % args.logging_steps == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                "step %d loss %.4f acc %.4f gnorm %.3f (%.2f s/it)",
+                step, m["loss"], m["acc"], m["grad_norm"],
+                (time.time() - t0) / max(args.logging_steps, 1),
+            )
+            t0 = time.time()
+        if step % args.save_steps == 0 and step > 0:
+            ckpt.save_train_state(args.output_dir, jax.device_get(state), step)
+            logger.info("saved step %d", step)
+        if val_ds is not None and step % args.eval_steps == 0 and step > 0:
+            eval_losses = []
+            for vb in batch_iterator(val_ds, collator, args.batch_size, shuffle=False, epochs=1):
+                out = llm_model.forward_loss(
+                    state.params, cfg,
+                    jnp.asarray(vb["text_token"]), jnp.asarray(vb["text_len"]),
+                    jnp.asarray(vb["speech_token"]), jnp.asarray(vb["speech_len"]),
+                )
+                eval_losses.append(float(out["loss"]))
+            logger.info("eval step %d loss %.4f", step, float(np.mean(eval_losses)))
+        if step >= args.max_steps:
+            break
+
+    ckpt.save_train_state(args.output_dir, jax.device_get(state), int(state.step))
+    logger.info("done at step %d", int(state.step))
+
+
+if __name__ == "__main__":
+    main()

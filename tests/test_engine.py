@@ -1,0 +1,112 @@
+"""End-to-end engine + HTTP server tests (tiny config, random weights)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmirror_hydravox_tpu.config import tiny_config
+from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+from flowmirror_hydravox_tpu.models import flow, hift, llm
+from flowmirror_hydravox_tpu.runtime.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return Engine(
+        cfg,
+        llm.init_params(k1, cfg.llm, jnp.float32),
+        flow.init_params(k2, cfg.flow, jnp.float32),
+        hift.init_params(k3, cfg.hift, jnp.float32),
+        max_tokens=64,
+        prompt_buckets=(64, 128),
+        token_buckets=(64, 128),
+        mel_buckets=(128, 256),
+    )
+
+
+def test_synthesize_e2e(engine):
+    res = engine.synthesize(
+        text_tokens=np.arange(10, dtype=np.int32),
+        tts_text_len=10,
+        inference_head_num=2,
+        rng=jax.random.PRNGKey(0),
+    )
+    n_tok = len(res.speech_tokens)
+    assert n_tok >= 10 * 2 // 2  # >= min_len default 2x.. at least some tokens
+    # n_tok tokens at 25 Hz -> n_tok * token_mel_ratio mel frames * 480 samples
+    samples_per_token = engine.cfg.flow.token_mel_ratio * engine.cfg.hift.upsample_scale
+    assert res.audio.shape == (n_tok * samples_per_token,)
+    assert np.isfinite(res.audio).all()
+    assert res.tps > 0 and res.rtf > 0
+
+
+def test_synthesize_zero_shot_inputs(engine):
+    """Prompt tokens + prompt mel path (flow conditioning region sliced off)."""
+    res = engine.synthesize(
+        text_tokens=np.arange(8, dtype=np.int32),
+        tts_text_len=8,
+        inference_head_num=1,
+        prompt_speech_tokens=np.arange(6, dtype=np.int32) % 50,
+        prompt_mel=np.random.default_rng(0).standard_normal((12, 80)).astype(np.float32),
+        spk_embedding=np.random.default_rng(1).standard_normal(192).astype(np.float32),
+        rng=jax.random.PRNGKey(1),
+    )
+    samples_per_token = engine.cfg.flow.token_mel_ratio * engine.cfg.hift.upsample_scale
+    assert len(res.audio) == len(res.speech_tokens) * samples_per_token
+
+
+def test_speed_changes_length(engine):
+    kwargs = dict(
+        text_tokens=np.arange(8, dtype=np.int32), tts_text_len=8,
+        inference_head_num=1, rng=jax.random.PRNGKey(2),
+    )
+    normal = engine.synthesize(speed=1.0, **kwargs)
+    fast = engine.synthesize(speed=2.0, **kwargs)
+    # same rng -> same token count; fast audio should be about half as long
+    assert len(fast.audio) < len(normal.audio)
+
+
+def test_http_server_roundtrip(engine):
+    from flowmirror_hydravox_tpu.runtime.server import make_server
+
+    frontend = Frontend(engine.cfg)
+    frontend.add_speaker(
+        "demo",
+        SpeakerInfo(embedding=np.zeros(192, np.float32)),
+    )
+    server = make_server("127.0.0.1", 0, engine, frontend)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/v1/speakers", timeout=10) as r:
+            body = json.load(r)
+        assert body["success"] and body["data"]["speakers"] == ["demo"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/tts",
+            json.dumps({"text": "hi there world number 3",
+                        "speaker_id": "demo",
+                        "extra_params": {"inference_head_num": 1}}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.load(r)
+        assert body["success"], body
+        wav_bytes = base64.b64decode(body["data"]["audio_base64"])
+        with wave.open(io.BytesIO(wav_bytes)) as w:
+            assert w.getframerate() == engine.cfg.sample_rate
+            assert w.getnframes() > 0
+        assert body["data"]["duration"] > 0
+    finally:
+        server.shutdown()

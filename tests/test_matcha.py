@@ -1,0 +1,116 @@
+"""Matcha-TTS stack: MAS parity (native vs numpy vs reference semantics),
+encoder/decoder shapes, end-to-end synthesise, training losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmirror_hydravox_tpu.models.matcha import cfm, mas, model, text_encoder, vocoder
+from flowmirror_hydravox_tpu.models.matcha.decoder import MatchaDecoderConfig
+from flowmirror_hydravox_tpu.models.matcha.model import MatchaConfig
+from flowmirror_hydravox_tpu.models.matcha.text_encoder import MatchaEncoderConfig
+from flowmirror_hydravox_tpu.models.matcha.vocoder import HiFiGANConfig
+
+TINY = MatchaConfig(
+    encoder=MatchaEncoderConfig(n_vocab=40, n_feats=16, n_channels=32,
+                                filter_channels=64, filter_channels_dp=32,
+                                n_heads=2, n_layers=2),
+    decoder=MatchaDecoderConfig(in_feats=16, channels=(32, 32), attention_head_dim=8,
+                                num_heads=4, n_blocks=1, num_mid_blocks=1),
+    n_feats=16,
+)
+
+
+def test_mas_path_properties():
+    rng = np.random.default_rng(0)
+    b, tx, ty = 3, 5, 12
+    value = rng.standard_normal((b, tx, ty)).astype(np.float32)
+    mask = np.ones((b, tx, ty), np.float32)
+    path = mas.maximum_path(value, mask)
+    assert path.shape == (b, tx, ty)
+    # each mel frame assigned to exactly one token
+    np.testing.assert_array_equal(path.sum(axis=1), np.ones((b, ty)))
+    # monotonic non-decreasing token index over time
+    idx = path.argmax(axis=1)
+    assert (np.diff(idx, axis=1) >= 0).all()
+    # path starts at token 0 and ends at last token
+    assert (idx[:, 0] == 0).all() and (idx[:, -1] == tx - 1).all()
+
+
+def test_mas_native_matches_numpy():
+    rng = np.random.default_rng(1)
+    b, tx, ty = 2, 7, 20
+    value = rng.standard_normal((b, tx, ty)).astype(np.float32)
+    mask = np.zeros((b, tx, ty), np.float32)
+    mask[0, :5, :15] = 1
+    mask[1, :7, :20] = 1
+    native = mas._load_native()
+    numpy_paths = np.stack([
+        mas._maximum_path_numpy((value[i] * mask[i]).copy(), int(mask[i].sum(0)[0]),
+                                int(mask[i].sum(1)[0]))
+        for i in range(b)
+    ])
+    got = mas.maximum_path(value, mask)
+    if native is None:
+        pytest.skip("no native kernel (g++ unavailable)")
+    np.testing.assert_array_equal(got, numpy_paths)
+
+
+def test_mas_maximizes_score():
+    """DP result must beat a greedy monotonic path on total log-prior."""
+    rng = np.random.default_rng(2)
+    tx, ty = 4, 10
+    value = rng.standard_normal((1, tx, ty)).astype(np.float32)
+    mask = np.ones((1, tx, ty), np.float32)
+    path = mas.maximum_path(value.copy(), mask)[0]
+    best = (path * value[0]).sum()
+    # uniform split path
+    uniform = np.zeros((tx, ty))
+    for y in range(ty):
+        uniform[min(y * tx // ty, tx - 1), y] = 1
+    assert best >= (uniform * value[0]).sum() - 1e-4
+
+
+@pytest.fixture(scope="module")
+def params():
+    return model.init_params(jax.random.PRNGKey(0), TINY)
+
+
+def test_synthesise_shapes(params):
+    x = jnp.asarray([[1, 5, 9, 2, 0, 0]])
+    out = model.synthesise(params, TINY, jax.random.PRNGKey(1), x, jnp.asarray([4]),
+                           n_timesteps=2, max_mel_len=64)
+    assert out["mel"].shape == (1, TINY.n_feats, 64)
+    ml = int(out["mel_lengths"][0])
+    assert 1 <= ml <= 64
+    assert np.isfinite(np.asarray(out["mel"])).all()
+
+
+def test_forward_loss_and_grad(params):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray([[1, 5, 9, 2], [3, 7, 0, 0]])
+    xl = jnp.asarray([4, 2])
+    y = jnp.asarray(rng.standard_normal((2, TINY.n_feats, 24)), jnp.float32)
+    yl = jnp.asarray([24, 16])
+    attn = jnp.asarray(model.compute_alignment(params, TINY, np.asarray(x), np.asarray(xl),
+                                               np.asarray(y), np.asarray(yl)))
+    losses = model.forward_loss(params, TINY, jax.random.PRNGKey(2), x, xl, y, yl, attn)
+    for k in ("dur_loss", "prior_loss", "diff_loss"):
+        assert np.isfinite(float(losses[k])), k
+
+    g = jax.grad(
+        lambda p: model.forward_loss(p, TINY, jax.random.PRNGKey(2), x, xl, y, yl, attn)["loss"]
+    )(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(l ** 2) for l in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_vocoder_shapes():
+    cfg = HiFiGANConfig(in_channels=16, upsample_initial_channel=32)
+    p = vocoder.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 20))
+    wav = vocoder.forward(p, cfg, mel)
+    assert wav.shape == (1, 20 * cfg.hop_length)
+    w = np.asarray(wav)
+    assert np.isfinite(w).all() and np.abs(w).max() <= 1.0
