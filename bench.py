@@ -90,6 +90,33 @@ def main():
             "compile_s": round(compile_time, 1),
         }))
 
+    # TTFT: time to the first streamed ~1 s chunk at heads=4
+    from flowmirror_hydravox_tpu.runtime.streaming import StreamingSynthesizer
+
+    synth = StreamingSynthesizer(engine)
+    text = np.arange(text_len, dtype=np.int32) % 1000
+
+    def first_chunk_latency(rng):
+        t0 = time.time()
+        gen = synth.synthesize_stream(
+            text_tokens=text, tts_text_len=text_len, inference_head_num=4,
+            min_token_text_ratio=n_tokens / text_len,
+            max_token_text_ratio=n_tokens / text_len, rng=rng,
+        )
+        next(gen)
+        dt = time.time() - t0
+        for _ in gen:  # drain
+            pass
+        return dt
+
+    first_chunk_latency(jax.random.PRNGKey(7))  # warmup/compile
+    ttfts = [first_chunk_latency(jax.random.PRNGKey(200 + i)) for i in range(3)]
+    print(json.dumps({
+        "aux": True, "metric": "ttft_first_chunk_heads4",
+        "value": round(float(np.median(ttfts)) * 1000, 1), "unit": "ms",
+        "target_ms": 200,
+    }))
+
     r = aux[4]
     audio_dur = len(r.audio) / cfg.sample_rate
     rtf = r.total_time / audio_dur

@@ -1,0 +1,110 @@
+"""Process launcher (reference main.py:5-69 equivalent).
+
+The reference spawns separate uvicorn-API and Gradio-UI processes plus N
+GPU worker processes; TPU-natively everything lives in one process — the
+jitted Engine, the HTTP API, and the built-in web UI.
+
+Usage:
+  python -m flowmirror_hydravox_tpu --api-host 0.0.0.0 --api-port 8080 \
+      [--with-ui] [--model-dir /path/to/weights] [--tiny]
+
+--model-dir expects llm.pt/flow.pt/hift.pt (reference layout,
+infer_speech_model.py:59-98) or llm.npz/flow.npz/hift.npz; absent weights
+fall back to random init (serves structure/latency testing).
+Env vars honored for parity with server/worker.py:18-42: TTS_MODEL_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_or_init(model_dir, name, init_fn, convert_fn, template_dtype):
+    from .convert import torch_import
+    from .train.checkpoint import load_params_npz
+
+    params = init_fn()
+    if model_dir:
+        pt = os.path.join(model_dir, f"{name}.pt")
+        npz = os.path.join(model_dir, f"{name}.npz")
+        if os.path.exists(npz):
+            params = load_params_npz(npz, params)
+            logging.info("loaded %s", npz)
+        elif os.path.exists(pt):
+            loaded = convert_fn(torch_import.load_torch_pt(pt))
+            params = jax.tree.map(
+                lambda a, t: jnp.asarray(a, getattr(t, "dtype", template_dtype)),
+                loaded, params,
+            )
+            logging.info("loaded %s", pt)
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("flowmirror_hydravox_tpu")
+    p.add_argument("--api-host", default="0.0.0.0")
+    p.add_argument("--api-port", type=int, default=8080)
+    p.add_argument("--with-ui", action="store_true")
+    p.add_argument("--model-dir", default=os.environ.get("TTS_MODEL_DIR"))
+    p.add_argument("--tokenizer-path", default=None)
+    p.add_argument("--spk2info", default=None, help="speaker registry .pt")
+    p.add_argument("--tiny", action="store_true", help="tiny random config (smoke)")
+    p.add_argument("--max-tokens", type=int, default=1024)
+    p.add_argument("--compile-cache", default=".jax_cache")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.compile_cache:
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from .config import HydraVoxConfig, tiny_config
+    from .convert import torch_import
+    from .frontend.frontend import Frontend, SpeakerInfo
+    from .frontend.tokenizer import get_tokenizer
+    from .models import flow as flow_model
+    from .models import hift as hift_model
+    from .models import llm as llm_model
+    from .runtime.engine import Engine
+    from .runtime.server import serve
+
+    cfg = tiny_config() if args.tiny else HydraVoxConfig()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+
+    llm_params = load_or_init(
+        args.model_dir, "llm",
+        lambda: jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(k1),
+        lambda sd: torch_import.llm_from_state_dict(sd, cfg.llm), jnp.bfloat16,
+    )
+    flow_params = load_or_init(
+        args.model_dir, "flow",
+        lambda: jax.jit(lambda k: flow_model.init_params(k, cfg.flow, jnp.bfloat16))(k2),
+        lambda sd: torch_import.flow_from_state_dict(sd, cfg.flow), jnp.bfloat16,
+    )
+    hift_params = load_or_init(
+        args.model_dir, "hift",
+        lambda: jax.jit(lambda k: hift_model.init_params(k, cfg.hift, jnp.float32))(k3),
+        lambda sd: torch_import.hift_from_state_dict(sd, cfg.hift), jnp.float32,
+    )
+
+    engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=args.max_tokens)
+    frontend = Frontend(cfg, tokenizer=get_tokenizer(args.tokenizer_path))
+    if args.spk2info and os.path.exists(args.spk2info):
+        frontend.load_spk2info(args.spk2info)
+    if not frontend.available_speakers():
+        frontend.add_speaker(
+            "default", SpeakerInfo(embedding=np.zeros(192, np.float32))
+        )
+
+    serve(args.api_host, args.api_port, engine, frontend, with_ui=args.with_ui)
+
+
+if __name__ == "__main__":
+    main()

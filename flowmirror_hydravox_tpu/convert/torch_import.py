@@ -250,3 +250,52 @@ def hift_from_state_dict(sd: Dict[str, np.ndarray], cfg: HiFTConfig) -> dict:
         ],
         "conv_post": wn_conv("conv_post"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Matcha HiFi-GAN v1 vocoder (matcha/hifigan/models.py Generator:148-208)
+
+
+def hifigan_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """HiFi-GAN generator checkpoint -> models/matcha/vocoder.py params.
+    Accepts both bare generator state dicts and {'generator': ...} wrappers."""
+    if any(k.startswith("generator.") for k in sd):
+        sd = {k[len("generator."):]: v for k, v in sd.items() if k.startswith("generator.")}
+    n_up = len(cfg.upsample_rates)
+    nk = len(cfg.resblock_kernel_sizes)
+
+    def wn(base):
+        return {"w": merge_weight_norm(sd, base), "b": sd[base + ".bias"]}
+
+    return {
+        "conv_pre": wn("conv_pre"),
+        "ups": [wn(f"ups.{i}") for i in range(n_up)],
+        "resblocks": [
+            {
+                "convs1": [wn(f"resblocks.{i * nk + j}.convs1.{m}")
+                           for m in range(len(cfg.resblock_dilation_sizes[j]))],
+                "convs2": [wn(f"resblocks.{i * nk + j}.convs2.{m}")
+                           for m in range(len(cfg.resblock_dilation_sizes[j]))],
+            }
+            for i in range(n_up)
+            for j in range(nk)
+        ],
+        "conv_post": wn("conv_post"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Qwen2LM (CV2 single-head LM, llm_multi_head_v3.py:263-304)
+
+
+def qwen2lm_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Qwen2LM checkpoint -> models/llm_legacy.py param tree."""
+    return {
+        "backbone": qwen2_from_state_dict(sd, cfg.backbone, prefix="llm.model."),
+        "llm_embedding": sd["llm_embedding.weight"],
+        "speech_embedding": sd["speech_embedding.weight"],
+        "llm_decoder": {
+            "w": sd["llm_decoder.weight"].T,
+            "b": sd["llm_decoder.bias"],
+        },
+    }

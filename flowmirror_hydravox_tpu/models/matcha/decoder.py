@@ -26,7 +26,7 @@ from ..hift import conv_transpose1d
 
 @dataclasses.dataclass(frozen=True)
 class MatchaDecoderConfig:
-    in_feats: int = 80  # mel dim; estimator input = 2*in_feats (+ spk)
+    in_feats: int = 80  # mel dim; estimator input = 2*in_feats (+ spk + cond)
     channels: Tuple[int, ...] = (256, 256)
     attention_head_dim: int = 64
     num_heads: int = 4
@@ -34,6 +34,9 @@ class MatchaDecoderConfig:
     num_mid_blocks: int = 2
     spk_emb_dim: int = 0  # 0 for single speaker
     groups: int = 8
+    use_cond: bool = False  # extra mel-cond channel group (cosyvoice estimator)
+    causal: bool = False  # CausalConditionalDecoder (decoder.py:294-494)
+    static_chunk_size: int = 50  # streaming chunk attention (all resolutions)
 
 
 def mish(x):
@@ -59,8 +62,9 @@ def _block1d_init(key, dim, dim_out, dtype):
     }
 
 
-def _block1d(p, x, mask, groups):
-    h = conv1d(p["conv"], x * mask, padding=[(1, 1)])
+def _block1d(p, x, mask, groups, causal=False):
+    pad = [(2, 0)] if causal else [(1, 1)]
+    h = conv1d(p["conv"], x * mask, padding=pad)
     h = group_norm(h, p["gn_g"], p["gn_b"], groups)
     return mish(h) * mask
 
@@ -75,10 +79,10 @@ def _resnet_init(key, dim, dim_out, time_dim, dtype):
     }
 
 
-def _resnet(p, x, mask, t_emb, groups):
-    h = _block1d(p["block1"], x, mask, groups)
+def _resnet(p, x, mask, t_emb, groups, causal=False):
+    h = _block1d(p["block1"], x, mask, groups, causal)
     h = h + linear(p["time_mlp"], mish(t_emb))[:, :, None]
-    h = _block1d(p["block2"], h, mask, groups)
+    h = _block1d(p["block2"], h, mask, groups, causal)
     return h + conv1d(p["res_conv"], x * mask)
 
 
@@ -112,15 +116,15 @@ def _layer_norm_affine(x, g, b, eps=1e-5):
     return (((x - mean) * jax.lax.rsqrt(var + eps)).astype(dt)) * g + b
 
 
-def _tf_block(p, x, mask_1d, heads, dim_head):
-    """x: (B, T, C); mask_1d: (B, T) bool."""
+def _tf_block(p, x, attn_mask, heads, dim_head):
+    """x: (B, T, C); attn_mask: (B, T, T) or (B, 1, T) bool."""
     b, t, c = x.shape
     h = _layer_norm_affine(x, p["norm1_g"], p["norm1_b"])
     q = (h @ p["to_q"]["w"]).reshape(b, t, heads, dim_head)
     k = (h @ p["to_k"]["w"]).reshape(b, t, heads, dim_head)
     v = (h @ p["to_v"]["w"]).reshape(b, t, heads, dim_head)
     scores = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * dim_head ** -0.5
-    scores = jnp.where(mask_1d[:, None, None, :], scores, -1e9)
+    scores = jnp.where(attn_mask[:, None, :, :], scores, -1e9)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     attn = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, heads * dim_head)
     x = x + linear(p["to_out"], attn)
@@ -134,7 +138,7 @@ def _tf_block(p, x, mask_1d, heads, dim_head):
 
 def init_params(rng: jax.Array, cfg: MatchaDecoderConfig, dtype=jnp.float32) -> dict:
     keys = iter(jax.random.split(rng, 64))
-    in_ch = 2 * cfg.in_feats + cfg.spk_emb_dim
+    in_ch = (3 if cfg.use_cond else 2) * cfg.in_feats + cfg.spk_emb_dim
     time_dim = cfg.channels[0] * 4
     heads, hd = cfg.num_heads, cfg.attention_head_dim
     tf_dim = lambda ch: _tf_block_init(next(keys), ch, 4 * ch, heads, hd, dtype)
@@ -192,6 +196,17 @@ def init_params(rng: jax.Array, cfg: MatchaDecoderConfig, dtype=jnp.float32) -> 
     }
 
 
+def _attn_mask_for(mask, streaming, chunk):
+    """mask: (B, 1, T) -> (B, T, T) bool: full over valid, or chunked."""
+    valid = mask[:, 0, :] > 0
+    m = valid[:, None, :] & valid[:, :, None]
+    if streaming and chunk > 0:
+        t = mask.shape[2]
+        idx = jnp.arange(t)
+        m = m & ((idx[None, :] // chunk) <= (idx[:, None] // chunk))[None]
+    return m
+
+
 def forward(
     params: dict,
     cfg: MatchaDecoderConfig,
@@ -200,9 +215,11 @@ def forward(
     mu: jnp.ndarray,  # (B, n_feats, T)
     t: jnp.ndarray,  # (B,)
     spks: Optional[jnp.ndarray] = None,
+    cond: Optional[jnp.ndarray] = None,
+    streaming: bool = False,
 ) -> jnp.ndarray:
-    """Velocity estimate (decoder.py:363-443)."""
-    in_ch = 2 * cfg.in_feats + cfg.spk_emb_dim
+    """Velocity estimate (decoder.py:363-443; causal/chunked 420-494)."""
+    in_ch = (3 if cfg.use_cond else 2) * cfg.in_feats + cfg.spk_emb_dim
     # SinusoidalPosEmb(in_ch, scale=1000)
     half = in_ch // 2
     scale_f = math.log(10000) / (half - 1)
@@ -217,21 +234,26 @@ def forward(
             [h, jnp.broadcast_to(spks[:, :, None], (h.shape[0], cfg.spk_emb_dim, h.shape[2]))],
             axis=1,
         )
+    if cfg.use_cond:
+        h = jnp.concatenate(
+            [h, cond if cond is not None else jnp.zeros_like(x)], axis=1
+        )
 
     heads, hd = cfg.num_heads, cfg.attention_head_dim
     hiddens, masks = [], [mask]
     n_down = len(params["down"])
     for i_blk, blk in enumerate(params["down"]):
         m = masks[-1]
-        h = _resnet(blk["resnet"], h, m, t_emb, cfg.groups)
-        hm = m[:, 0, :] > 0
+        h = _resnet(blk["resnet"], h, m, t_emb, cfg.groups, cfg.causal)
+        hm = _attn_mask_for(m, streaming, cfg.static_chunk_size)
         ht = jnp.swapaxes(h, 1, 2)
         for tf in blk["tf"]:
             ht = _tf_block(tf, ht, hm, heads, hd)
         h = jnp.swapaxes(ht, 1, 2)
         hiddens.append(h)
         if i_blk == n_down - 1:
-            h = conv1d(blk["down"], h * m, padding=[(1, 1)])
+            pad = [(2, 0)] if cfg.causal else [(1, 1)]
+            h = conv1d(blk["down"], h * m, padding=pad)
             masks.append(m)
         else:
             h = jax.lax.conv_general_dilated(
@@ -243,8 +265,8 @@ def forward(
     masks = masks[:-1]
     m = masks[-1]
     for blk in params["mid"]:
-        h = _resnet(blk["resnet"], h, m, t_emb, cfg.groups)
-        hm = m[:, 0, :] > 0
+        h = _resnet(blk["resnet"], h, m, t_emb, cfg.groups, cfg.causal)
+        hm = _attn_mask_for(m, streaming, cfg.static_chunk_size)
         ht = jnp.swapaxes(h, 1, 2)
         for tf in blk["tf"]:
             ht = _tf_block(tf, ht, hm, heads, hd)
@@ -254,17 +276,21 @@ def forward(
     for i_blk, blk in enumerate(params["up"]):
         m = masks.pop()
         skip = hiddens.pop()
-        h = _resnet(blk["resnet"], jnp.concatenate([h, skip], axis=1), m, t_emb, cfg.groups)
-        hm = m[:, 0, :] > 0
+        h = _resnet(
+            blk["resnet"], jnp.concatenate([h[:, :, : skip.shape[2]], skip], axis=1),
+            m, t_emb, cfg.groups, cfg.causal,
+        )
+        hm = _attn_mask_for(m, streaming, cfg.static_chunk_size)
         ht = jnp.swapaxes(h, 1, 2)
         for tf in blk["tf"]:
             ht = _tf_block(tf, ht, hm, heads, hd)
         h = jnp.swapaxes(ht, 1, 2)
         if i_blk == n_up - 1:
-            h = conv1d(blk["up"], h * m, padding=[(1, 1)])
+            pad = [(2, 0)] if cfg.causal else [(1, 1)]
+            h = conv1d(blk["up"], h * m, padding=pad)
         else:
             h = conv_transpose1d(blk["up"], h * m, 2, 1)
 
-    h = _block1d(params["final_block"], h, m, cfg.groups)
+    h = _block1d(params["final_block"], h, m, cfg.groups, cfg.causal)
     out = conv1d(params["final_proj"], h * m)
     return out * mask

@@ -49,9 +49,12 @@ class TTSService:
     text normalization, error capture into the result payload."""
 
     def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0):
+        from .profiling import MetricsAggregator
+
         self.engine = engine
         self.frontend = frontend
         self.timeout = request_timeout
+        self.metrics = MetricsAggregator()
         self.tasks: "queue.Queue" = queue.Queue()
         self.results: Dict[str, Any] = {}
         self.results_lock = threading.Lock()
@@ -90,9 +93,7 @@ class TTSService:
         speed = float(extra.get("speed", 1.0))
 
         if kind == "tts":
-            feats_list = []
-            for segment in self.frontend.text_normalize(task["text"], split=True):
-                feats_list.append(self.frontend.frontend_sft(segment, task["speaker_id"]))
+            return self._process_tts_segmented(task, sampling, head_num, speed)
         elif kind == "zero_shot":
             wav, sr = task["prompt_audio"], task["prompt_sample_rate"]
             norm_prompt = self.frontend.text_normalize(task["prompt_text"], split=False)[0]
@@ -105,19 +106,56 @@ class TTSService:
 
         chunks = []
         for feats in feats_list:
-            res = self.engine.synthesize(
-                text_tokens=feats["text_tokens"],
-                tts_text_len=feats["tts_text_len"],
-                sampling=sampling,
-                inference_head_num=head_num,
-                prompt_speech_tokens=feats.get("prompt_speech_tokens"),
-                prompt_mel=feats.get("prompt_mel"),
-                spk_embedding=feats.get("spk_embedding"),
-                speed=speed,
-            )
+            res = self._synthesize_one(feats, sampling, head_num, speed)
             chunks.append(res.audio)
         audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
         return {"output_audio": audio, "sample_rate": self.engine.cfg.sample_rate}
+
+    def _process_tts_segmented(self, task: dict, sampling, head_num, speed) -> dict:
+        """Long-text chunked synthesis (infer_speech_model.py:357-455):
+        punctuation segmentation, random 50-150 ms inter-segment pauses, and
+        the rolling last-segment-as-zero-shot-prompt continuity mode."""
+        import random as _random
+
+        segments = self.frontend.text_normalize(task["text"], split=True)
+        last_prompt = bool(task.get("last_prompt", False))
+        sr = self.engine.cfg.sample_rate
+
+        chunks = []
+        prev: dict = {}
+        for i, segment in enumerate(segments):
+            feats = self.frontend.frontend_sft(segment, task["speaker_id"])
+            if last_prompt and prev:
+                feats = {**feats, **prev}
+            res = self._synthesize_one(feats, sampling, head_num, speed)
+            chunks.append(res.audio)
+            if i < len(segments) - 1:
+                pause = _random.uniform(0.05, 0.15)  # 50-150 ms
+                chunks.append(np.zeros(int(pause * sr), np.float32))
+            if last_prompt:
+                # roll the fresh segment in as the next zero-shot prompt
+                mel = self.frontend.extract_mel(res.audio, sr)
+                n = min(len(res.speech_tokens), mel.shape[0] // 2)
+                prev = {
+                    "prompt_speech_tokens": res.speech_tokens[:n],
+                    "prompt_mel": mel[: 2 * n],
+                }
+        audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        return {"output_audio": audio, "sample_rate": sr}
+
+    def _synthesize_one(self, feats, sampling, head_num, speed):
+        res = self.engine.synthesize(
+            text_tokens=feats["text_tokens"],
+            tts_text_len=feats["tts_text_len"],
+            sampling=sampling,
+            inference_head_num=head_num,
+            prompt_speech_tokens=feats.get("prompt_speech_tokens"),
+            prompt_mel=feats.get("prompt_mel"),
+            spk_embedding=feats.get("spk_embedding"),
+            speed=speed,
+        )
+        self.metrics.record(res)
+        return res
 
     def submit(self, task: dict) -> str:
         tid = str(uuid.uuid4())
@@ -161,10 +199,40 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/api/v1/speakers":
             speakers = self.service.frontend.available_speakers()
             self._send(200, _response(True, "ok", data={"speakers": speakers}))
+        elif self.path.startswith("/api/v1/training/status/"):
+            from .training_manager import training_manager
+
+            tid = self.path.rsplit("/", 1)[1]
+            status = training_manager.get_training_status(tid)
+            if status.get("success"):
+                self._send(200, _response(True, "ok", data=status))
+            else:
+                self._send(404, _response(False, "unknown training", error=status.get("error")))
+        elif self.path == "/api/v1/metrics":
+            self._send(200, _response(True, "ok", data=self.service.metrics.summary()))
+        elif self.path == "/api/v1/training/list":
+            from .training_manager import training_manager
+
+            self._send(200, _response(
+                True, "ok", data={"trainings": training_manager.list_trainings()}
+            ))
         elif self.path in ("/health", "/"):
-            self._send(200, {"status": "ok"})
+            if self.path == "/" and getattr(self.service, "serve_ui", False):
+                self._send_ui()
+            else:
+                self._send(200, {"status": "ok"})
         else:
             self._send(404, _response(False, "not found", error="not found"))
+
+    def _send_ui(self):
+        from .webui import INDEX_HTML
+
+        body = INDEX_HTML.encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):
         try:
@@ -181,6 +249,26 @@ class _Handler(BaseHTTPRequestHandler):
                 self._handle_zero_shot(body)
             elif self.path == "/api/v1/load_pt":
                 self._handle_load_pt(body)
+            elif self.path == "/api/v1/training/start":
+                from .training_manager import training_manager
+
+                result = training_manager.start_training(body)
+                code = 200 if result.get("success") else 400
+                self._send(code, _response(
+                    result.get("success", False),
+                    "training started" if result.get("success") else "failed",
+                    data=result if result.get("success") else None,
+                    error=result.get("error"),
+                ))
+            elif self.path.startswith("/api/v1/training/stop/"):
+                from .training_manager import training_manager
+
+                tid = self.path.rsplit("/", 1)[1]
+                result = training_manager.stop_training(tid)
+                code = 200 if result.get("success") else 404
+                self._send(code, _response(
+                    result.get("success", False), "stopped", error=result.get("error")
+                ))
             else:
                 self._send(404, _response(False, "not found", error="not found"))
         except TimeoutError:
@@ -209,6 +297,7 @@ class _Handler(BaseHTTPRequestHandler):
             "type": "tts",
             "text": body.get("text", ""),
             "speaker_id": body.get("speaker_id"),
+            "last_prompt": body.get("last_prompt", False),
             "extra_params": extra,
         })
         self._finish_audio(self.service.wait(tid))
@@ -260,13 +349,16 @@ def _cast_like(new_params, old_params):
     )
 
 
-def make_server(host: str, port: int, engine: Engine, frontend) -> ThreadingHTTPServer:
+def make_server(
+    host: str, port: int, engine: Engine, frontend, with_ui: bool = False
+) -> ThreadingHTTPServer:
     service = TTSService(engine, frontend)
+    service.serve_ui = with_ui
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve(host: str, port: int, engine: Engine, frontend):
-    server = make_server(host, port, engine, frontend)
-    logger.info("serving on %s:%d", host, port)
+def serve(host: str, port: int, engine: Engine, frontend, with_ui: bool = False):
+    server = make_server(host, port, engine, frontend, with_ui=with_ui)
+    logger.info("serving on %s:%d (ui=%s)", host, port, with_ui)
     server.serve_forever()

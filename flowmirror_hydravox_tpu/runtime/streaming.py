@@ -149,6 +149,9 @@ class StreamingSynthesizer:
         max_len = jnp.int32(max_len_i)
         sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
 
+        # gen_until donates its state (which carries this rng) — keep an
+        # independent stream for the vocoder noise
+        rng, hift_rng = jax.random.split(rng)
         state = llm_model.init_generate_state(
             engine.llm_params, cfg.llm, rng, emb, plen,
             inference_head_num=head_num, max_tokens=engine.max_tokens,
@@ -183,7 +186,7 @@ class StreamingSynthesizer:
                 chunk_tokens = produced[: token_offset + this_hop + la]
                 wav, hift_cache = self._token2wav(
                     chunk_tokens, prompt_speech_tokens, prompt_mel, spk_embedding,
-                    token_offset, rng, finalize=False, hift_cache=hift_cache,
+                    token_offset, hift_rng, finalize=False, hift_cache=hift_cache,
                 )
                 token_offset += this_hop
                 yield wav
@@ -194,7 +197,7 @@ class StreamingSynthesizer:
         # final flush with all tokens
         wav, _ = self._token2wav(
             produced, prompt_speech_tokens, prompt_mel, spk_embedding,
-            token_offset, rng, finalize=True, hift_cache=hift_cache,
+            token_offset, hift_rng, finalize=True, hift_cache=hift_cache,
         )
         yield wav
 

@@ -40,21 +40,47 @@ class OptimConfig:
     total_steps: int = 200_000
 
 
-def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    if cfg.schedule == "warmup_cosine":
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
-        )
-    else:
-        # WeNet WarmupLR (scheduler.py:27): lr * min(step^-0.5, step * warmup^-1.5) * warmup^0.5
-        def sched(step):
-            s = jnp.maximum(step.astype(jnp.float32), 1.0)
-            w = float(cfg.warmup_steps)
-            return cfg.learning_rate * (w ** 0.5) * jnp.minimum(s ** -0.5, s * w ** -1.5)
+def make_schedule(cfg: OptimConfig):
+    """LR schedule family (reference cosyvoice/utils/scheduler.py):
+    warmuplr (WarmupLR:27), noam/noamhold (NoamHoldAnnealing:623),
+    constant (ConstantLR:719), warmup_cosine (HF-Trainer default path)."""
+    lr = cfg.learning_rate
+    # clamp warmup so short runs (e.g. smoke trainings) stay valid
+    warmup = max(min(cfg.warmup_steps, cfg.total_steps // 2), 1)
+    w = float(warmup)
 
+    if cfg.schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, max(cfg.total_steps, warmup + 1)
+        )
+    if cfg.schedule == "constant":
+        return lambda step: jnp.full((), lr)
+    if cfg.schedule == "warmuplr":
+        # lr * warmup^0.5 * min(step^-0.5, step * warmup^-1.5)
+        def warmuplr(step):
+            s = jnp.maximum(step.astype(jnp.float32), 1.0)
+            return lr * (w ** 0.5) * jnp.minimum(s ** -0.5, s * w ** -1.5)
+
+        return warmuplr
+    if cfg.schedule in ("noam", "noamhold"):
+        # NoamHoldAnnealing with hold = 10% of total after warmup, decay 0.5
+        hold = 0.1 * cfg.total_steps if cfg.schedule == "noamhold" else 0.0
+
+        def noam(step):
+            s = jnp.maximum(step.astype(jnp.float32), 1.0)
+            warm = lr * s / w
+            anneal_start = w + hold
+            decay = lr * (jnp.maximum(s, anneal_start) / anneal_start) ** -0.5
+            return jnp.where(s <= w, warm, jnp.where(s <= anneal_start, lr, decay))
+
+        return noam
+    raise ValueError(f"unknown schedule {cfg.schedule}")
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(sched, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
+        optax.adamw(make_schedule(cfg), b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
     )
 
 

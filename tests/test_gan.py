@@ -1,0 +1,76 @@
+"""GAN vocoder training: discriminator shapes, loss semantics, joint step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmirror_hydravox_tpu.config import tiny_config
+from flowmirror_hydravox_tpu.models import discriminator as disc
+from flowmirror_hydravox_tpu.models import hift
+from flowmirror_hydravox_tpu.train import gan
+from flowmirror_hydravox_tpu.train.steps import OptimConfig, init_state, make_optimizer
+
+HIFT_CFG = tiny_config().hift
+
+
+def test_discriminator_forward():
+    p = disc.init_params(jax.random.PRNGKey(0))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, 4800)) * 0.1
+    scores, fmaps = disc.forward(p, wav)
+    assert len(scores) == len(disc.PERIODS) + len(disc.SPEC_RESOLUTIONS)
+    assert len(fmaps) == len(scores)
+    for s in scores:
+        assert s.shape[0] == 2 and np.isfinite(np.asarray(s)).all()
+
+
+def test_lsgan_losses():
+    real = [jnp.ones((2, 10))]
+    fake = [jnp.zeros((2, 10))]
+    # perfect discriminator -> zero loss
+    assert float(gan.discriminator_loss(real, fake)) == 0.0
+    # generator wants fake -> 1
+    assert float(gan.generator_adv_loss([jnp.ones((2, 10))])) == 0.0
+    assert float(gan.generator_adv_loss([jnp.zeros((2, 10))])) == 1.0
+
+
+def test_feature_and_mel_losses():
+    f_a = [[jnp.ones((1, 2, 3, 4))]]
+    f_b = [[jnp.zeros((1, 2, 3, 4))]]
+    assert float(gan.feature_loss(f_a, f_b)) == pytest.approx(2.0)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (1, 4800)) * 0.1
+    assert float(gan.multi_mel_loss(wav, wav, 24000)) == 0.0
+    assert float(gan.multi_mel_loss(wav, wav * 0.5, 24000)) > 0.0
+
+
+def test_gan_train_step_updates_both():
+    t_mel = 8
+    gen_params = hift.init_params(jax.random.PRNGKey(0), HIFT_CFG, jnp.float32)
+    disc_params = disc.init_params(jax.random.PRNGKey(1))
+    gen_opt = make_optimizer(OptimConfig(learning_rate=1e-4, warmup_steps=1, total_steps=10))
+    disc_opt = make_optimizer(OptimConfig(learning_rate=1e-4, warmup_steps=1, total_steps=10))
+    gen_state = init_state(gen_params, gen_opt)
+    disc_state = init_state(disc_params, disc_opt)
+
+    rng = jax.random.PRNGKey(2)
+    batch = {
+        "speech_feat": jax.random.normal(rng, (1, t_mel, 80)) * 0.3,
+        "speech": jax.random.normal(rng, (1, t_mel * HIFT_CFG.upsample_scale)) * 0.1,
+        "pitch_feat": jnp.abs(jax.random.normal(rng, (1, t_mel))) * 100,
+    }
+    # two steps: the warmup schedule gives lr=0 at step 0
+    new_gen, new_disc, metrics = gan.gan_train_step(
+        gen_state, disc_state, batch, rng, HIFT_CFG, gen_opt, disc_opt
+    )
+    new_gen, new_disc, metrics = gan.gan_train_step(
+        new_gen, new_disc, batch, rng, HIFT_CFG, gen_opt, disc_opt
+    )
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert np.isfinite(float(metrics["disc_loss"]))
+    assert np.isfinite(float(metrics["gen_grad_norm"]))
+    # both models actually moved
+    dg = float(jnp.max(jnp.abs(new_gen.params["conv_pre"]["w"] - gen_params["conv_pre"]["w"])))
+    dd = float(jnp.max(jnp.abs(
+        new_disc.params["mpd"][0]["convs"][0]["w"] - disc_params["mpd"][0]["convs"][0]["w"]
+    )))
+    assert dg > 0 and dd > 0
