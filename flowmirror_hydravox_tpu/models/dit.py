@@ -195,8 +195,13 @@ def forward(
     spks: jnp.ndarray,  # (B, spk_dim)
     cond: jnp.ndarray,  # (B, mel_dim, T) prompt-mel conditioning
     streaming: bool = False,
+    unroll: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Velocity estimate, (B, mel_dim, T). Mirrors DiT.forward (dit.py:145-176)."""
+    """Velocity estimate, (B, mel_dim, T). Mirrors DiT.forward (dit.py:145-176).
+
+    `unroll` defaults to True on TPU: the axon backend miscompiles bf16 scan
+    *backward* (see models/qwen2.py forward docstring); inference-only
+    callers may pass unroll=False for faster compiles."""
     x = jnp.swapaxes(x, 1, 2)
     mu = jnp.swapaxes(mu, 1, 2)
     cond = jnp.swapaxes(cond, 1, 2)
@@ -219,10 +224,18 @@ def forward(
         attn = attn & (kc <= qc)[None]
     mask_bias = jnp.where(attn, 0.0, NEG_INF).astype(jnp.float32)
 
+    if unroll is None:
+        unroll = jax.default_backend() == "tpu"
+
     def body(hh, block):
         return _dit_block(block, hh, t_emb, mask_bias, cos, sin, cfg.heads, cfg.dim_head), None
 
-    h, _ = jax.lax.scan(body, h, params["blocks"])
+    if unroll:
+        for i in range(cfg.depth):
+            block_i = jax.tree.map(lambda a: a[i], params["blocks"])
+            h, _ = jax.checkpoint(body)(h, block_i)
+    else:
+        h, _ = jax.lax.scan(body, h, params["blocks"])
 
     mod = linear(params["norm_out_linear"], jax.nn.silu(t_emb))
     scale, shift = jnp.split(mod, 2, axis=-1)  # note: scale first (modules.py:262)

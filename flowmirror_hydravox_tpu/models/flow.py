@@ -133,7 +133,7 @@ def solve_euler(
         t_in = jnp.full((2 * b,), t, jnp.float32)
         v = dit.forward(
             params["estimator"], cfg.estimator, x_in, mask2, mu2, t_in, spks2, cond2,
-            streaming=streaming,
+            streaming=streaming, unroll=False,  # inference-only: scan is safe + compiles fast
         ).astype(jnp.float32)
         v_cond, v_uncond = v[:b], v[b:]
         dphi = (1.0 + cfg_rate) * v_cond - cfg_rate * v_uncond

@@ -109,10 +109,20 @@ def forward(
     cfg: Qwen2Config,
     inputs_embeds: jnp.ndarray,  # (B, T, H)
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid lengths (right padding)
+    unroll: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Full causal forward (training / no-cache prefill). Returns final hidden
     states after the last-layer norm, (B, T, H) — the reference feeds
-    `hidden_states[-1]` to its decoders (llm_multi_head_v3.py:246)."""
+    `hidden_states[-1]` to its decoders (llm_multi_head_v3.py:246).
+
+    `unroll`: run the layer stack as an unrolled Python loop instead of
+    `lax.scan`.  Default: unrolled on TPU, scanned elsewhere — the axon TPU
+    backend miscompiles the *backward* of bf16 scans (NaN grads with finite
+    forward; verified scan-vs-identical-loop Aug 2026), and training paths go
+    through this function.  The decode path (forward_block_with_cache) keeps
+    its scan: it is forward-only and compile-time matters there."""
+    if unroll is None:
+        unroll = jax.default_backend() == "tpu"
     b, t, _ = inputs_embeds.shape
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -130,7 +140,13 @@ def forward(
         x = x + _mlp_block(layer, mlp_in)
         return x, None
 
-    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    if unroll:
+        x = inputs_embeds
+        for i in range(cfg.num_layers):
+            layer_i = jax.tree.map(lambda a: a[i], params["layers"])
+            x, _ = jax.checkpoint(body)(x, layer_i)
+    else:
+        x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return _rms_norm(x, params["norm"], cfg.rms_norm_eps)
 
 
