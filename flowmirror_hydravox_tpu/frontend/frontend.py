@@ -162,6 +162,57 @@ class Frontend:
     def available_speakers(self) -> List[str]:
         return sorted(self.spk2info.keys())
 
+    def add_speaker_from_audio(
+        self, spk_id: str, wav: np.ndarray, sample_rate: int,
+        prompt_text: Optional[str] = None,
+    ):
+        """Register a speaker from reference audio: embedding + zero-shot
+        prompt features (speaker_manage.py:268-407 equivalent)."""
+        tokens = self.extract_speech_tokens(wav, sample_rate)
+        mel = self.extract_mel(wav, sample_rate)
+        n = min(len(tokens), mel.shape[0] // 2)
+        self.spk2info[spk_id] = SpeakerInfo(
+            embedding=self.extract_spk_embedding(wav, sample_rate),
+            prompt_text=(
+                self.extract_text_tokens(prompt_text) if prompt_text else None
+            ),
+            prompt_speech_tokens=tokens[:n],
+            prompt_mel=mel[: 2 * n],
+        )
+
+    def remove_speaker(self, spk_id: str) -> bool:
+        return self.spk2info.pop(spk_id, None) is not None
+
+    def compute_mean_embedding(self, wavs, sample_rate: int) -> np.ndarray:
+        """Mean speaker embedding over several clips
+        (speaker_manage.py:191 _compute_mean_embedding_from_dataset)."""
+        embs = [self.extract_spk_embedding(w, sample_rate) for w in wavs]
+        return np.mean(np.stack(embs), axis=0)
+
+    def save_spk2info(self, path: str):
+        """Persist the registry as npz (spk2info.pt equivalent)."""
+        flat = {}
+        for spk, info in self.spk2info.items():
+            flat[f"{spk}::embedding"] = info.embedding
+            if info.prompt_speech_tokens is not None:
+                flat[f"{spk}::prompt_speech_tokens"] = info.prompt_speech_tokens
+            if info.prompt_mel is not None:
+                flat[f"{spk}::prompt_mel"] = info.prompt_mel
+        np.savez(path, **flat)
+
+    def load_spk2info_npz(self, path: str):
+        data = dict(np.load(path))
+        by_spk: Dict[str, dict] = {}
+        for key, val in data.items():
+            spk, field = key.split("::", 1)
+            by_spk.setdefault(spk, {})[field] = val
+        for spk, fields in by_spk.items():
+            self.spk2info[spk] = SpeakerInfo(
+                embedding=fields["embedding"],
+                prompt_speech_tokens=fields.get("prompt_speech_tokens"),
+                prompt_mel=fields.get("prompt_mel"),
+            )
+
     def load_spk2info(self, path: str):
         """Load a reference spk2info.pt registry (infer_speech_model.py:145-168)."""
         import torch

@@ -249,6 +249,23 @@ class _Handler(BaseHTTPRequestHandler):
                 self._handle_zero_shot(body)
             elif self.path == "/api/v1/load_pt":
                 self._handle_load_pt(body)
+            elif self.path == "/api/v1/speakers/add":
+                if not body.get("audio_base64") or not body.get("speaker_id"):
+                    self._send(400, _response(False, "missing fields",
+                                              error="speaker_id + audio_base64 required"))
+                    return
+                wav, sr = load_audio_from_base64(body["audio_base64"])
+                self.service.frontend.add_speaker_from_audio(
+                    body["speaker_id"], wav, sr, prompt_text=body.get("prompt_text")
+                )
+                self._send(200, _response(True, "speaker added",
+                                          data={"speaker_id": body["speaker_id"]}))
+            elif self.path.startswith("/api/v1/speakers/remove/"):
+                spk = self.path.rsplit("/", 1)[1]
+                ok = self.service.frontend.remove_speaker(spk)
+                code = 200 if ok else 404
+                self._send(code, _response(ok, "removed" if ok else "unknown speaker",
+                                           error=None if ok else f"unknown speaker {spk}"))
             elif self.path == "/api/v1/training/start":
                 from .training_manager import training_manager
 
