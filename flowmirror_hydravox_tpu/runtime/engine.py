@@ -46,7 +46,7 @@ def _bucket(n: int, buckets) -> int:
 
 
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024)
-TOKEN_BUCKETS = (64, 128, 256, 512, 1024)
+TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024)
 MEL_BUCKETS = (128, 256, 512, 1024, 2048)
 
 

@@ -266,6 +266,17 @@ class _Handler(BaseHTTPRequestHandler):
                 code = 200 if ok else 404
                 self._send(code, _response(ok, "removed" if ok else "unknown speaker",
                                            error=None if ok else f"unknown speaker {spk}"))
+            elif self.path == "/api/v1/data/run":
+                from .training_manager import training_manager
+
+                result = training_manager.start_data_stage(body)
+                code = 200 if result.get("success") else 400
+                self._send(code, _response(
+                    result.get("success", False),
+                    "stage started" if result.get("success") else "failed",
+                    data=result if result.get("success") else None,
+                    error=result.get("error"),
+                ))
             elif self.path == "/api/v1/training/start":
                 from .training_manager import training_manager
 

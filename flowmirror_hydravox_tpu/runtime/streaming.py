@@ -72,40 +72,84 @@ class StreamingSynthesizer:
             self._gen_until_cache[head_num] = jax.jit(fn, donate_argnums=(1,))
         return self._gen_until_cache[head_num]
 
-    def _flow_fn(self, token_bucket: int, finalize: bool):
-        key = (token_bucket, finalize)
+    def _init_fn(self, text_bucket: int, sp_bucket: int, head_num: int):
+        """Jitted prompt assembly + KV prefill + decode to the first hop —
+        TTFT's whole LLM cost in ONE dispatch (running this eagerly costs
+        dozens of tunnel round-trips)."""
+        key = ("init", text_bucket, sp_bucket, head_num)
+        if key not in self._gen_until_cache:
+            cfg = self.cfg.llm
+            cap = 2 + text_bucket + sp_bucket + self.engine.max_tokens + head_num
+
+            def fn(params, rng, text_tokens, text_len, sp_tokens, sp_len,
+                   target, min_len, max_len, sampling):
+                emb, plen = llm_model.build_inference_prompt(
+                    params, cfg, text_tokens, text_len, sp_tokens, sp_len
+                )
+                state = llm_model.init_generate_state(
+                    params, cfg, rng, emb, plen, inference_head_num=head_num,
+                    max_tokens=self.engine.max_tokens, cache_len_cap=cap,
+                )
+                return llm_model.generate_until(
+                    params, cfg, state, target, min_len, max_len, sampling,
+                    inference_head_num=head_num,
+                )
+
+            self._gen_until_cache[key] = jax.jit(fn)
+        return self._gen_until_cache[key]
+
+    def _chunk_fn(self, token_bucket: int, pm_bucket: int, chunk_bucket: int,
+                  has_cache: bool, finalize: bool):
+        """One jitted program per chunk shape: flow (streaming masks) ->
+        chunk mel slice -> cache splice -> HiFT with exact source-cache
+        splice (generator.py:566-567).  A single device dispatch per chunk
+        (~2 fewer tunnel round-trips than separate flow/hift calls)."""
+        key = (token_bucket, pm_bucket, chunk_bucket, has_cache, finalize)
         if key not in self._flow_stream_cache:
-            cfg = self.cfg.flow
+            fcfg, hcfg = self.cfg.flow, self.cfg.hift
+            ratio = fcfg.token_mel_ratio
+            mc = self.mel_cache_len if has_cache else 0
+            sc = self.source_cache_len if has_cache else 0
+            up = hcfg.upsample_scale
 
             @jax.jit
-            def fn(params, token, token_valid, emit_valid, prompt_feat, prompt_mel_len,
-                   embedding):
-                return flow_model.inference(
-                    params, cfg, token, token_valid, prompt_feat, prompt_mel_len,
-                    embedding, finalize=finalize, streaming=True,
+            def fn(flow_params, hift_params, token, token_valid, emit_valid,
+                   prompt_feat, prompt_mel_len, embedding, rng,
+                   token_offset, n_frames, cache_mel, cache_source):
+                mel_full = flow_model.inference(
+                    flow_params, fcfg, token, token_valid, prompt_feat,
+                    prompt_mel_len, embedding, finalize=finalize, streaming=True,
                     emit_valid=None if finalize else emit_valid,
+                )  # (1, 80, tb*ratio) f32
+
+                start = prompt_mel_len + token_offset * ratio
+                mel_pad = jnp.pad(mel_full, ((0, 0), (0, 0), (0, chunk_bucket)))
+                mel_chunk = jax.lax.dynamic_slice(
+                    mel_pad, (0, 0, start), (1, 80, chunk_bucket)
                 )
+                # edge-replicate past the valid chunk end (f0-conv boundary)
+                frame = jnp.arange(chunk_bucket)
+                src_idx = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
+                mel_chunk = mel_chunk[:, :, src_idx]
+
+                if has_cache:
+                    mel_in = jnp.concatenate([cache_mel, mel_chunk], axis=2)
+                else:
+                    mel_in = mel_chunk
+
+                f0 = hift_model.predict_f0(hift_params, mel_in)
+                f0_up = jnp.repeat(f0, up, axis=-1)[..., None]
+                s, _ = hift_model.sine_source(rng, hcfg, f0_up)
+                source = jnp.swapaxes(
+                    jnp.tanh(hift_model.linear(hift_params["m_source_linear"], s)), 1, 2
+                )
+                if has_cache:
+                    source = jnp.concatenate([cache_source, source[:, :, sc:]], axis=2)
+                wav = hift_model.decode(hift_params, hcfg, mel_in, source)
+                return wav, source, mel_in
 
             self._flow_stream_cache[key] = fn
         return self._flow_stream_cache[key]
-
-    def _hift_fn(self, mel_bucket: int):
-        if mel_bucket not in self._hift_cache_fn:
-            cfg = self.cfg.hift
-
-            @jax.jit
-            def fn(params, mel, rng):
-                f0 = hift_model.predict_f0(params, mel)
-                f0_up = jnp.repeat(f0, cfg.upsample_scale, axis=-1)[..., None]
-                s, _ = hift_model.sine_source(rng, cfg, f0_up)
-                source = jnp.swapaxes(
-                    jnp.tanh(hift_model.linear(params["m_source_linear"], s)), 1, 2
-                )
-                wav = hift_model.decode(params, cfg, mel, source)
-                return wav, source
-
-            self._hift_cache_fn[mel_bucket] = fn
-        return self._hift_cache_fn[mel_bucket]
 
     # -- session -------------------------------------------------------------
 
@@ -137,27 +181,16 @@ class StreamingSynthesizer:
 
         # ---- LLM state machine ----
         lt, lp = len(text_tokens), len(prompt_speech_tokens)
-        pbucket = engine._bucket_prompt(2 + lt + lp)
-        text_pad = np.zeros((pbucket - 2 - lp,), np.int32)
+        tbkt = engine._bucket_prompt(lt)
+        sbkt = engine._bucket_prompt(lp) if lp else 0
+        text_pad = np.zeros((tbkt,), np.int32)
         text_pad[:lt] = text_tokens
-        emb, plen = llm_model.build_inference_prompt(
-            engine.llm_params, cfg.llm, jnp.asarray(text_pad), jnp.int32(lt),
-            jnp.asarray(prompt_speech_tokens), jnp.int32(lp),
-        )
+        sp_pad = np.zeros((sbkt,), np.int32)
+        sp_pad[:lp] = prompt_speech_tokens
         min_len = jnp.int32(int(tts_text_len * min_token_text_ratio))
         max_len_i = min(int(tts_text_len * max_token_text_ratio), engine.max_tokens)
         max_len = jnp.int32(max_len_i)
         sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
-
-        # gen_until donates its state (which carries this rng) — keep an
-        # independent stream for the vocoder noise
-        rng, hift_rng = jax.random.split(rng)
-        state = llm_model.init_generate_state(
-            engine.llm_params, cfg.llm, rng, emb, plen,
-            inference_head_num=head_num, max_tokens=engine.max_tokens,
-            cache_len_cap=pbucket + engine.max_tokens + head_num,
-        )
-        gen_until = self._generate_until_fn(head_num)
 
         la = cfg.flow.pre_lookahead_len
         ratio = cfg.flow.token_mel_ratio
@@ -165,10 +198,22 @@ class StreamingSynthesizer:
         # first chunk absorbs prompt-token padding to a hop multiple
         prompt_pad = int(np.ceil(lp / hop) * hop - lp)
 
+        # gen_until donates its state (which carries this rng) — keep an
+        # independent stream for the vocoder noise
+        rng, hift_rng = jax.random.split(rng)
+        first_target = min(hop + prompt_pad + la, max_len_i)
+        state = self._init_fn(tbkt, sbkt, head_num)(
+            engine.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
+            jnp.asarray(sp_pad), jnp.int32(lp),
+            jnp.int32(first_target), min_len, max_len, sp,
+        )
+        gen_until = self._generate_until_fn(head_num)
+
         token_offset = 0
         hift_cache = None  # dict(mel (1,80,Lc), source (1,1,Sc), speech (1,Sc))
-        produced = np.zeros((0,), np.int32)
-        finished = False
+        n0 = int(state["num"])
+        produced = np.asarray(state["tokens"][:n0])
+        finished = bool(state["finished"]) or n0 >= max_len_i
 
         while True:
             this_hop = hop + prompt_pad if token_offset == 0 else hop
@@ -200,7 +245,6 @@ class StreamingSynthesizer:
             token_offset, hift_rng, finalize=True, hift_cache=hift_cache,
         )
         yield wav
-
     def _token2wav(
         self, tokens, prompt_tokens, prompt_mel, spk_embedding, token_offset, rng,
         finalize: bool, hift_cache,
@@ -209,6 +253,9 @@ class StreamingSynthesizer:
         cfg = self.cfg
         ratio = cfg.flow.token_mel_ratio
         la = cfg.flow.pre_lookahead_len
+        up = cfg.hift.upsample_scale
+        mc, sc = self.mel_cache_len, self.source_cache_len
+
         all_tokens = np.concatenate([prompt_tokens, tokens])
         n_all = len(all_tokens)
         n_emit = n_all - (0 if finalize else la)
@@ -230,54 +277,50 @@ class StreamingSynthesizer:
             pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
             pm_bucket, pm_len = 0, 0
 
-        flow_fn = self._flow_fn(tbucket, finalize)
-        mel_full = flow_fn(
-            engine.flow_params, jnp.asarray(tok_pad), jnp.asarray(valid), jnp.asarray(emit),
-            jnp.asarray(pm), jnp.int32(pm_len),
-            jnp.asarray(spk_embedding, jnp.float32)[None],
+        # frames emitted by this chunk (generated tokens only, lookahead
+        # consumed as conv context when not finalizing)
+        n_gen_emit = len(tokens) - (0 if finalize else la)
+        n_frames = max((n_gen_emit - token_offset) * ratio, 0)
+        chunk_bucket = _bucket_chunk(max(n_frames, 1))
+        has_cache = hift_cache is not None
+
+        cache_mel = (
+            hift_cache["mel"] if has_cache else np.zeros((1, 80, mc), np.float32)
         )
-        # slice off prompt mel + already-emitted frames; drop lookahead frames
-        # when not finalizing (flow consumed them as context only)
-        n_tok_eff = len(tokens) - (0 if finalize else la)
-        mel = np.asarray(mel_full, np.float32)[:, :, pm_len:]
-        mel = mel[:, :, token_offset * ratio : n_tok_eff * ratio]
+        cache_source = (
+            hift_cache["source"] if has_cache else np.zeros((1, 1, sc), np.float32)
+        )
 
-        # prepend hift mel cache
-        if hift_cache is not None:
-            mel = np.concatenate([hift_cache["mel"], mel], axis=2)
-            cache_source = hift_cache["source"]
-        else:
-            cache_source = np.zeros((1, 1, 0), np.float32)
-
-        tm = mel.shape[2]
-        mbucket = engine._bucket_mel(max(tm, 1))
-        mel_pad = np.concatenate(
-            [mel, np.repeat(mel[:, :, -1:], mbucket - tm, axis=2)], axis=2
-        ) if tm < mbucket else mel[:, :, :mbucket]
-        hift_fn = self._hift_fn(mbucket)
-        wav_full, source_full = hift_fn(engine.hift_params, jnp.asarray(mel_pad), rng)
-        up = cfg.hift.upsample_scale
-        wav = np.asarray(wav_full, np.float32)[0, : tm * up]
-        source = np.asarray(source_full, np.float32)[:, :, : tm * up]
-
-        # splice in cached source to avoid seam glitches (generator.py:566-567)
-        if cache_source.shape[2] > 0:
-            # recompute decode with source override is equivalent to the
-            # reference's in-place source splice; we approximate by waveform
-            # cross-fade below (documented delta — the fade dominates).
-            pass
+        fn = self._chunk_fn(tbucket, pm_bucket, chunk_bucket, has_cache, finalize)
+        wav_full, source_full, mel_in = fn(
+            engine.flow_params, engine.hift_params,
+            jnp.asarray(tok_pad), jnp.asarray(valid), jnp.asarray(emit),
+            jnp.asarray(pm), jnp.int32(pm_len),
+            jnp.asarray(spk_embedding, jnp.float32)[None], rng,
+            jnp.int32(token_offset), jnp.int32(n_frames),
+            jnp.asarray(cache_mel, jnp.float32), jnp.asarray(cache_source, jnp.float32),
+        )
+        total_frames = (mc if has_cache else 0) + n_frames
+        wav = np.asarray(wav_full, np.float32)[0, : total_frames * up]
+        source = np.asarray(source_full, np.float32)[:, :, : total_frames * up]
+        mel_np = np.asarray(mel_in, np.float32)[:, :, :total_frames]
 
         if not finalize:
             new_cache = {
-                "mel": mel[:, :, -self.mel_cache_len :],
-                "source": source[:, :, -self.source_cache_len :],
-                "speech": wav[-self.source_cache_len :],
+                "mel": mel_np[:, :, -mc:],
+                "source": source[:, :, -sc:],
+                "speech": wav[-sc:],
             }
-            if hift_cache is not None:
+            if has_cache:
                 wav = fade_in_out(wav, hift_cache["speech"], self.speech_window)
-            out = wav[: -self.source_cache_len]
-            return out, new_cache
-        else:
-            if hift_cache is not None:
-                wav = fade_in_out(wav, hift_cache["speech"], self.speech_window)
-            return wav, None
+            return wav[:-sc], new_cache
+        if has_cache:
+            wav = fade_in_out(wav, hift_cache["speech"], self.speech_window)
+        return wav, None
+
+
+def _bucket_chunk(n: int) -> int:
+    for b in (64, 128, 256, 512, 1024, 2048):
+        if n <= b:
+            return b
+    return 2048

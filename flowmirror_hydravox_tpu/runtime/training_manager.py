@@ -60,15 +60,43 @@ class TrainingManager:
                         str(req.get("val_split_ratio", 0.05))]
         return cmd
 
-    def start_training(self, req: dict) -> dict:
+    def build_data_command(self, req: dict) -> List[str]:
+        """Data-pipeline stages (reference data_tab.py one-click pipeline):
+        stage 1 resample, 2 vad, 3 transcribe, 4 extract, 5 merge."""
+        stage = str(req.get("stage"))
+        base = [sys.executable, "-m"]
+        if stage == "1":
+            return base + ["flowmirror_hydravox_tpu.preprocess.resample",
+                           "--input_dir", req["input_dir"], "--output_dir", req["output_dir"],
+                           "--sample_rate", str(req.get("sample_rate", 24000))]
+        if stage == "2":
+            return base + ["flowmirror_hydravox_tpu.preprocess.vad",
+                           "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
+        if stage == "3":
+            cmd = base + ["flowmirror_hydravox_tpu.preprocess.transcribe",
+                          "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
+            if req.get("transcript_file"):
+                cmd += ["--transcript_file", req["transcript_file"]]
+            return cmd
+        if stage == "4":
+            return base + ["flowmirror_hydravox_tpu.preprocess.extract_tokens",
+                           "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
+        raise ValueError(f"unknown stage {stage}")
+
+    def start_data_stage(self, req: dict) -> dict:
+        """Run a preprocessing stage as a tracked subprocess (same lifecycle
+        as trainings; shows up in list/status with model_type=data)."""
+        try:
+            cmd = self.build_data_command(req)
+        except (KeyError, ValueError) as e:
+            return {"success": False, "error": str(e)}
+        return self._spawn(cmd, req.get("output_dir", "data_out"), f"data_stage{req.get('stage')}")
+
+    def _spawn(self, cmd: List[str], output_dir: str, label: str) -> dict:
         with self.lock:
-            if self.active_id and self.trainings[self.active_id]["status"] == "running":
-                return {"success": False, "error": "a training is already running"}
             tid = str(uuid.uuid4())[:8]
-            output_dir = req.get("output_dir", "checkpoints/training")
             os.makedirs(output_dir, exist_ok=True)
-            log_path = os.path.join(output_dir, f"train_{tid}.log")
-            cmd = self.build_command(req)
+            log_path = os.path.join(output_dir, f"{label}_{tid}.log")
             log_f = open(log_path, "w")
             # make the package importable regardless of the server's cwd
             pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -91,13 +119,26 @@ class TrainingManager:
                 "log_path": log_path,
                 "log_file": log_f,
                 "log_offset": 0,
-                "model_type": req.get("model_type", "llm"),
+                "model_type": label,
                 "output_dir": output_dir,
                 "start_time": time.time(),
             }
-            self.active_id = tid
-            logger.info("started training %s: %s", tid, " ".join(cmd))
+            logger.info("started %s %s: %s", label, tid, " ".join(cmd))
             return {"success": True, "training_id": tid, "log_path": log_path}
+
+    def start_training(self, req: dict) -> dict:
+        with self.lock:
+            if self.active_id and self.trainings[self.active_id]["status"] == "running":
+                return {"success": False, "error": "a training is already running"}
+        try:
+            cmd = self.build_command(req)
+        except KeyError as e:
+            return {"success": False, "error": f"missing field {e}"}
+        result = self._spawn(cmd, req.get("output_dir", "checkpoints/training"),
+                             req.get("model_type", "llm"))
+        if result.get("success"):
+            self.active_id = result["training_id"]
+        return result
 
     def stop_training(self, tid: str, grace_s: float = 10.0) -> dict:
         """SIGTERM the process group, escalate to SIGKILL

@@ -60,7 +60,12 @@ def _flatten(tree: Any, prefix: str = "") -> dict:
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}."))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        arr = np.asarray(tree)
+        # np.savez can't serialize ml_dtypes (bfloat16 etc.) — store as f32;
+        # load_params_npz casts back to the template leaf dtype anyway
+        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+            arr = arr.astype(np.float32)
+        out[prefix[:-1]] = arr
     return out
 
 

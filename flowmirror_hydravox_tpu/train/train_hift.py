@@ -1,0 +1,144 @@
+"""HiFT vocoder GAN training CLI (reference WeNet GAN path:
+bin/train.py + executor.train_one_epoc_gan, hifigan/hifigan.py objective).
+
+Dataset rows need {audio{array,sampling_rate}} or precomputed
+{speech (T,), speech_feat (Tm, 80), pitch_feat (Tm,)}.
+
+Usage:
+  python -m flowmirror_hydravox_tpu.train.train_hift \
+      --train_data ds/ --output_dir ckpts/hift --batch_size 4 --segment_frames 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+logger = logging.getLogger("hydravox.train_hift")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_data", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--max_steps", type=int, default=100_000)
+    p.add_argument("--logging_steps", type=int, default=20)
+    p.add_argument("--save_steps", type=int, default=2000)
+    p.add_argument("--segment_frames", type=int, default=32,
+                   help="random mel segment per sample (GAN training crops)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import HydraVoxConfig, tiny_config
+    from ..models import discriminator as disc_model
+    from ..models import hift as hift_model
+    from ..utils import audio as audio_utils
+    from . import checkpoint as ckpt
+    from .data import load_hf_dataset
+    from .gan import gan_train_step
+    from .steps import OptimConfig, init_state, make_optimizer
+
+    full_cfg = tiny_config() if args.tiny else HydraVoxConfig()
+    cfg = full_cfg.hift
+    m = full_cfg.mel
+    up = cfg.upsample_scale
+
+    rng = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(rng)
+    gen_params = hift_model.init_params(k1, cfg, jnp.float32)
+    disc_params = disc_model.init_params(k2, jnp.float32)
+    gen_opt = make_optimizer(OptimConfig(
+        learning_rate=args.learning_rate, warmup_steps=100, total_steps=args.max_steps,
+        weight_decay=0.0, b1=0.8, b2=0.99,
+    ))
+    disc_opt = make_optimizer(OptimConfig(
+        learning_rate=args.learning_rate, warmup_steps=100, total_steps=args.max_steps,
+        weight_decay=0.0, b1=0.8, b2=0.99,
+    ))
+    gen_state = init_state(gen_params, gen_opt)
+    disc_state = init_state(disc_params, disc_opt)
+
+    step_fn = jax.jit(
+        lambda gs, ds, batch, r: gan_train_step(gs, ds, batch, r, cfg, gen_opt, disc_opt)
+    )
+
+    train_ds, _ = load_hf_dataset(args.train_data)
+
+    def featurize(row, seg_rng):
+        if "speech_feat" in row and row.get("speech_feat") is not None:
+            mel = np.asarray(row["speech_feat"], np.float32)
+            wav = np.asarray(row["speech"], np.float32)
+        else:
+            audio = row["audio"]
+            wav = np.asarray(
+                audio_utils.resample_linear(
+                    jnp.asarray(np.asarray(audio["array"], np.float32))[None],
+                    audio["sampling_rate"], m.sample_rate,
+                )
+            )[0]
+            mel = np.asarray(audio_utils.mel_spectrogram(
+                jnp.asarray(wav)[None], m.n_fft, m.num_mels, m.sample_rate,
+                m.hop_size, m.win_size, m.fmin, m.fmax,
+            ))[0].T
+        tm = min(mel.shape[0], len(wav) // up)
+        seg = args.segment_frames
+        if tm <= seg:
+            start = 0
+            mel_seg = np.pad(mel[:tm], ((0, seg - tm), (0, 0)))
+            wav_seg = np.pad(wav[: tm * up], (0, (seg - tm) * up))
+        else:
+            start = int(seg_rng.integers(0, tm - seg))
+            mel_seg = mel[start : start + seg]
+            wav_seg = wav[start * up : (start + seg) * up]
+        # crude per-frame pitch proxy when no pitch column: autocorr-free
+        # energy-weighted placeholder (real pitch comes from stage-4 data)
+        pitch = np.asarray(row.get("pitch_feat", np.zeros(mel.shape[0], np.float32)))
+        pitch_seg = pitch[start : start + seg]
+        if len(pitch_seg) < seg:
+            pitch_seg = np.pad(pitch_seg, (0, seg - len(pitch_seg)))
+        return mel_seg, wav_seg, pitch_seg
+
+    seg_rng = np.random.default_rng(args.seed)
+    order = np.arange(len(train_ds))
+    nstep, t0 = 0, time.time()
+    while nstep < args.max_steps:
+        np.random.default_rng(args.seed + nstep).shuffle(order)
+        for start in range(0, len(order) - args.batch_size + 1, args.batch_size):
+            rows = [train_ds[int(i)] for i in order[start : start + args.batch_size]]
+            mels, wavs, pitches = zip(*[featurize(r, seg_rng) for r in rows])
+            batch = {
+                "speech_feat": jnp.asarray(np.stack(mels)),
+                "speech": jnp.asarray(np.stack(wavs)),
+                "pitch_feat": jnp.asarray(np.stack(pitches)),
+            }
+            rng, srng = jax.random.split(rng)
+            gen_state, disc_state, metrics = step_fn(gen_state, disc_state, batch, srng)
+            nstep = int(gen_state.step)
+            if nstep % args.logging_steps == 0:
+                logger.info(
+                    "step %d gen %.3f (adv %.3f fm %.3f mel %.3f) disc %.3f (%.2f s/it)",
+                    nstep, float(metrics["gen_loss"]), float(metrics["adv"]),
+                    float(metrics["fm"]), float(metrics["mel"]),
+                    float(metrics["disc_loss"]), (time.time() - t0) / max(args.logging_steps, 1),
+                )
+                t0 = time.time()
+            if nstep % args.save_steps == 0 and nstep > 0:
+                ckpt.save_params_npz(f"{args.output_dir}/hift_step{nstep}.npz", gen_state.params)
+            if nstep >= args.max_steps:
+                break
+
+    ckpt.save_params_npz(f"{args.output_dir}/hift_final.npz", gen_state.params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Frontend/text/wavio/vad/i18n/tools coverage."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from flowmirror_hydravox_tpu.frontend import text_norm
+from flowmirror_hydravox_tpu.frontend.tokenizer import ByteTokenizer
+from flowmirror_hydravox_tpu.preprocess.vad import VADConfig, detect_speech
+from flowmirror_hydravox_tpu.utils import i18n, wavio
+
+
+def test_num_to_words_en():
+    assert text_norm.num_to_words_en(0) == "zero"
+    assert text_norm.num_to_words_en(42) == "forty-two"
+    assert text_norm.num_to_words_en(1234) == "one thousand two hundred thirty-four"
+    assert text_norm.num_to_words_en(1000000) == "one million"
+
+
+def test_num_to_words_zh():
+    assert text_norm.num_to_words_zh(0) == "零"
+    assert text_norm.num_to_words_zh(42) == "四十二"
+    assert text_norm.num_to_words_zh(10) == "十"
+    assert text_norm.num_to_words_zh(10000) == "一万"
+
+
+def test_normalize_mixed():
+    assert "forty-two" in text_norm.normalize("The answer is 42.")
+    zh = text_norm.normalize("今天气温25℃，涨了10%")
+    assert "二十五" in zh and "摄氏度" in zh and "百分之" in zh
+
+
+def test_split_and_merge():
+    text = "第一句话说完了。第二句话也说完了！短。"
+    segs = text_norm.split_text_by_punctuation(text, max_length=30, min_length=5)
+    assert len(segs) >= 2
+    assert "".join(segs) == text
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    s = "hello 世界 [breath] [AA1]"
+    ids = tok.encode(s)
+    assert tok.decode(ids) == s
+    # special tokens are single ids
+    assert ids.count(tok.specials["[breath]"]) == 1
+
+
+def test_wavio_roundtrip():
+    wav = (np.sin(np.linspace(0, 100, 24000)) * 0.7).astype(np.float32)
+    data = wavio.encode_wav(wav, 24000)
+    back, sr = wavio.decode_wav(data)
+    assert sr == 24000
+    np.testing.assert_allclose(back, wav, atol=1e-3)
+    b64 = wavio.audio_to_base64(wav, 24000)
+    back2, _ = wavio.load_audio_from_base64(b64)
+    np.testing.assert_allclose(back2, wav, atol=1e-3)
+
+
+def test_vad_detects_speech_island():
+    sr = 16000
+    rng = np.random.default_rng(0)
+    quiet = rng.standard_normal(sr) * 1e-4
+    loud = np.sin(2 * np.pi * 220 * np.arange(sr * 2) / sr) * 0.5
+    wav = np.concatenate([quiet, loud, quiet]).astype(np.float32)
+    segs = detect_speech(wav, sr, VADConfig(min_dur_s=0.3))
+    assert len(segs) >= 1
+    s, e = segs[0]
+    assert 0.5 <= s <= 1.5 and 2.4 <= e <= 3.6
+
+
+def test_i18n_languages(monkeypatch):
+    monkeypatch.setenv("HYDRAVOX_LANG", "en")
+    assert "timeout" in i18n.t("tts_timeout")
+    monkeypatch.setenv("HYDRAVOX_LANG", "zh")
+    assert "超时" in i18n.t("tts_timeout")
+    assert i18n.t("nonexistent_key") == "nonexistent_key"
+
+
+def test_matcha_text_pipeline():
+    from flowmirror_hydravox_tpu.models.matcha import text as mt
+
+    seq = mt.text_to_sequence("Dr. Smith has 3 cats.")
+    assert len(seq) > 0
+    inter = mt.intersperse(seq)
+    assert len(inter) == 2 * len(seq) + 1
+    assert inter[0] == 0 and inter[2] == 0
+
+
+def test_data_command_builder():
+    from flowmirror_hydravox_tpu.runtime.training_manager import TrainingManager
+
+    tm = TrainingManager()
+    for stage in ("1", "2", "3", "4"):
+        cmd = tm.build_data_command({"stage": stage, "input_dir": "i", "output_dir": "o"})
+        assert cmd[0] == sys.executable and "--input_dir" in cmd
+    with pytest.raises(ValueError):
+        tm.build_data_command({"stage": "9", "input_dir": "i", "output_dir": "o"})
+
+
+def test_convert_ckpt_cli_roundtrip(tmp_path):
+    """tools/convert_ckpt: graft-mtp on a tiny npz."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowmirror_hydravox_tpu.config import tiny_config
+    from flowmirror_hydravox_tpu.models import llm as llm_model
+    from flowmirror_hydravox_tpu.tools import convert_ckpt
+    from flowmirror_hydravox_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    cfg = tiny_config().llm
+    params = llm_model.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    src = str(tmp_path / "single.npz")
+    dst = str(tmp_path / "multi.npz")
+    save_params_npz(src, params)
+    convert_ckpt.main(["graft-mtp", "--src", src, "--dst", dst, "--tiny", "--seed", "7"])
+    grafted = load_params_npz(dst, params)
+    assert not np.allclose(
+        np.asarray(grafted["mtp_block"]["gate_proj_w"]),
+        np.asarray(params["mtp_block"]["gate_proj_w"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grafted["llm_decoder"]), np.asarray(params["llm_decoder"])
+    )
