@@ -138,6 +138,52 @@ class Frontend:
             spk_embedding=emb,
         )
 
+    def frontend_cross_lingual(
+        self, tts_text: str, prompt_wav: np.ndarray, sample_rate: int
+    ) -> dict:
+        """Cross-lingual cloning (cli/frontend.py:186-194): the LLM sees no
+        prompt text/tokens (different language); the flow keeps the prompt
+        mel/tokens + embedding for timbre."""
+        feats = self.frontend_zero_shot(tts_text, "", prompt_wav, sample_rate)
+        feats["llm_prompt_speech_tokens"] = np.zeros((0,), np.int32)
+        feats["text_tokens"] = feats["text_tokens"][-feats["tts_text_len"]:]
+        return feats
+
+    def frontend_instruct(self, tts_text: str, spk_id: str, instruct_text: str) -> dict:
+        """Instruct mode (cli/frontend.py:196-203): instruct text becomes the
+        prompt text; no speaker embedding leaks into the LLM."""
+        feats = self.frontend_sft(tts_text, spk_id)
+        instruct_tokens = self.extract_text_tokens(instruct_text)
+        feats["text_tokens"] = np.concatenate([instruct_tokens, feats["text_tokens"]])
+        feats["llm_prompt_speech_tokens"] = np.zeros((0,), np.int32)
+        return feats
+
+    def frontend_instruct2(
+        self, tts_text: str, instruct_text: str, prompt_wav: np.ndarray, sample_rate: int
+    ) -> dict:
+        """Instruct2 (cli/frontend.py:205-209): zero-shot with the instruct
+        text as prompt text, but the LLM gets no prompt speech tokens."""
+        feats = self.frontend_zero_shot(tts_text, instruct_text, prompt_wav, sample_rate)
+        feats["llm_prompt_speech_tokens"] = np.zeros((0,), np.int32)
+        return feats
+
+    def frontend_vc(
+        self, source_wav: np.ndarray, source_sr: int,
+        prompt_wav: np.ndarray, prompt_sr: int,
+    ) -> dict:
+        """Voice conversion (cli/frontend.py:211-219): source speech tokens
+        bypass the LLM; the flow re-voices them with the prompt timbre."""
+        source_tokens = self.extract_speech_tokens(source_wav, source_sr)
+        prompt_tokens = self.extract_speech_tokens(prompt_wav, prompt_sr)
+        mel = self.extract_mel(prompt_wav, prompt_sr)
+        n = min(len(prompt_tokens), mel.shape[0] // 2)
+        return dict(
+            source_speech_tokens=source_tokens,
+            prompt_speech_tokens=prompt_tokens[:n],
+            prompt_mel=mel[: 2 * n],
+            spk_embedding=self.extract_spk_embedding(prompt_wav, prompt_sr),
+        )
+
     def frontend_sft(self, tts_text: str, spk_id: str) -> dict:
         """Preset-speaker featurization (cli/frontend.py:157-162)."""
         if spk_id not in self.spk2info:

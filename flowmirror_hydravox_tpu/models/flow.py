@@ -82,11 +82,14 @@ def encode_tokens(
 ) -> jnp.ndarray:
     """Token -> mu stream at mel rate: embed, mask, pre-lookahead, x2 repeat
     (flow.py:398-405). Returns (B, T*token_mel_ratio, input_size)."""
-    emb = jnp.take(params["input_embedding"], jnp.clip(token, 0), axis=0)
+    vocab = params["input_embedding"].shape[0]
+    emb = jnp.take(params["input_embedding"], jnp.clip(token, 0, vocab - 1), axis=0)
     emb = emb * token_valid[..., None].astype(emb.dtype)
     ctx = None
     if context_token is not None:
-        ctx = jnp.take(params["input_embedding"], jnp.clip(context_token, 0), axis=0)
+        ctx = jnp.take(
+            params["input_embedding"], jnp.clip(context_token, 0, vocab - 1), axis=0
+        )
     h = pre_lookahead(params, cfg, emb, ctx)
     return jnp.repeat(h, cfg.token_mel_ratio, axis=1)
 

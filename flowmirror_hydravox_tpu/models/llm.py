@@ -127,7 +127,10 @@ def build_lm_input(
     h = cfg.backbone.hidden_size
 
     text_emb = qwen2.embed_tokens(params["backbone"], jnp.clip(text_token, 0))
-    speech_emb = jnp.take(params["speech_embedding"], jnp.clip(speech_token, 0), axis=0)
+    speech_emb = jnp.take(
+        params["speech_embedding"],
+        jnp.clip(speech_token, 0, params["speech_embedding"].shape[0] - 1), axis=0,
+    )
     sos = params["speech_embedding"][cfg.sos]
     task = params["speech_embedding"][cfg.task_id]
     eos = params["speech_embedding"][cfg.eos_token]
@@ -244,7 +247,10 @@ def build_inference_prompt(
     lp = prompt_speech_token.shape[0]
     t_total = 2 + lt + lp
     text_emb = qwen2.embed_tokens(params["backbone"], jnp.clip(text_token, 0))
-    speech_emb = jnp.take(params["speech_embedding"], jnp.clip(prompt_speech_token, 0), axis=0)
+    speech_emb = jnp.take(
+        params["speech_embedding"],
+        jnp.clip(prompt_speech_token, 0, params["speech_embedding"].shape[0] - 1), axis=0,
+    )
     sos = params["speech_embedding"][cfg.sos]
     task = params["speech_embedding"][cfg.task_id]
 

@@ -84,7 +84,8 @@ def init_params(rng: jax.Array, cfg: Qwen2Config, dtype=jnp.bfloat16) -> dict:
 
 
 def embed_tokens(params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params["embed_tokens"], token_ids, axis=0)
+    vocab = params["embed_tokens"].shape[0]
+    return jnp.take(params["embed_tokens"], jnp.clip(token_ids, 0, vocab - 1), axis=0)
 
 
 def _attention_block(layer, x, cfg: Qwen2Config, cos, sin, mask):

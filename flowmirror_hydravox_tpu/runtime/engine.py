@@ -178,19 +178,60 @@ class Engine:
         self._rng, out = jax.random.split(self._rng)
         return out
 
+    def voice_convert(
+        self,
+        source_speech_tokens: np.ndarray,  # (Ls,) tokens of the source speech
+        prompt_speech_tokens: np.ndarray,
+        prompt_mel: np.ndarray,
+        spk_embedding: np.ndarray,
+        rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Voice conversion (reference frontend_vc + CosyVoiceModel.vc_job,
+        cli/model.py:123-130): source speech tokens bypass the LLM and are
+        re-voiced by the flow with the prompt timbre. Returns (T,) wav."""
+        rng = rng if rng is not None else self.next_rng()
+        cfg = self.cfg
+        src = np.asarray(source_speech_tokens, np.int32)[: self.max_tokens]
+        n_tok = len(src)
+        buf = np.zeros((self.max_tokens + 8,), np.int32)
+        buf[:n_tok] = src
+
+        flp = len(prompt_speech_tokens)
+        fsbkt = _bucket(flp, self.prompt_buckets) if flp else 0
+        fsp_pad = np.zeros((fsbkt,), np.int32)
+        fsp_pad[:flp] = prompt_speech_tokens
+        tok_bkt = _bucket(max(flp + n_tok, 1), self.token_buckets)
+        lm = len(prompt_mel)
+        pm_bucket = _bucket(lm, self.mel_buckets) if lm else 0
+        pm = np.zeros((1, pm_bucket, cfg.flow.output_size), np.float32)
+        pm[0, :lm] = prompt_mel
+
+        synth = self._synth_fn(tok_bkt, pm_bucket, fsbkt)
+        wav_dev, _ = synth(
+            self.flow_params, self.hift_params, jnp.asarray(buf), jnp.int32(n_tok),
+            jnp.asarray(fsp_pad), jnp.int32(flp), jnp.asarray(pm), jnp.int32(lm),
+            jnp.asarray(spk_embedding, jnp.float32)[None], rng,
+        )
+        up = cfg.hift.upsample_scale
+        ratio = cfg.flow.token_mel_ratio
+        return np.asarray(wav_dev)[0, : n_tok * ratio * up].astype(np.float32)
+
     def synthesize(
         self,
         text_tokens: np.ndarray,  # (Lt,) int32: prompt_text + tts_text tokens
         tts_text_len: int,  # length of the tts portion (min/max len base)
         sampling: Optional[SamplingConfig] = None,
         inference_head_num: Optional[int] = None,
-        prompt_speech_tokens: Optional[np.ndarray] = None,  # (Lp,)
+        prompt_speech_tokens: Optional[np.ndarray] = None,  # (Lp,) — flow prompt
         prompt_mel: Optional[np.ndarray] = None,  # (Lm, 80)
         spk_embedding: Optional[np.ndarray] = None,  # (192,)
         speed: float = 1.0,
         rng: Optional[jax.Array] = None,
         max_token_text_ratio: float = 20.0,
         min_token_text_ratio: float = 2.0,
+        llm_prompt_speech_tokens: Optional[np.ndarray] = None,  # override: LLM
+        # prefix tokens; None -> same as prompt_speech_tokens; empty array ->
+        # none (cross-lingual/instruct2 modes, cli/frontend.py:186-209)
     ) -> SynthesisResult:
         """Single-utterance synthesis (reference inference_tts /
         inference_zero_shot, infer_speech_model.py:523-689)."""
@@ -199,10 +240,15 @@ class Engine:
         sampling = sampling or cfg.tts_sampling
         head_num = inference_head_num or cfg.llm.inference_head_num
         rng = rng if rng is not None else self.next_rng()
-        sp_tokens = (
+        flow_sp_tokens = (
             np.zeros((0,), np.int32)
             if prompt_speech_tokens is None
             else np.asarray(prompt_speech_tokens, np.int32)
+        )
+        sp_tokens = (
+            flow_sp_tokens
+            if llm_prompt_speech_tokens is None
+            else np.asarray(llm_prompt_speech_tokens, np.int32)
         )
         if spk_embedding is None:
             spk_embedding = np.zeros((192,), np.float32)
@@ -232,8 +278,14 @@ class Engine:
         llm_time = time.time() - t0
 
         # ---- stage 2: fused flow + hift (tokens stay on device) ----
+        # flow conditioning always uses the FLOW prompt tokens (which may
+        # differ from the LLM prefix in cross-lingual/instruct2 modes)
         t0 = time.time()
-        n_all = lp + n_tok
+        flp = len(flow_sp_tokens)
+        fsbkt = _bucket(flp, self.prompt_buckets) if flp else 0
+        fsp_pad = np.zeros((fsbkt,), np.int32)
+        fsp_pad[:flp] = flow_sp_tokens
+        n_all = flp + n_tok
         tok_bkt = _bucket(max(n_all, 1), self.token_buckets)
         if prompt_mel is not None and len(prompt_mel) > 0:
             lm = len(prompt_mel)
@@ -245,10 +297,10 @@ class Engine:
             pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
             pm_bucket, pm_len = 0, 0
 
-        synth = self._synth_fn(tok_bkt, pm_bucket, sbkt)
+        synth = self._synth_fn(tok_bkt, pm_bucket, fsbkt)
         wav_dev, mel_dev = synth(
             self.flow_params, self.hift_params, res.tokens, res.num_tokens,
-            jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
+            jnp.asarray(fsp_pad), jnp.int32(flp), jnp.asarray(pm), jnp.int32(pm_len),
             jnp.asarray(spk_embedding, jnp.float32)[None], rng,
         )
         ratio = cfg.flow.token_mel_ratio

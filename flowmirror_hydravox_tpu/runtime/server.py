@@ -96,11 +96,33 @@ class TTSService:
             return self._process_tts_segmented(task, sampling, head_num, speed)
         elif kind == "zero_shot":
             wav, sr = task["prompt_audio"], task["prompt_sample_rate"]
-            norm_prompt = self.frontend.text_normalize(task["prompt_text"], split=False)[0]
-            feats_list = [
-                self.frontend.frontend_zero_shot(seg, norm_prompt, wav, sr)
-                for seg in self.frontend.text_normalize(task["tts_text"], split=True)
-            ]
+            mode = task.get("mode", "zero_shot")
+            segments = self.frontend.text_normalize(task["tts_text"], split=True)
+            if mode == "cross_lingual":
+                feats_list = [
+                    self.frontend.frontend_cross_lingual(seg, wav, sr) for seg in segments
+                ]
+            elif mode == "instruct2":
+                feats_list = [
+                    self.frontend.frontend_instruct2(seg, task["prompt_text"], wav, sr)
+                    for seg in segments
+                ]
+            else:
+                norm_prompt = self.frontend.text_normalize(task["prompt_text"], split=False)[0]
+                feats_list = [
+                    self.frontend.frontend_zero_shot(seg, norm_prompt, wav, sr)
+                    for seg in segments
+                ]
+        elif kind == "vc":
+            feats = self.frontend.frontend_vc(
+                task["source_audio"], task["source_sample_rate"],
+                task["prompt_audio"], task["prompt_sample_rate"],
+            )
+            audio = self.engine.voice_convert(
+                feats["source_speech_tokens"], feats["prompt_speech_tokens"],
+                feats["prompt_mel"], feats["spk_embedding"],
+            )
+            return {"output_audio": audio, "sample_rate": self.engine.cfg.sample_rate}
         else:
             raise ValueError(f"unknown task type {kind}")
 
@@ -153,6 +175,7 @@ class TTSService:
             prompt_mel=feats.get("prompt_mel"),
             spk_embedding=feats.get("spk_embedding"),
             speed=speed,
+            llm_prompt_speech_tokens=feats.get("llm_prompt_speech_tokens"),
         )
         self.metrics.record(res)
         return res
@@ -247,6 +270,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._handle_tts(body)
             elif self.path == "/api/v1/zero-shot":
                 self._handle_zero_shot(body)
+            elif self.path == "/api/v1/vc":
+                self._handle_vc(body)
             elif self.path == "/api/v1/load_pt":
                 self._handle_load_pt(body)
             elif self.path == "/api/v1/speakers/add":
@@ -343,7 +368,22 @@ class _Handler(BaseHTTPRequestHandler):
             "prompt_text": body.get("prompt_text", ""),
             "prompt_audio": wav,
             "prompt_sample_rate": sr,
+            "mode": body.get("mode", "zero_shot"),
             "extra_params": extra,
+        })
+        self._finish_audio(self.service.wait(tid))
+
+    def _handle_vc(self, body: dict):
+        if not body.get("source_audio_base64") or not body.get("prompt_audio_base64"):
+            self._send(400, _response(False, "missing audio",
+                                      error="source_audio_base64 + prompt_audio_base64 required"))
+            return
+        src, src_sr = load_audio_from_base64(body["source_audio_base64"])
+        pw, pw_sr = load_audio_from_base64(body["prompt_audio_base64"])
+        tid = self.service.submit({
+            "type": "vc",
+            "source_audio": src, "source_sample_rate": src_sr,
+            "prompt_audio": pw, "prompt_sample_rate": pw_sr,
         })
         self._finish_audio(self.service.wait(tid))
 
