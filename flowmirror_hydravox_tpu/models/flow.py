@@ -179,24 +179,28 @@ def inference(
         )
     t_mel = h.shape[1]
     mel_dim = cfg.output_size
+    b = token.shape[0]
 
     spks = project_speaker(params, embedding)
 
     # conds: prompt mel occupies the first prompt_mel_len frames (flow.py:412-417)
     frame = jnp.arange(t_mel)
     in_prompt = frame < prompt_mel_len
-    pf = jnp.zeros((1, t_mel, mel_dim), h.dtype)
+    pf = jnp.zeros((b, t_mel, mel_dim), h.dtype)
     lp = prompt_feat.shape[1]
     if lp > 0:
         pf_src = jnp.pad(prompt_feat.astype(h.dtype), ((0, 0), (0, max(t_mel - lp, 0)), (0, 0)))
-        pf = jnp.where(in_prompt[None, :, None], pf_src[:, :t_mel], pf)
-    conds = jnp.swapaxes(pf, 1, 2)  # (1, 80, T)
+        pf_src = jnp.broadcast_to(pf_src[:, :t_mel], (b, t_mel, mel_dim))
+        pf = jnp.where(in_prompt[None, :, None], pf_src, pf)
+    conds = jnp.swapaxes(pf, 1, 2)  # (B, 80, T)
 
     mask_src = emit_valid if emit_valid is not None else token_valid
     mask = mask_src.astype(jnp.float32)
-    mask = jnp.repeat(mask, cfg.token_mel_ratio, axis=1)[:, None, :t_mel]  # (1, 1, T)
+    mask = jnp.repeat(mask, cfg.token_mel_ratio, axis=1)[:, None, :t_mel]  # (B, 1, T)
 
-    z = params["rand_noise"][:, :, :t_mel].astype(jnp.float32)
+    z = jnp.broadcast_to(
+        params["rand_noise"][:, :, :t_mel], (b, cfg.output_size, t_mel)
+    ).astype(jnp.float32)
     mu = jnp.swapaxes(h, 1, 2)
     return solve_euler(params, cfg, z, mu, mask, spks, conds, n_timesteps, streaming)
 

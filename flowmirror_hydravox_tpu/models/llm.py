@@ -371,6 +371,98 @@ def generate_until(
     return jax.lax.while_loop(cond, body, state)
 
 
+def generate_batched(
+    params: dict,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prompt_embeds: jnp.ndarray,  # (B, T_prompt, H) padded
+    prompt_len: jnp.ndarray,  # (B,)
+    min_len: jnp.ndarray,  # (B,)
+    max_len: jnp.ndarray,  # (B,)
+    sampling: SamplingParams,
+    *,
+    inference_head_num: int,
+    max_tokens: int = 1024,
+    cache_len_cap: Optional[int] = None,
+) -> GenerateResult:
+    """Batched multi-head decode — the "flash batch" serving mode: several
+    independent utterances (e.g. segments of one long text) decode in one
+    device program, sharing each weight read across the batch.  Per-row
+    stop/length bookkeeping; the loop runs until every row finishes.
+
+    Returns GenerateResult with tokens (B, max_tokens) and num_tokens (B,)."""
+    head_k = max(1, min(int(inference_head_num), cfg.head_num))
+    b, t_prompt, h = prompt_embeds.shape
+    if cache_len_cap is None:
+        cache_len_cap = t_prompt + max_tokens + head_k
+    bb = cfg.backbone
+
+    cache = qwen2.init_kv_cache(bb, b, cache_len_cap, dtype=prompt_embeds.dtype)
+    hidden, cache = qwen2.forward_block_with_cache(
+        params["backbone"], bb, prompt_embeds, cache, advance=prompt_len
+    )
+    last_hidden = jnp.take_along_axis(
+        hidden, (prompt_len - 1)[:, None, None], axis=1
+    )[:, 0]  # (B, H)
+
+    state = dict(
+        rng=rng,
+        cache=cache,
+        last_hidden=last_hidden,
+        tokens=jnp.full((b, max_tokens + head_k), -1, jnp.int32),
+        num=jnp.zeros((b,), jnp.int32),
+        steps=jnp.int32(0),
+        finished=jnp.zeros((b,), bool),
+    )
+
+    def cond(s):
+        return ~jnp.all(s["finished"])
+
+    def body(s):
+        rng, rng_step = jax.random.split(s["rng"])
+        logits = mtp_logits(params, cfg, s["last_hidden"], head_k)  # (K, B, V)
+        row_rngs = jax.random.split(rng_step, b)
+        sampled = jax.vmap(
+            lambda r, lg, hist, n, mn: ras_sample_heads(
+                r, lg, hist, n, sampling, mn, cfg.speech_token_size
+            ),
+            in_axes=(0, 1, 0, 0, 0),
+        )(row_rngs, logits, s["tokens"], s["num"], min_len)  # (B, K)
+
+        is_stop = sampled >= cfg.speech_token_size
+        before_stop = jnp.cumsum(is_stop, axis=1) == 0  # (B, K)
+        n_ok = jnp.sum(before_stop, axis=1).astype(jnp.int32)
+        budget = jnp.maximum(max_len - s["num"], 0)
+        n_accept = jnp.where(s["finished"], 0, jnp.minimum(n_ok, budget))
+
+        write_pos = s["num"][:, None] + jnp.arange(head_k)[None, :]  # (B, K)
+        accept = jnp.arange(head_k)[None, :] < n_accept[:, None]
+        cur = jnp.take_along_axis(s["tokens"], write_pos, axis=1)
+        tokens = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+            s["tokens"], write_pos, jnp.where(accept, sampled, cur)
+        )
+        num = s["num"] + n_accept
+        finished = s["finished"] | jnp.any(is_stop, axis=1) | (num >= max_len) | (n_accept == 0)
+
+        emb = jnp.take(params["speech_embedding"], sampled, axis=0).astype(prompt_embeds.dtype)
+        hidden, cache = qwen2.forward_block_with_cache(
+            params["backbone"], bb, emb, s["cache"],
+            advance=jnp.where(finished, 0, head_k).astype(jnp.int32),
+        )
+        last_hidden = jnp.where(
+            finished[:, None], s["last_hidden"], hidden[:, head_k - 1]
+        )
+        return dict(
+            rng=rng, cache=cache, last_hidden=last_hidden, tokens=tokens,
+            num=num, steps=s["steps"] + 1, finished=finished,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return GenerateResult(
+        tokens=final["tokens"][:, :max_tokens], num_tokens=final["num"], steps=final["steps"]
+    )
+
+
 def generate(
     params: dict,
     cfg: LLMConfig,

@@ -172,6 +172,164 @@ class Engine:
             self._synth_cache[key] = jax.jit(fn)
         return self._synth_cache[key]
 
+    def _batch_gen_fn(self, batch: int, text_bucket: int, sp_bucket: int, head_num: int):
+        """Jitted batched generate — the 'flash batch' decode."""
+        key = ("batch", batch, text_bucket, sp_bucket, head_num)
+        if key not in self._gen_cache:
+            cfg = self.cfg.llm
+            cache_cap = 2 + text_bucket + sp_bucket + self.max_tokens + head_num
+
+            def fn(params, rng, text_tokens, text_len, sp_tokens, sp_len,
+                   min_len, max_len, sampling):
+                emb, plen = jax.vmap(
+                    lambda tt, tl: llm_model.build_inference_prompt(
+                        params, cfg, tt, tl, sp_tokens, sp_len
+                    )
+                )(text_tokens, text_len)
+                return llm_model.generate_batched(
+                    params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                    inference_head_num=head_num, max_tokens=self.max_tokens,
+                    cache_len_cap=cache_cap,
+                )
+
+            self._gen_cache[key] = jax.jit(fn)
+        return self._gen_cache[key]
+
+    def _batch_synth_fn(self, batch: int, token_bucket: int, pm_bucket: int, sp_bucket: int):
+        """Jitted batched flow+hift (shared prompt/speaker across rows)."""
+        key = ("batch", batch, token_bucket, pm_bucket, sp_bucket)
+        if key not in self._synth_cache:
+            fcfg, hcfg = self.cfg.flow, self.cfg.hift
+            ratio = fcfg.token_mel_ratio
+            t_mel = token_bucket * ratio
+
+            def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
+                   prompt_mel, pm_len, embedding, rng):
+                # tokens: (B, max_tokens+), num: (B,)
+                pos = jnp.arange(token_bucket)[None, :]
+                gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[1] - 1)
+                if sp_bucket > 0:
+                    sp_idx = jnp.clip(pos[0], 0, sp_bucket - 1)
+                    seq = jnp.where(
+                        pos < sp_len, sp_tokens[sp_idx][None, :],
+                        jnp.take_along_axis(tokens, gen_idx, axis=1),
+                    )
+                else:
+                    seq = jnp.take_along_axis(tokens, gen_idx, axis=1)
+                valid = pos < (sp_len + num)[:, None]
+
+                emb_b = jnp.broadcast_to(embedding, (batch, embedding.shape[-1]))
+                mel = flow_model.inference(
+                    flow_params, fcfg, seq, valid, prompt_mel, pm_len, emb_b,
+                )  # (B, 80, t_mel)
+
+                mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
+                mel_gen = jax.lax.dynamic_slice(
+                    mel_pad, (0, 0, pm_len), (batch, 80, t_mel)
+                )
+                n_frames = (num * ratio)[:, None]
+                frame = jnp.arange(t_mel)[None, :]
+                src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
+                mel_gen = jnp.take_along_axis(mel_gen, src[:, None, :], axis=2)
+
+                wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
+                return wav
+
+            self._synth_cache[key] = jax.jit(fn)
+        return self._synth_cache[key]
+
+    def synthesize_batch(
+        self,
+        text_tokens_list,  # list of (Lt_i,) int32 arrays (same speaker)
+        sampling: Optional[SamplingConfig] = None,
+        inference_head_num: Optional[int] = None,
+        prompt_speech_tokens: Optional[np.ndarray] = None,
+        prompt_mel: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        max_token_text_ratio: float = 20.0,
+        min_token_text_ratio: float = 2.0,
+    ):
+        """Flash-batch synthesis: N same-speaker utterances (e.g. long-text
+        segments, infer_speech_model.py:357-455) decode and vocode together.
+        Returns (list of wavs, stats dict)."""
+        t_start = time.time()
+        cfg = self.cfg
+        sampling = sampling or cfg.tts_sampling
+        head_num = inference_head_num or cfg.llm.inference_head_num
+        rng = rng if rng is not None else self.next_rng()
+        sp_tokens = (
+            np.zeros((0,), np.int32)
+            if prompt_speech_tokens is None
+            else np.asarray(prompt_speech_tokens, np.int32)
+        )
+        if spk_embedding is None:
+            spk_embedding = np.zeros((192,), np.float32)
+
+        bsz = len(text_tokens_list)
+        lts = [len(t) for t in text_tokens_list]
+        tbkt = _bucket(max(lts), self.prompt_buckets)
+        lp = len(sp_tokens)
+        sbkt = _bucket(lp, self.prompt_buckets) if lp else 0
+        text_pad = np.zeros((bsz, tbkt), np.int32)
+        for i, t in enumerate(text_tokens_list):
+            text_pad[i, : len(t)] = t
+        sp_pad = np.zeros((sbkt,), np.int32)
+        sp_pad[:lp] = sp_tokens
+        min_lens = np.asarray([int(n * min_token_text_ratio) for n in lts], np.int32)
+        max_lens = np.asarray(
+            [min(int(n * max_token_text_ratio), self.max_tokens) for n in lts], np.int32
+        )
+        sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
+
+        t0 = time.time()
+        gen = self._batch_gen_fn(bsz, tbkt, sbkt, head_num)
+        res = gen(
+            self.llm_params, rng, jnp.asarray(text_pad),
+            jnp.asarray(lts, jnp.int32), jnp.asarray(sp_pad), jnp.int32(lp),
+            jnp.asarray(min_lens), jnp.asarray(max_lens), sp,
+        )
+        nums = np.asarray(res.num_tokens)
+        llm_time = time.time() - t0
+
+        t0 = time.time()
+        n_all_max = lp + int(nums.max())
+        tok_bkt = _bucket(max(n_all_max, 1), self.token_buckets)
+        if prompt_mel is not None and len(prompt_mel) > 0:
+            lm = len(prompt_mel)
+            pm_bucket = _bucket(lm, self.mel_buckets)
+            pm = np.zeros((1, pm_bucket, cfg.flow.output_size), np.float32)
+            pm[0, :lm] = prompt_mel
+            pm_len = lm
+        else:
+            pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
+            pm_bucket, pm_len = 0, 0
+
+        synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, sbkt)
+        wav_dev = synth(
+            self.flow_params, self.hift_params, res.tokens, res.num_tokens,
+            jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
+            jnp.asarray(spk_embedding, jnp.float32)[None], rng,
+        )
+        ratio = cfg.flow.token_mel_ratio
+        up = cfg.hift.upsample_scale
+        wavs_np = np.asarray(wav_dev, np.float32)
+        wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]
+        synth_time = time.time() - t0
+
+        total = time.time() - t_start
+        dur = sum(len(w) for w in wavs) / cfg.sample_rate
+        stats = dict(
+            llm_time=llm_time, synth_time=synth_time, total_time=total,
+            tokens=[int(n) for n in nums], steps=int(res.steps),
+            rtf=total / max(dur, 1e-9),
+        )
+        logger.info(
+            "flash batch x%d: %s tokens, rtf=%.4f (llm %.3fs synth %.3fs)",
+            bsz, stats["tokens"], stats["rtf"], llm_time, synth_time,
+        )
+        return wavs, stats
+
     # -- pipeline ------------------------------------------------------------
 
     def next_rng(self):

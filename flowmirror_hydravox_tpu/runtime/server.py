@@ -143,6 +143,30 @@ class TTSService:
         last_prompt = bool(task.get("last_prompt", False))
         sr = self.engine.cfg.sample_rate
 
+        if not last_prompt and len(segments) > 1:
+            # flash batch: all same-speaker segments decode in one program
+            feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
+            token_lists = [self.frontend.extract_text_tokens(s) for s in segments]
+            wavs, stats = self.engine.synthesize_batch(
+                token_lists,
+                sampling=sampling,
+                inference_head_num=head_num,
+                prompt_speech_tokens=feats0.get("prompt_speech_tokens"),
+                prompt_mel=feats0.get("prompt_mel"),
+                spk_embedding=feats0.get("spk_embedding"),
+            )
+            import random as _random
+
+            pieces = []
+            for i, w in enumerate(wavs):
+                pieces.append(w)
+                if i < len(wavs) - 1:
+                    pieces.append(np.zeros(int(_random.uniform(0.05, 0.15) * sr), np.float32))
+            return {
+                "output_audio": np.concatenate(pieces) if pieces else np.zeros(0, np.float32),
+                "sample_rate": sr,
+            }
+
         chunks = []
         prev: dict = {}
         for i, segment in enumerate(segments):
