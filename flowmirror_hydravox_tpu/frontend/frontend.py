@@ -25,6 +25,26 @@ from .text_norm import normalize, split_text_by_punctuation
 from .tokenizer import get_tokenizer
 
 
+# Built-in instruct prompts (reference cosyvoice/utils/common.py:28-53):
+# dialect/emotion/style control strings ending in <|endofprompt|>.
+INSTRUCT_PROMPTS = [
+    *[f"You are a helpful assistant. 请用{d}表达。<|endofprompt|>" for d in (
+        "广东话", "东北话", "甘肃话", "贵州话", "河南话", "湖北话", "湖南话",
+        "江西话", "闽南话", "宁夏话", "山西话", "陕西话", "山东话", "上海话",
+        "四川话", "天津话", "云南话",
+    )],
+    "You are a helpful assistant. Please say a sentence as loudly as possible.<|endofprompt|>",
+    "You are a helpful assistant. Please say a sentence in a very soft voice.<|endofprompt|>",
+    "You are a helpful assistant. 请用尽可能慢地语速说一句话。<|endofprompt|>",
+    "You are a helpful assistant. 请用尽可能快地语速说一句话。<|endofprompt|>",
+    "You are a helpful assistant. 请非常开心地说一句话。<|endofprompt|>",
+    "You are a helpful assistant. 请非常伤心地说一句话。<|endofprompt|>",
+    "You are a helpful assistant. 请非常生气地说一句话。<|endofprompt|>",
+    "You are a helpful assistant. 我想体验一下小猪佩奇风格，可以吗？<|endofprompt|>",
+    "You are a helpful assistant. 你可以尝试用机器人的方式解答吗？<|endofprompt|>",
+]
+
+
 @dataclasses.dataclass
 class SpeakerInfo:
     embedding: np.ndarray  # (192,)

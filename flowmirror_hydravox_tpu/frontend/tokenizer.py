@@ -112,11 +112,58 @@ class QwenTokenizer:
         return self.tokenizer.decode(ids, skip_special_tokens=self.skip_special_tokens)
 
 
+class WhisperTiktokenTokenizer:
+    """CV1-style whisper/tiktoken tokenizer (reference tokenizer.py:169-238:
+    `get_encoding` over a .tiktoken rank file + TTS special tokens).  The
+    rank asset ships with the reference weights (absent from the snapshot);
+    this loads any such file when provided."""
+
+    def __init__(self, tiktoken_file: str, num_languages: int = 100):
+        import base64 as _b64
+
+        import tiktoken
+
+        ranks = {}
+        with open(tiktoken_file) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                token, rank = line.split()
+                ranks[_b64.b64decode(token)] = int(rank)
+        n_vocab = len(ranks)
+        specials = [
+            "<|endoftext|>", "<|startoftranscript|>",
+            *[f"<|lang_{i}|>" for i in range(num_languages)],
+            "<|translate|>", "<|transcribe|>", "<|startoflm|>", "<|startofprev|>",
+            "<|nospeech|>", "<|notimestamps|>",
+        ] + SPECIAL_TOKENS
+        special_tokens = {tok: n_vocab + i for i, tok in enumerate(specials)}
+        self.encoding = tiktoken.Encoding(
+            name="hydravox_whisper",
+            explicit_n_vocab=n_vocab + len(special_tokens),
+            pat_str=r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+            mergeable_ranks=ranks,
+            special_tokens=special_tokens,
+        )
+        self.vocab_size = self.encoding.n_vocab
+
+    def encode(self, text: str, allowed_special="all", **kwargs):
+        return self.encoding.encode(text, allowed_special=allowed_special)
+
+    def decode(self, ids):
+        return self.encoding.decode(ids)
+
+
 def get_tokenizer(token_path: str | None = None):
     """Load the real tokenizer when assets are present, else the byte
     fallback (documented delta: the fmtn wheel + tiktoken asset are absent
     from the reference snapshot too, SURVEY.md §2.5)."""
     if token_path:
+        if token_path.endswith(".tiktoken"):
+            try:
+                return WhisperTiktokenTokenizer(token_path)
+            except Exception:
+                pass
         try:
             return QwenTokenizer(token_path)
         except Exception:

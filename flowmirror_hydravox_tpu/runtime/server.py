@@ -257,6 +257,27 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, _response(False, "unknown training", error=status.get("error")))
         elif self.path == "/api/v1/metrics":
             self._send(200, _response(True, "ok", data=self.service.metrics.summary()))
+        elif self.path.startswith("/api/v1/training/plot/"):
+            from .training_manager import training_manager
+            from .training_plots import generate_training_plot
+
+            tid = self.path.rsplit("/", 1)[1]
+            with training_manager.lock:
+                entry = training_manager.trainings.get(tid)
+            if entry is None:
+                self._send(404, _response(False, "unknown training", error=tid))
+                return
+            try:
+                png = generate_training_plot(entry["log_path"], entry["output_dir"])
+                with open(png, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self._send(500, _response(False, "plot failed", error=str(e)))
         elif self.path == "/api/v1/training/list":
             from .training_manager import training_manager
 

@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--save_steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="write TB scalars (reference train_utils.py:187-192)")
     p.add_argument("--resume", default=None)
     args = p.parse_args(argv)
 
@@ -94,6 +96,12 @@ def main(argv=None):
     collator = FlowCollator(mel_extract_fn=mel_extract, token_mel_ratio=cfg.token_mel_ratio)
     it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
 
+    tb = None
+    if args.tensorboard_dir:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard_dir)
+
     t0 = time.time()
     for batch in it:
         rng, step_rng = jax.random.split(rng)
@@ -106,6 +114,9 @@ def main(argv=None):
                 step, float(metrics["loss"]), float(metrics["grad_norm"]),
                 (time.time() - t0) / max(args.logging_steps, 1),
             )
+            if tb is not None:
+                tb.add_scalar("train/loss", float(metrics["loss"]), step)
+                tb.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step)
             t0 = time.time()
         if step % args.save_steps == 0 and step > 0:
             ckpt.save_train_state(args.output_dir, jax.device_get(state), step)

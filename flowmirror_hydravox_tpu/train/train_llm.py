@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--val_split_ratio", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true", help="tiny config (tests)")
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="write TB scalars (reference train_utils.py:187-192)")
     p.add_argument("--resume", default=None, help="orbax train-state dir")
     args = p.parse_args(argv)
 
@@ -103,6 +105,12 @@ def main(argv=None):
     collator = LLMCollator(tokenizer)
     it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
 
+    tb = None
+    if args.tensorboard_dir:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard_dir)
+
     t0 = time.time()
     for batch in it:
         sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
@@ -115,6 +123,9 @@ def main(argv=None):
                 step, m["loss"], m["acc"], m["grad_norm"],
                 (time.time() - t0) / max(args.logging_steps, 1),
             )
+            if tb is not None:
+                for k, v in m.items():
+                    tb.add_scalar(f"train/{k}", v, step)
             t0 = time.time()
         if step % args.save_steps == 0 and step > 0:
             ckpt.save_train_state(args.output_dir, jax.device_get(state), step)

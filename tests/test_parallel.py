@@ -1,0 +1,83 @@
+"""Mesh/sharding: TP-sharded forward matches replicated forward; ZeRO
+optimizer-state sharding covers every leaf; 8 virtual CPU devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flowmirror_hydravox_tpu.config import tiny_config
+from flowmirror_hydravox_tpu.models import llm
+from flowmirror_hydravox_tpu.parallel.mesh import make_mesh
+from flowmirror_hydravox_tpu.parallel.sharding import llm_param_specs, named, zero_sharding
+
+CFG = tiny_config().llm
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(data=4, model=2)
+
+
+def test_tp_sharded_loss_matches_replicated(mesh):
+    params = llm.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    tt = jax.random.randint(rng, (4, 6), 0, 200)
+    tl = jnp.asarray([6, 5, 4, 6])
+    st = jax.random.randint(rng, (4, 12), 0, CFG.speech_token_size)
+    sl = jnp.asarray([12, 9, 7, 12])
+
+    def loss(p, a, b, c, d):
+        return llm.forward_loss(p, CFG, a, b, c, d)["loss"]
+
+    ref = float(jax.jit(loss)(params, tt, tl, st, sl))
+
+    sharded_params = jax.device_put(params, named(mesh, llm_param_specs()))
+    data = NamedSharding(mesh, P("data"))
+    got = float(
+        jax.jit(loss)(
+            sharded_params,
+            jax.device_put(tt, data), jax.device_put(tl, data),
+            jax.device_put(st, data), jax.device_put(sl, data),
+        )
+    )
+    assert abs(got - ref) < 1e-4, (got, ref)
+
+
+def test_tp_sharded_generate_runs(mesh):
+    """KV-cached decode under TP sharding compiles and emits valid tokens."""
+    from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
+
+    params = llm.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    sharded = jax.device_put(params, named(mesh, llm_param_specs()))
+    text = jnp.arange(5, dtype=jnp.int32)
+    emb, plen = llm.build_inference_prompt(
+        sharded, CFG, text, jnp.int32(5), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    res = jax.jit(
+        lambda p, r, e, pl: llm.generate(
+            p, CFG, r, e, pl, jnp.int32(3), jnp.int32(16),
+            SamplingParams.make(), inference_head_num=2, max_tokens=24,
+        )
+    )(sharded, jax.random.PRNGKey(2), emb, plen)
+    n = int(res.num_tokens)
+    assert 3 <= n <= 16
+    toks = np.asarray(res.tokens[:n])
+    assert (toks < CFG.speech_token_size).all() and (toks >= 0).all()
+
+
+def test_zero_sharding_specs():
+    params = llm.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    mesh = make_mesh(data=4, model=2)
+    shardings = zero_sharding(params, mesh)
+    leaves_p = jax.tree.leaves(params)
+    leaves_s = jax.tree.leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+    assert len(leaves_p) == len(leaves_s)
+    # placing optimizer-like state with these shardings works
+    placed = jax.device_put(jax.tree.map(jnp.zeros_like, params), shardings)
+    assert jax.tree.leaves(placed)[0] is not None
