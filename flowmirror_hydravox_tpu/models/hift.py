@@ -301,3 +301,201 @@ def inference(
     s, _ = sine_source(rng, cfg, f0_up)
     sine_merge = jnp.tanh(linear(params["m_source_linear"], s))  # (B, T, 1)
     return decode(params, cfg, mel, jnp.swapaxes(sine_merge, 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Causal HiFT variant (reference CausalHiFTGenerator, generator.py:572-726)
+#
+# Same parameter tree as the non-causal model (padding is a runtime concern,
+# not a weight-layout one): conv_pre becomes a right-lookahead conv (4-frame
+# lookahead), every other conv left-causal, upsamples are nearest-x + left
+# conv, source downsamples stride with left pad.  `finalize=False` consumes
+# the trailing lookahead as context and emits fewer samples — re-running with
+# a grown prefix reproduces the earlier prefix exactly (the deterministic
+# noise buffers below replace the reference's fixed torch.rand buffers,
+# generator.py:224-226, 356: plain attributes, absent from checkpoints).
+
+
+def _causal_pad_len(kernel: int, dilation: int = 1) -> int:
+    return ((kernel * dilation - dilation) // 2) * 2 + (kernel + 1) % 2
+
+
+def _conv_causal_left(p, x, dilation=1):
+    pad = _causal_pad_len(p["w"].shape[-1], dilation)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding="VALID",
+        rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + p["b"][None, :, None]
+
+
+def resblock_causal(p, x, dilations):
+    for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], p["alpha1"], p["alpha2"], dilations):
+        xt = snake(x, a1)
+        xt = _conv_causal_left(c1, xt, dilation=d)
+        xt = snake(xt, a2)
+        xt = _conv_causal_left(c2, xt, dilation=1)
+        x = xt + x
+    return x
+
+
+def _upsample_causal(p, x, stride):
+    """CausalConv1dUpsample (convolution.py:224-258): nearest x stride, left
+    pad k-1, stride-1 conv. The shared param tree stores `ups` weights in the
+    torch ConvTranspose layout (I, O, K); transpose to (O, I, K) for a plain
+    conv."""
+    w = jnp.swapaxes(p["w"], 0, 1)
+    k = w.shape[-1]
+    x = jnp.repeat(x, stride, axis=-1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (k - 1, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + p["b"][None, :, None]
+
+
+def _source_down_causal(sd, x, stride):
+    """CausalConv1dDownSample (convolution.py:190-221): left pad stride-1."""
+    if stride == 1:
+        return conv1d(sd, x)
+    x = jnp.pad(x, ((0, 0), (0, 0), (stride - 1, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, sd["w"], window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + sd["b"][None, :, None]
+
+
+def f0_look_right(params: dict) -> int:
+    """Right lookahead of the causal f0 predictor = causal_padding of its
+    first conv (k=4 in the reference CausalConvRNNF0Predictor -> 3; the
+    shared non-causal tree has k=3 -> 2)."""
+    return _causal_pad_len(params["f0_predictor"]["convs"][0]["w"].shape[-1])
+
+
+def conv_pre_look_right(params: dict) -> int:
+    """Right lookahead of the causal conv_pre (k=5 in the reference
+    CausalHiFTGenerator -> 4; shared k=7 tree -> 6)."""
+    return _causal_pad_len(params["conv_pre"]["w"].shape[-1])
+
+
+def predict_f0_causal(params: dict, cfg: HiFTConfig, mel: jnp.ndarray,
+                      finalize: bool = True) -> jnp.ndarray:
+    """CausalConvRNNF0Predictor (f0_predictor.py:62-103): first conv with
+    right lookahead (kernel-derived), rest left-causal."""
+    convs = params["f0_predictor"]["convs"]
+    look_right = f0_look_right(params)
+    x = mel
+    if finalize:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, look_right)))
+    out = jax.lax.conv_general_dilated(
+        x, convs[0]["w"], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ) + convs[0]["b"][None, :, None]
+    x = jax.nn.elu(out)
+    for conv in convs[1:]:
+        x = jax.nn.elu(_conv_causal_left(conv, x))
+    x = jnp.swapaxes(x, 1, 2)
+    return jnp.abs(linear(params["f0_predictor"]["classifier"], x)[..., 0])
+
+
+def _fixed_noise(shape, seed: int) -> jnp.ndarray:
+    """Deterministic stand-in for the reference's fixed rand buffers."""
+    return jax.random.uniform(jax.random.PRNGKey(seed), shape)
+
+
+def sine_source_causal(cfg: HiFTConfig, f0_up: jnp.ndarray):
+    """SineGen2 causal=True (generator.py:241-316): fixed phase offsets and
+    fixed noise buffers so growing-prefix calls are reproducible."""
+    b, t, _ = f0_up.shape
+    nh = cfg.nb_harmonics + 1
+    harmonics = jnp.arange(1, nh + 1, dtype=jnp.float32)
+    fn = f0_up * harmonics[None, None, :]
+
+    rad = (fn / cfg.sampling_rate) % 1.0
+    rand_ini = _fixed_noise((1, nh), 101).at[:, 0].set(0.0)
+    rad = rad.at[:, 0, :].add(jnp.broadcast_to(rand_ini, (b, nh)))
+
+    up = cfg.upsample_scale
+    rad_frame = _interp_linear(jnp.swapaxes(rad, 1, 2), t // up)
+    phase = jnp.cumsum(rad_frame, axis=-1) * 2.0 * jnp.pi
+    # causal=True uses NEAREST phase upsampling (generator.py:257)
+    phase_up = jnp.repeat(phase * up, up, axis=-1)[:, :, :t]
+    sines = jnp.swapaxes(jnp.sin(phase_up), 1, 2)
+
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)
+    sine_waves = sines * cfg.nsf_alpha
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    noise = noise_amp * _fixed_noise((1, 300 * 24000 // max(nh, 1), nh), 102)[:, :t, :]
+    return sine_waves * uv + noise, uv
+
+
+def decode_causal(params: dict, cfg: HiFTConfig, mel: jnp.ndarray,
+                  source: jnp.ndarray, finalize: bool = True) -> jnp.ndarray:
+    """CausalHiFTGenerator.decode (generator.py:672-711)."""
+    n_fft, hop = cfg.istft_n_fft, cfg.istft_hop_len
+    pre_lr = conv_pre_look_right(params)
+    s_real, s_imag = _stft_16(source[:, 0], n_fft, hop)
+    up_prod = 1
+    for r in cfg.upsample_rates:
+        up_prod *= r
+
+    if finalize:
+        x = jnp.pad(mel, ((0, 0), (0, 0), (0, pre_lr)))
+    else:
+        x = mel  # trailing look_right frames act as the lookahead context
+    x = jax.lax.conv_general_dilated(
+        x, params["conv_pre"]["w"], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ) + params["conv_pre"]["b"][None, :, None]
+    if not finalize:
+        s_real = s_real[:, :, : -(up_prod * pre_lr)]
+        s_imag = s_imag[:, :, : -(up_prod * pre_lr)]
+    s_stft = jnp.concatenate([s_real, s_imag], axis=1)
+
+    strides = _source_down_strides(cfg)
+    n_up = len(cfg.upsample_rates)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(n_up):
+        u = cfg.upsample_rates[i]
+        x = jax.nn.leaky_relu(x, cfg.lrelu_slope)
+        x = _upsample_causal(params["ups"][i], x, u)
+        if i == n_up - 1:
+            x = jnp.concatenate([x[:, :, 1:2], x], axis=2)  # reflection_pad (1,0)
+        si = _source_down_causal(params["source_downs"][i], s_stft, strides[i])
+        si = resblock_causal(
+            params["source_resblocks"][i], si, cfg.source_resblock_dilation_sizes[i]
+        )
+        si = si[:, :, : x.shape[2]]
+        x = x + si
+        xs = None
+        for j in range(nk):
+            r = resblock_causal(params["resblocks"][i * nk + j], x,
+                                cfg.resblock_dilation_sizes[j])
+            xs = r if xs is None else xs + r
+        x = xs / nk
+
+    x = jax.nn.leaky_relu(x)
+    x = _conv_causal_left(params["conv_post"], x)
+    magnitude = jnp.exp(jnp.clip(x[:, : n_fft // 2 + 1], None, math.log(1e2)))
+    phase = jnp.sin(x[:, n_fft // 2 + 1 :])
+    audio = _istft_16(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase), n_fft, hop)
+    if not finalize:
+        audio = audio[:, : -(up_prod * hop)]
+    return jnp.clip(audio, -cfg.audio_limit, cfg.audio_limit)
+
+
+def inference_causal(params: dict, cfg: HiFTConfig, mel: jnp.ndarray,
+                     finalize: bool = True):
+    """CausalHiFTGenerator.inference (generator.py:713-726). Returns wav.
+    finalize=False consumes (f0_look_right + conv_pre_look_right) trailing
+    mel frames as lookahead context (kernel-derived)."""
+    f0_lr = f0_look_right(params)
+    f0 = predict_f0_causal(params, cfg, mel, finalize)
+    f0_up = jnp.repeat(f0, cfg.upsample_scale, axis=-1)[..., None]
+    s, _ = sine_source_causal(cfg, f0_up)
+    sine_merge = jnp.tanh(linear(params["m_source_linear"], s))
+    mel_in = mel if finalize else mel[:, :, :-f0_lr]
+    return decode_causal(params, cfg, mel_in, jnp.swapaxes(sine_merge, 1, 2), finalize)

@@ -91,3 +91,48 @@ def test_inference_shape(params):
     w = np.asarray(wav)
     assert np.isfinite(w).all()
     assert np.abs(w).max() <= CFG.audio_limit + 1e-6
+
+
+def test_causal_inference_shapes(params):
+    """finalize=True emits T*480 samples; finalize=False consumes the 7-frame
+    lookahead and trims hop*upsample at the tail."""
+    t_mel = 24
+    mel = jax.random.normal(jax.random.PRNGKey(4), (1, 80, t_mel)) * 0.5
+    wav_full = hift.inference_causal(params, CFG, mel, finalize=True)
+    assert wav_full.shape == (1, t_mel * CFG.upsample_scale)
+    assert np.isfinite(np.asarray(wav_full)).all()
+
+    wav_part = hift.inference_causal(params, CFG, mel, finalize=False)
+    up_prod = 1
+    for r in CFG.upsample_rates:
+        up_prod *= r
+    lookahead = hift.f0_look_right(params) + hift.conv_pre_look_right(params)
+    expect = (t_mel - lookahead) * CFG.upsample_scale - up_prod * CFG.istft_hop_len
+    assert wav_part.shape == (1, expect)
+
+
+def test_causal_streaming_prefix_consistency(params):
+    """Growing-prefix calls must reproduce earlier samples (the reference's
+    chunked-equivalence harness, generator.py:729-746): deterministic fixed
+    noise buffers make re-runs of a prefix identical."""
+    t_mel = 40
+    mel = jax.random.normal(jax.random.PRNGKey(5), (1, 80, t_mel)) * 0.5
+    full = np.asarray(hift.inference_causal(params, CFG, mel, finalize=True))
+
+    chunk = 10
+    ctx = hift.f0_look_right(params) + hift.conv_pre_look_right(params)
+    up = CFG.upsample_scale
+    max_err = 0.0
+    for i in range(0, t_mel, chunk):
+        end = i + chunk + ctx
+        finalize = end >= t_mel
+        part = np.asarray(
+            hift.inference_causal(params, CFG, mel[:, :, : min(end, t_mel)],
+                                  finalize=finalize)
+        )
+        seg = part[:, i * up :]
+        ref_seg = full[:, i * up : i * up + seg.shape[1]]
+        if seg.shape[1]:
+            max_err = max(max_err, float(np.abs(seg - ref_seg).max()))
+    # causal convs guarantee prefix outputs agree up to istft edge effects
+    assert max_err < 5e-2, max_err
