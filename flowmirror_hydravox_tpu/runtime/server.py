@@ -261,7 +261,7 @@ class _Handler(BaseHTTPRequestHandler):
             from .training_manager import training_manager
             from .training_plots import generate_training_plot
 
-            tid = self.path.rsplit("/", 1)[1]
+            tid = self.path.split("?")[0].rsplit("/", 1)[1]
             with training_manager.lock:
                 entry = training_manager.trainings.get(tid)
             if entry is None:

@@ -85,6 +85,7 @@ INDEX_HTML = """<!DOCTYPE html>
  <button class="go" id="tr-go">Start training</button>
  <button class="go" id="tr-stop" style="background:#ab3b23">Stop</button>
  <div class="status" id="tr-status"></div>
+ <img id="tr-plot" style="max-width:100%; margin-top:10px; display:none"/>
  <pre id="tr-log"></pre>
 </section>
 
@@ -162,6 +163,9 @@ $('tr-go').onclick = async () => {
       $('tr-status').textContent = `${s.data.status} (${Math.round(s.data.elapsed_s)} s)`;
       if (s.data.new_log) { $('tr-log').textContent += s.data.new_log;
         $('tr-log').scrollTop = $('tr-log').scrollHeight; }
+      const img = $('tr-plot');
+      img.src = '/api/v1/training/plot/' + trainingId + '?t=' + Date.now();
+      img.style.display = 'block';
       if (s.data.status !== 'running') clearInterval(poller);
     }
   }, 2000);
