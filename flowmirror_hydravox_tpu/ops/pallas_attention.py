@@ -66,7 +66,9 @@ def _decode_attn_kernel(
     k_blk = k_ref[:]  # (S_blk, Hkv, D)
     v_blk = v_ref[:]
 
-    def per_head(h, _):
+    # static unrolled loop over KV heads (Mosaic cannot lower dynamic ref
+    # indexing; Hkv is 2 for the flagship config so unrolling is free)
+    for h in range(q_ref.shape[0]):
         q_h = q_ref[h]  # (GK, D)
         k_h = jnp.swapaxes(k_blk[:, h, :], 0, 1)  # (D, S_blk)
         scores = jnp.dot(
@@ -86,9 +88,6 @@ def _decode_attn_kernel(
         m_ref[h] = jnp.broadcast_to(m_cur, m_ref[h].shape)
         l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
         acc_ref[h] = acc
-        return _
-
-    jax.lax.fori_loop(0, q_ref.shape[0], per_head, 0)
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _finish():
