@@ -76,6 +76,29 @@ def main(argv=None):
     from .runtime.server import serve
 
     cfg = tiny_config() if args.tiny else HydraVoxConfig()
+    tokenizer = get_tokenizer(args.tokenizer_path)
+
+    # When initializing fresh LLM weights (no checkpoint), size the text
+    # embedding to the tokenizer's vocab (padded to a multiple of 128 for MXU
+    # tiling) instead of the Qwen2 default. Checkpoints keep their own shapes.
+    have_llm_ckpt = args.model_dir and (
+        os.path.exists(os.path.join(args.model_dir, "llm.pt"))
+        or os.path.exists(os.path.join(args.model_dir, "llm.npz"))
+    )
+    if not args.tiny and not have_llm_ckpt:
+        import dataclasses
+
+        padded = -(-tokenizer.vocab_size // 128) * 128
+        cfg = dataclasses.replace(
+            cfg,
+            llm=dataclasses.replace(
+                cfg.llm,
+                backbone=dataclasses.replace(cfg.llm.backbone, vocab_size=padded),
+            ),
+        )
+        logging.info("fresh init: text vocab follows tokenizer (%d -> padded %d)",
+                     tokenizer.vocab_size, padded)
+
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
 
     llm_params = load_or_init(
@@ -95,7 +118,7 @@ def main(argv=None):
     )
 
     engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=args.max_tokens)
-    frontend = Frontend(cfg, tokenizer=get_tokenizer(args.tokenizer_path))
+    frontend = Frontend(cfg, tokenizer=tokenizer)
     if args.spk2info and os.path.exists(args.spk2info):
         frontend.load_spk2info(args.spk2info)
     if not frontend.available_speakers():

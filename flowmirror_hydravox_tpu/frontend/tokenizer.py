@@ -13,7 +13,19 @@ benchmarks — same interface, no assets required.
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import List
+
+logger = logging.getLogger(__name__)
+
+# Default rank asset: the whisper-style multilingual zh/ja/yue vocab shipped
+# with the reference (server/model_utils/cosyvoice/tokenizer/assets/
+# multilingual_zh_ja_yue_char_del.tiktoken, 907 KB) — a data file, vendored
+# here so the real tokenizer is the out-of-the-box default.
+DEFAULT_TIKTOKEN_ASSET = os.path.join(
+    os.path.dirname(__file__), "assets", "multilingual_zh_ja_yue_char_del.tiktoken"
+)
 
 
 # CosyVoice3 special tokens (tokenizer.py:274-313): paralinguistic +
@@ -113,10 +125,11 @@ class QwenTokenizer:
 
 
 class WhisperTiktokenTokenizer:
-    """CV1-style whisper/tiktoken tokenizer (reference tokenizer.py:169-238:
+    """Whisper-style tiktoken tokenizer (reference tokenizer.py:169-238:
     `get_encoding` over a .tiktoken rank file + TTS special tokens).  The
-    rank asset ships with the reference weights (absent from the snapshot);
-    this loads any such file when provided."""
+    rank asset IS present in the reference snapshot
+    (tokenizer/assets/multilingual_zh_ja_yue_char_del.tiktoken) and is
+    vendored under frontend/assets/ — it is the default tokenizer."""
 
     def __init__(self, tiktoken_file: str, num_languages: int = 100):
         import base64 as _b64
@@ -154,18 +167,33 @@ class WhisperTiktokenTokenizer:
         return self.encoding.decode(ids)
 
 
-def get_tokenizer(token_path: str | None = None):
-    """Load the real tokenizer when assets are present, else the byte
-    fallback (documented delta: the fmtn wheel + tiktoken asset are absent
-    from the reference snapshot too, SURVEY.md §2.5)."""
-    if token_path:
-        if token_path.endswith(".tiktoken"):
-            try:
-                return WhisperTiktokenTokenizer(token_path)
-            except Exception:
-                pass
+def get_tokenizer(token_path: str | None = None, strict: bool = False):
+    """Load the real tokenizer (reference tokenizer.py:316-327 get_qwen_tokenizer
+    / :169-238 get_encoding equivalents).
+
+    Resolution order:
+      1. explicit `token_path` (.tiktoken rank file or HF tokenizer dir);
+      2. the vendored whisper-tiktoken asset (DEFAULT_TIKTOKEN_ASSET,
+         vocab 59,319 incl. the ~560 TTS/phoneme specials) — the default;
+      3. ByteTokenizer, with a loud warning: byte-level ids do NOT match any
+         reference checkpoint's text-embedding vocab (tests/benchmarks only).
+
+    strict=True re-raises instead of falling through when a load fails.
+    """
+    candidates = [token_path] if token_path else []
+    if not token_path and os.path.exists(DEFAULT_TIKTOKEN_ASSET):
+        candidates.append(DEFAULT_TIKTOKEN_ASSET)
+    for cand in candidates:
         try:
-            return QwenTokenizer(token_path)
-        except Exception:
-            pass
+            if cand.endswith(".tiktoken"):
+                return WhisperTiktokenTokenizer(cand)
+            return QwenTokenizer(cand)
+        except Exception as e:
+            if strict:
+                raise
+            logger.warning("failed to load tokenizer from %s: %s", cand, e)
+    logger.warning(
+        "falling back to ByteTokenizer — byte-level token ids do NOT match "
+        "reference checkpoints' text vocab; pass token_path for production use"
+    )
     return ByteTokenizer()

@@ -49,6 +49,32 @@ def test_byte_tokenizer_roundtrip():
     assert ids.count(tok.specials["[breath]"]) == 1
 
 
+def test_default_tokenizer_is_tiktoken():
+    """get_tokenizer() must default to the vendored whisper-tiktoken asset
+    (reference tokenizer.py:169-238), not the byte fallback."""
+    from flowmirror_hydravox_tpu.frontend.tokenizer import (
+        WhisperTiktokenTokenizer, get_tokenizer,
+    )
+
+    tok = get_tokenizer()
+    assert isinstance(tok, WhisperTiktokenTokenizer)
+    assert tok.vocab_size == 59319
+    ids = tok.encode("你好，世界 hello world [breath] [AA1] [:zh]")
+    assert tok.decode(ids) == "你好，世界 hello world [breath] [AA1] [:zh]"
+    # specials encode to single ids at the top of the vocab
+    assert max(ids) >= 58757
+
+
+def test_get_tokenizer_strict_raises(tmp_path):
+    from flowmirror_hydravox_tpu.frontend.tokenizer import ByteTokenizer, get_tokenizer
+
+    bad = tmp_path / "bad.tiktoken"
+    bad.write_text("not a rank file")
+    with pytest.raises(Exception):
+        get_tokenizer(str(bad), strict=True)
+    assert isinstance(get_tokenizer(str(bad)), ByteTokenizer)
+
+
 def test_wavio_roundtrip():
     wav = (np.sin(np.linspace(0, 100, 24000)) * 0.7).astype(np.float32)
     data = wavio.encode_wav(wav, 24000)
