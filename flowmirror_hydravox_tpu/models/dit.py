@@ -202,9 +202,13 @@ def forward(
     `unroll` defaults to True on TPU: the axon backend miscompiles bf16 scan
     *backward* (see models/qwen2.py forward docstring); inference-only
     callers may pass unroll=False for faster compiles."""
-    x = jnp.swapaxes(x, 1, 2)
-    mu = jnp.swapaxes(mu, 1, 2)
-    cond = jnp.swapaxes(cond, 1, 2)
+    # mixed-precision policy: compute in the param dtype (bf16 in training
+    # CLIs / serving), accumulate the loss in f32 at the caller
+    dtype = params["input_proj"]["w"].dtype
+    x = jnp.swapaxes(x, 1, 2).astype(dtype)
+    mu = jnp.swapaxes(mu, 1, 2).astype(dtype)
+    cond = jnp.swapaxes(cond, 1, 2).astype(dtype)
+    spks = spks.astype(dtype)
     b, seq_len, _ = x.shape
 
     t_emb = timestep_embedding(params, t, cfg.freq_embed_dim)  # (B, dim)

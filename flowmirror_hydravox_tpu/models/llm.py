@@ -291,6 +291,9 @@ def init_generate_state(
     t_prompt, _ = prompt_embeds.shape
     if cache_len_cap is None:
         cache_len_cap = t_prompt + max_tokens + head_k
+    # round up to a multiple of 256: Pallas flash-decode blocks and XLA tiling
+    # both want block-aligned cache lengths; extra rows are masked out
+    cache_len_cap = -(-cache_len_cap // 256) * 256
     bb = cfg.backbone
 
     cache = qwen2.init_kv_cache(bb, 1, cache_len_cap, dtype=prompt_embeds.dtype)
@@ -395,6 +398,7 @@ def generate_batched(
     b, t_prompt, h = prompt_embeds.shape
     if cache_len_cap is None:
         cache_len_cap = t_prompt + max_tokens + head_k
+    cache_len_cap = -(-cache_len_cap // 256) * 256
     bb = cfg.backbone
 
     cache = qwen2.init_kv_cache(bb, b, cache_len_cap, dtype=prompt_embeds.dtype)

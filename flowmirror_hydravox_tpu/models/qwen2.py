@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Qwen2Config
-from ..ops.attention import decode_attention, mha
+from ..ops.attention import decode_attention_dispatch, mha
 from ..ops.rope import apply_rope_halved, rope_cos_sin
 
 
@@ -197,7 +197,7 @@ def forward_block_with_cache(
         k = apply_rope_halved(k, cos, sin)
         k_cache_l = write(k_cache_l, k.astype(k_cache_l.dtype), cache.length)
         v_cache_l = write(v_cache_l, v.astype(v_cache_l.dtype), cache.length)
-        attn = decode_attention(q, k_cache_l, v_cache_l, cache.length)
+        attn = decode_attention_dispatch(q, k_cache_l, v_cache_l, cache.length)
         x = x + attn.reshape(b, kblk, -1) @ layer["o_proj_w"]
         mlp_in = _rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp_block(layer, mlp_in)

@@ -12,9 +12,50 @@ Replaces (TPU-natively) the reference's torch SDPA / vLLM paths
 
 from __future__ import annotations
 
+import logging
+import os
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 NEG_INF = -1.0e10
+
+logger = logging.getLogger(__name__)
+
+# Pallas decode-kernel dispatch state. Tri-state override: None = auto
+# (HYDRAVOX_PALLAS_ATTN env: "1"/"0"/"auto"; auto = on when backend is TPU).
+_PALLAS_DECODE: Optional[bool] = None
+_PALLAS_INTERPRET: bool = False
+
+
+def set_pallas_decode(enabled: Optional[bool], interpret: bool = False) -> None:
+    """Force the fused Pallas decode-attention kernel on/off (None = auto).
+
+    Call before the first jit trace — already-compiled programs keep the
+    path they were traced with. `interpret=True` runs the kernel in Pallas
+    interpreter mode (CPU tests)."""
+    global _PALLAS_DECODE, _PALLAS_INTERPRET
+    _PALLAS_DECODE = enabled
+    _PALLAS_INTERPRET = interpret
+
+
+def pallas_decode_enabled() -> bool:
+    if _PALLAS_DECODE is not None:
+        return _PALLAS_DECODE
+    env = os.environ.get("HYDRAVOX_PALLAS_ATTN", "auto").lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _pick_block(s_max: int) -> Optional[int]:
+    for blk in (512, 256, 128, 64):
+        if s_max % blk == 0:
+            return blk
+    return None
 
 
 def mha(
@@ -67,3 +108,30 @@ def decode_attention(
     else:
         mask = key_pos < (cache_len[:, None, None] + t)
     return mha(q, k_cache, v_cache, mask)
+
+
+def decode_attention_dispatch(
+    q: jnp.ndarray,  # (B, T, Hq, D)
+    k_cache: jnp.ndarray,  # (B, S_max, Hkv, D)
+    v_cache: jnp.ndarray,  # (B, S_max, Hkv, D)
+    cache_len: jnp.ndarray,  # (B,) int32
+) -> jnp.ndarray:
+    """Decode attention, routed to the fused Pallas flash-decode kernel
+    (ops/pallas_attention.py) when enabled and applicable, else the XLA path.
+
+    Pallas path requirements: B == 1 (serving decode; flash batch stays on
+    the batched XLA einsum, which already amortizes weight reads) and S_max
+    divisible by a supported block size. The kernel is the TPU-native stand-in
+    for the reference's vLLM fast path (llm_multi_head_v3.py:476-504)."""
+    b, t, hq, d = q.shape
+    s_max = k_cache.shape[1]
+    blk = _pick_block(s_max)
+    if pallas_decode_enabled() and b == 1 and blk is not None:
+        from .pallas_attention import pallas_decode_attention
+
+        out = pallas_decode_attention(
+            q[0], k_cache[0], v_cache[0], cache_len[0].astype(jnp.int32),
+            s_blk=blk, interpret=_PALLAS_INTERPRET,
+        )
+        return out[None]
+    return decode_attention(q, k_cache, v_cache, cache_len)

@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None,
                    help="write TB scalars (reference train_utils.py:187-192)")
     p.add_argument("--resume", default=None)
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="TP degree over the 'model' mesh axis (DiT estimator "
+                        "attention/FF sharding, parallel/sharding.flow_param_specs)")
+    p.add_argument("--shard_optimizer", action="store_true",
+                   help="ZeRO-2-style optimizer-moment sharding over 'data'")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -42,6 +47,7 @@ def main(argv=None):
     from ..config import HydraVoxConfig, tiny_config
     from ..models import flow as flow_model
     from ..parallel.mesh import make_mesh
+    from ..parallel.sharding import flow_param_specs, named, zero_sharding
     from ..utils import audio as audio_utils
     from . import checkpoint as ckpt
     from .data import FlowCollator, batch_iterator, load_hf_dataset
@@ -49,7 +55,7 @@ def main(argv=None):
 
     full_cfg = tiny_config() if args.tiny else HydraVoxConfig()
     cfg = full_cfg.flow
-    mesh = make_mesh(model=1)
+    mesh = make_mesh(model=args.tensor_parallel)
     assert args.batch_size % mesh.shape["data"] == 0
 
     rng = jax.random.PRNGKey(args.seed)
@@ -69,13 +75,20 @@ def main(argv=None):
             total_steps=args.max_steps,
         )
     )
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    param_sharding = named(mesh, flow_param_specs()) if args.tensor_parallel > 1 else repl
+    params = jax.device_put(params, param_sharding)
     state = init_state(params, optimizer)
     if args.resume:
         state = ckpt.restore_train_state(args.resume, state)
-
-    repl = NamedSharding(mesh, P())
-    dsh = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, repl)
+        state = state._replace(params=jax.device_put(state.params, param_sharding))
+    if args.shard_optimizer:
+        state = state._replace(
+            opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))
+        )
+    logger.info("mesh %s  tp=%d  zero=%s", dict(mesh.shape),
+                args.tensor_parallel, args.shard_optimizer)
     step_fn = jax.jit(
         lambda s, b, r: flow_train_step(s, b, r, cfg, optimizer), donate_argnums=(0,)
     )
@@ -103,6 +116,7 @@ def main(argv=None):
         tb = SummaryWriter(args.tensorboard_dir)
 
     t0 = time.time()
+    metrics = {}
     for batch in it:
         rng, step_rng = jax.random.split(rng)
         sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
@@ -124,6 +138,8 @@ def main(argv=None):
             break
 
     ckpt.save_train_state(args.output_dir, jax.device_get(state), int(state.step))
+    return {"step": int(state.step),
+            "metrics": {k: float(v) for k, v in metrics.items()}}
 
 
 if __name__ == "__main__":

@@ -44,6 +44,12 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None,
                    help="write TB scalars (reference train_utils.py:187-192)")
     p.add_argument("--resume", default=None, help="orbax train-state dir")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron-style TP degree over the 'model' mesh axis "
+                        "(parallel/sharding.llm_param_specs)")
+    p.add_argument("--shard_optimizer", action="store_true",
+                   help="ZeRO-2-style optimizer-moment sharding over 'data' "
+                        "(reference DeepSpeed stage 2, deepspeed_config.json)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -54,12 +60,13 @@ def main(argv=None):
     from ..frontend.tokenizer import get_tokenizer
     from ..models import llm as llm_model
     from ..parallel.mesh import make_mesh
+    from ..parallel.sharding import llm_param_specs, named, zero_sharding
     from . import checkpoint as ckpt
     from .data import LLMCollator, batch_iterator, load_hf_dataset
     from .steps import OptimConfig, init_state, llm_train_step, make_optimizer
 
     cfg = (tiny_config() if args.tiny else HydraVoxConfig()).llm
-    mesh = make_mesh(model=1)
+    mesh = make_mesh(model=args.tensor_parallel)
     n_data = mesh.shape["data"]
     assert args.batch_size % n_data == 0, (
         f"batch_size {args.batch_size} not divisible by {n_data} data shards"
@@ -85,14 +92,26 @@ def main(argv=None):
             total_steps=args.max_steps,
         )
     )
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    param_sharding = named(mesh, llm_param_specs()) if args.tensor_parallel > 1 else repl
+
+    # Place params first: optimizer.init builds moments with zeros_like, so
+    # they inherit the param layout (TP-sharded or replicated).
+    params = jax.device_put(params, param_sharding)
     state = init_state(params, optimizer)
     if args.resume:
         state = ckpt.restore_train_state(args.resume, state)
+        state = state._replace(params=jax.device_put(state.params, param_sharding))
         logger.info("resumed at step %d", int(state.step))
-
-    repl = NamedSharding(mesh, P())
-    dsh = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, repl)
+    if args.shard_optimizer:
+        # ZeRO-2 layout: moments sharded over 'data' on each leaf's largest
+        # divisible axis (reference DeepSpeed stage-2 equivalent)
+        state = state._replace(
+            opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))
+        )
+    logger.info("mesh %s  tp=%d  zero=%s", dict(mesh.shape),
+                args.tensor_parallel, args.shard_optimizer)
 
     step_fn = jax.jit(
         lambda s, b: llm_train_step(s, b, cfg, optimizer), donate_argnums=(0,)
@@ -112,6 +131,7 @@ def main(argv=None):
         tb = SummaryWriter(args.tensorboard_dir)
 
     t0 = time.time()
+    metrics = {}
     for batch in it:
         sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
         state, metrics = step_fn(state, sharded)
@@ -145,6 +165,10 @@ def main(argv=None):
 
     ckpt.save_train_state(args.output_dir, jax.device_get(state), int(state.step))
     logger.info("done at step %d", int(state.step))
+    return {"step": int(state.step),
+            "metrics": {k: float(v) for k, v in metrics.items()},
+            "opt_state_shardings": jax.tree.map(
+                lambda x: getattr(x, "sharding", None), state.opt_state)}
 
 
 if __name__ == "__main__":
