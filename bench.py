@@ -91,9 +91,7 @@ def main():
         }))
 
     # TTFT: time to the first streamed ~1 s chunk at heads=4
-    from flowmirror_hydravox_tpu.runtime.streaming import StreamingSynthesizer
-
-    synth = StreamingSynthesizer(engine)
+    synth = engine.streaming()
     text = np.arange(text_len, dtype=np.int32) % 1000
 
     def first_chunk_latency(rng):
@@ -143,10 +141,40 @@ def main():
     audio_dur = len(r.audio) / cfg.sample_rate
     rtf = r.total_time / audio_dur
     target = 0.05
+
+    # honest stage split: time the vocoder alone on the same mel shape, then
+    # flow_s = fused synth_s - hift_s (flow+hift are one fused program in the
+    # served path; this decomposition is for observability only)
+    n_frames = n_tokens * cfg.flow.token_mel_ratio
+    mbkt = engine._bucket_mel(n_frames)
+    mel_probe = jax.random.normal(jax.random.PRNGKey(3), (1, 80, mbkt)) * 2.0 - 6.0
+    hift_fn = engine._hift_only_fn()
+    jax.block_until_ready(hift_fn(hift_params, mel_probe, jax.random.PRNGKey(4)))
+    t0 = time.time()
+    for i in range(3):
+        jax.block_until_ready(hift_fn(hift_params, mel_probe, jax.random.PRNGKey(5 + i)))
+    hift_s = (time.time() - t0) / 3
+    flow_s = max(r.synth_time - hift_s, 0.0)
     print(json.dumps({
         "aux": True, "metric": "stage_times_heads4",
-        "llm_s": round(r.llm_time, 4), "flow_s": round(r.flow_time, 4),
-        "hift_s": round(r.hift_time, 4), "audio_s": round(audio_dur, 3),
+        "llm_s": round(r.llm_time, 4), "flow_s": round(flow_s, 4),
+        "hift_s": round(hift_s, 4), "audio_s": round(audio_dur, 3),
+    }))
+
+    # decode HBM roofline: each base-LLM step streams the weights once from
+    # HBM (batch 1, bandwidth-bound); v5e peak ~819 GB/s
+    weight_bytes = sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize for p in jax.tree.leaves(llm_params)
+    )
+    step_s = r.llm_time / max(r.steps, 1)
+    hbm_peak = 819e9
+    roofline_pct = (weight_bytes / step_s) / hbm_peak * 100
+    print(json.dumps({
+        "aux": True, "metric": "decode_hbm_roofline_heads4",
+        "value": round(roofline_pct, 1), "unit": "%_of_819GBps",
+        "weight_gb": round(weight_bytes / 1e9, 3),
+        "step_ms": round(step_s * 1000, 3),
+        "tokens_per_sec_per_chip": round(r.tps / max(len(jax.devices()), 1), 1),
     }))
     print(json.dumps({
         "metric": "rtf_e2e_heads4", "value": round(rtf, 5), "unit": "x_realtime",

@@ -57,6 +57,8 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny random config (smoke)")
     p.add_argument("--max-tokens", type=int, default=1024)
     p.add_argument("--compile-cache", default=".jax_cache")
+    p.add_argument("--no-prewarm", action="store_true",
+                   help="skip compiling hot bucket programs before serving")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -125,6 +127,10 @@ def main(argv=None):
         frontend.add_speaker(
             "default", SpeakerInfo(embedding=np.zeros(192, np.float32))
         )
+
+    if not args.no_prewarm:
+        logging.info("prewarming hot bucket programs (use --no-prewarm to skip)...")
+        engine.prewarm()
 
     serve(args.api_host, args.api_port, engine, frontend, with_ui=args.with_ui)
 

@@ -13,6 +13,7 @@ benchmarks — same interface, no assets required.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import List
@@ -28,37 +29,26 @@ DEFAULT_TIKTOKEN_ASSET = os.path.join(
 )
 
 
-# CosyVoice3 special tokens (tokenizer.py:274-313): paralinguistic +
-# CMU ARPABET phonemes + pinyin initials/finals-with-tone.
-PARALINGUISTIC_TOKENS = [
-    "[breath]", "<strong>", "</strong>", "[noise]", "[laughter]", "[cough]",
-    "[clucking]", "[accent]", "[quick_breath]", "<laughter>", "</laughter>",
-    "[hissing]", "[sigh]", "[vocalized-noise]", "[lipsmack]", "[mn]",
-]
+# Special-token inventories, byte-exact with the reference
+# (cosyvoice/tokenizer/tokenizer.py): the CosyVoice3 additional specials
+# (paralinguistic + full CMU ARPABET + tone-marked pinyin initials/finals,
+# tokenizer.py:274-313) and the whisper-side tables (LANGUAGES/AUDIO_EVENT/
+# EMOTION/TTS_Vocal_Token, tokenizer.py:11-166) used by get_encoding's
+# special layout. Vendored as a data asset — token-id compatibility with
+# reference checkpoints depends on these exact strings in this exact order.
+with open(os.path.join(os.path.dirname(__file__), "assets", "special_tokens.json"),
+          encoding="utf-8") as _f:
+    _TABLES = json.load(_f)
 
-_ARPABET = [
-    "AA", "AE", "AH", "AO", "AW", "AY", "B", "CH", "D", "DH", "EH", "ER", "EY",
-    "F", "G", "HH", "IH", "IY", "JH", "K", "L", "M", "N", "NG", "OW", "OY",
-    "P", "R", "S", "SH", "T", "TH", "UH", "UW", "V", "W", "Y", "Z", "ZH",
+# CosyVoice3Tokenizer additional_special_tokens (tokenizer.py:277-306)
+SPECIAL_TOKENS = list(_TABLES["cv3_additional_special_tokens"])
+CMU_PHONE_TOKENS = [t for t in SPECIAL_TOKENS if t[1:-1].isupper() and t.startswith("[")]
+PINYIN_TOKENS = [
+    t for t in SPECIAL_TOKENS
+    if t.startswith("[") and t[1:-1].islower() and t not in
+    ("[breath]", "[noise]", "[laughter]", "[cough]", "[clucking]", "[accent]",
+     "[quick_breath]", "[hissing]", "[sigh]", "[vocalized-noise]", "[lipsmack]", "[mn]")
 ]
-_STRESS = ["", "0", "1", "2"]
-CMU_PHONE_TOKENS = [f"[{p}{s}]" for p in _ARPABET for s in _STRESS]
-
-_PINYIN_INITIALS = [
-    "b", "p", "m", "f", "d", "t", "n", "l", "g", "k", "h", "j", "q", "x",
-    "zh", "ch", "sh", "r", "z", "c", "s", "y", "w",
-]
-_PINYIN_FINALS = [
-    "a", "o", "e", "i", "u", "v", "ai", "ei", "ui", "ao", "ou", "iu", "ie",
-    "ve", "er", "an", "en", "in", "un", "vn", "ang", "eng", "ing", "ong",
-    "ia", "iao", "ian", "iang", "iong", "ua", "uo", "uai", "uan", "uang",
-    "ueng", "uen",
-]
-PINYIN_TOKENS = [f"[:{i}]" for i in _PINYIN_INITIALS] + [
-    f"[:{f}{t}]" for f in _PINYIN_FINALS for t in "12345"
-]
-
-SPECIAL_TOKENS = PARALINGUISTIC_TOKENS + CMU_PHONE_TOKENS + PINYIN_TOKENS
 
 
 class ByteTokenizer:
@@ -131,7 +121,7 @@ class WhisperTiktokenTokenizer:
     (tokenizer/assets/multilingual_zh_ja_yue_char_del.tiktoken) and is
     vendored under frontend/assets/ — it is the default tokenizer."""
 
-    def __init__(self, tiktoken_file: str, num_languages: int = 100):
+    def __init__(self, tiktoken_file: str, num_languages: int = 99):
         import base64 as _b64
 
         import tiktoken
@@ -144,11 +134,21 @@ class WhisperTiktokenTokenizer:
                 token, rank = line.split()
                 ranks[_b64.b64decode(token)] = int(rank)
         n_vocab = len(ranks)
+        # special layout mirrors reference get_encoding (tokenizer.py:179-198)
+        # byte-exact and in order, so special ids match CV1 checkpoints; the
+        # CosyVoice3 additional specials are appended AFTER (a documented
+        # extension — the reference keeps those only on the HF-Qwen tokenizer,
+        # whose assets are not in the snapshot)
         specials = [
             "<|endoftext|>", "<|startoftranscript|>",
-            *[f"<|lang_{i}|>" for i in range(num_languages)],
+            *[f"<|{lang}|>" for lang in _TABLES["languages"][:num_languages]],
+            *[f"<|{ev}|>" for ev in _TABLES["audio_events"]],
+            *[f"<|{em}|>" for em in _TABLES["emotions"]],
             "<|translate|>", "<|transcribe|>", "<|startoflm|>", "<|startofprev|>",
             "<|nospeech|>", "<|notimestamps|>",
+            *[f"<|SPECIAL_TOKEN_{i}|>" for i in range(1, 31)],
+            *[f"<|{tts}|>" for tts in _TABLES["tts_vocal_tokens"]],
+            *[f"<|{i * 0.02:.2f}|>" for i in range(1501)],
         ] + SPECIAL_TOKENS
         special_tokens = {tok: n_vocab + i for i, tok in enumerate(specials)}
         self.encoding = tiktoken.Encoding(

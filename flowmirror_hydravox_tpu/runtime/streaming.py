@@ -98,6 +98,93 @@ class StreamingSynthesizer:
             self._gen_until_cache[key] = jax.jit(fn)
         return self._gen_until_cache[key]
 
+    def _first_chunk_fn(self, tbkt: int, sbkt: int, pm_bucket: int,
+                        head_num: int, first_target: int, chunk_bucket: int):
+        """TTFT fast path: ONE jitted program = prompt assembly + KV prefill +
+        decode to the first hop + flow (streaming mask) + HiFT. Collapses the
+        two dispatches (+ the host round-trips between them) of the unfused
+        path into a single device program — each tunnel dispatch costs ~30 ms.
+
+        Assumes the utterance produces >= first_target tokens; the caller
+        checks state['num'] and falls back to the unfused path for very short
+        generations (the fused chunk is then discarded)."""
+        key = ("first", tbkt, sbkt, pm_bucket, head_num, first_target, chunk_bucket)
+        if key in self._flow_stream_cache:
+            return self._flow_stream_cache[key]
+
+        cfg = self.cfg.llm
+        fcfg, hcfg = self.cfg.flow, self.cfg.hift
+        ratio = fcfg.token_mel_ratio
+        la = fcfg.pre_lookahead_len
+        up = hcfg.upsample_scale
+        cap = 2 + tbkt + sbkt + self.engine.max_tokens + head_num
+        tok_bucket = self.engine._bucket_token(max(sbkt + first_target, 1))
+
+        @jax.jit
+        def fn(llm_params, flow_params, hift_params, rng, hift_rng,
+               text_tokens, text_len, sp_tokens, sp_len,
+               target, min_len, max_len, sampling,
+               prompt_feat, prompt_mel_len, embedding):
+            emb, plen = llm_model.build_inference_prompt(
+                llm_params, cfg, text_tokens, text_len, sp_tokens, sp_len
+            )
+            state = llm_model.init_generate_state(
+                llm_params, cfg, rng, emb, plen, inference_head_num=head_num,
+                max_tokens=self.engine.max_tokens, cache_len_cap=cap,
+            )
+            state = llm_model.generate_until(
+                llm_params, cfg, state, target, min_len, max_len, sampling,
+                inference_head_num=head_num,
+            )
+
+            # flow token sequence: [prompt speech tokens, first_target generated]
+            pos = jnp.arange(tok_bucket)
+            gen_idx = jnp.clip(pos - sp_len, 0, state["tokens"].shape[0] - 1)
+            if sbkt > 0:
+                sp_idx = jnp.clip(pos, 0, sbkt - 1)
+                seq = jnp.where(pos < sp_len, sp_tokens[sp_idx], state["tokens"][gen_idx])
+            else:
+                seq = state["tokens"][gen_idx]
+            n_tokens = sp_len + first_target
+            valid = pos < n_tokens
+            emit = pos < (n_tokens - la)
+
+            mel_full = flow_model.inference(
+                flow_params, fcfg, seq[None], valid[None], prompt_feat,
+                prompt_mel_len, embedding, finalize=False, streaming=True,
+                emit_valid=emit[None],
+            )
+            # generated frames only (prompt-token region is context)
+            start = prompt_mel_len + 0  # token_offset == 0 for the first chunk
+            mel_pad = jnp.pad(mel_full, ((0, 0), (0, 0), (0, chunk_bucket)))
+            mel_chunk = jax.lax.dynamic_slice(mel_pad, (0, 0, start), (1, 80, chunk_bucket))
+            n_frames = (first_target - la - 0) * ratio  # static
+            frame = jnp.arange(chunk_bucket)
+            src_idx = jnp.minimum(frame, max(n_frames - 1, 0))
+            mel_chunk = mel_chunk[:, :, src_idx]
+
+            f0 = hift_model.predict_f0(hift_params, mel_chunk)
+            f0_up = jnp.repeat(f0, up, axis=-1)[..., None]
+            s, _ = hift_model.sine_source(hift_rng, hcfg, f0_up)
+            source = jnp.swapaxes(
+                jnp.tanh(hift_model.linear(hift_params["m_source_linear"], s)), 1, 2
+            )
+            wav = hift_model.decode(hift_params, hcfg, mel_chunk, source)
+
+            # pack wav (int16 PCM) + num + finished into ONE array: the tunnel
+            # charges ~30-100 ms per device->host transfer, so TTFT fetches
+            # exactly one buffer; mel/source caches stay device-resident
+            wav_i16 = (jnp.clip(wav[0], -1.0, 1.0) * 32767.0).astype(jnp.int16)
+            tail = jnp.stack([
+                state["num"].astype(jnp.int16),
+                state["finished"].astype(jnp.int16),
+            ])
+            packed = jnp.concatenate([wav_i16, tail])
+            return state, packed, source, mel_chunk
+
+        self._flow_stream_cache[key] = fn
+        return fn
+
     def _chunk_fn(self, token_bucket: int, pm_bucket: int, chunk_bucket: int,
                   has_cache: bool, finalize: bool):
         """One jitted program per chunk shape: flow (streaming masks) ->
@@ -202,18 +289,64 @@ class StreamingSynthesizer:
         # independent stream for the vocoder noise
         rng, hift_rng = jax.random.split(rng)
         first_target = min(hop + prompt_pad + la, max_len_i)
-        state = self._init_fn(tbkt, sbkt, head_num)(
-            engine.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
-            jnp.asarray(sp_pad), jnp.int32(lp),
-            jnp.int32(first_target), min_len, max_len, sp,
-        )
         gen_until = self._generate_until_fn(head_num)
 
         token_offset = 0
         hift_cache = None  # dict(mel (1,80,Lc), source (1,1,Sc), speech (1,Sc))
-        n0 = int(state["num"])
-        produced = np.asarray(state["tokens"][:n0])
-        finished = bool(state["finished"]) or n0 >= max_len_i
+
+        # prompt mel (zero-shot) padded to its bucket for the fused program
+        if prompt_mel is not None and len(prompt_mel) > 0:
+            lm = len(prompt_mel)
+            pm_bucket = engine._bucket_mel(lm)
+            pm = np.zeros((1, pm_bucket, cfg.flow.output_size), np.float32)
+            pm[0, :lm] = prompt_mel
+            pm_len = lm
+        else:
+            pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
+            pm_bucket, pm_len = 0, 0
+
+        fused_viable = first_target == hop + prompt_pad + la  # not len-capped
+        if fused_viable:
+            # TTFT fast path: one dispatch produces the LLM state AND the
+            # first waveform chunk (discarded if generation ended early)
+            first_hop = hop + prompt_pad
+            n_frames0 = first_hop * cfg.flow.token_mel_ratio
+            chunk_bucket0 = _bucket_chunk(max(n_frames0, 1))
+            fused = self._first_chunk_fn(
+                tbkt, sbkt, pm_bucket, head_num, first_target, chunk_bucket0
+            )
+            state, packed_dev, source_dev, mel_dev = fused(
+                engine.llm_params, engine.flow_params, engine.hift_params,
+                rng, hift_rng, jnp.asarray(text_pad), jnp.int32(lt),
+                jnp.asarray(sp_pad), jnp.int32(lp),
+                jnp.int32(first_target), min_len, max_len, sp,
+                jnp.asarray(pm), jnp.int32(pm_len),
+                jnp.asarray(spk_embedding, jnp.float32)[None],
+            )
+            packed = np.asarray(packed_dev)  # the ONLY transfer before yield
+            n0 = int(packed[-2])
+            finished = bool(packed[-1]) or n0 >= max_len_i
+            if n0 >= first_target:
+                mc, sc, up = self.mel_cache_len, self.source_cache_len, cfg.hift.upsample_scale
+                wav = packed[: n_frames0 * up].astype(np.float32) / 32767.0
+                # mel/source caches stay on device for the next chunk
+                hift_cache = {
+                    "mel": mel_dev[:, :, n_frames0 - mc : n_frames0],
+                    "source": source_dev[:, :, n_frames0 * up - sc : n_frames0 * up],
+                    "speech": wav[-sc:],
+                }
+                token_offset = first_hop
+                yield wav[:-sc]
+            produced = np.asarray(state["tokens"][:n0])
+        else:
+            state = self._init_fn(tbkt, sbkt, head_num)(
+                engine.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
+                jnp.asarray(sp_pad), jnp.int32(lp),
+                jnp.int32(first_target), min_len, max_len, sp,
+            )
+            n0 = int(state["num"])
+            produced = np.asarray(state["tokens"][:n0])
+            finished = bool(state["finished"]) or n0 >= max_len_i
 
         while True:
             this_hop = hop + prompt_pad if token_offset == 0 else hop
@@ -302,13 +435,13 @@ class StreamingSynthesizer:
         )
         total_frames = (mc if has_cache else 0) + n_frames
         wav = np.asarray(wav_full, np.float32)[0, : total_frames * up]
-        source = np.asarray(source_full, np.float32)[:, :, : total_frames * up]
-        mel_np = np.asarray(mel_in, np.float32)[:, :, :total_frames]
 
         if not finalize:
+            # mel/source caches never leave the device (tunnel transfers cost
+            # ~30-100 ms each); only the waveform is fetched
             new_cache = {
-                "mel": mel_np[:, :, -mc:],
-                "source": source[:, :, -sc:],
+                "mel": mel_in[:, :, total_frames - mc : total_frames],
+                "source": source_full[:, :, total_frames * up - sc : total_frames * up],
                 "speech": wav[-sc:],
             }
             if has_cache:

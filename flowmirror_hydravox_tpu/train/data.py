@@ -66,6 +66,10 @@ class LLMCollator:
     speech_buckets: tuple = SPEECH_BUCKETS
     normalize_text: bool = True
     extract_fn: Optional[Any] = None  # wav(np), sr -> token array (native FSQ)
+    # phoneme-substitution augmentation (train/phoneme_aug.PhonemeAugmenter);
+    # the reference applies it to every collated text item
+    # (train_speech_model.py:550-565)
+    phoneme_aug: Optional[Any] = None
 
     def __call__(self, rows: List[Dict]) -> Dict[str, np.ndarray]:
         from ..frontend.text_norm import normalize
@@ -78,6 +82,8 @@ class LLMCollator:
                 text = row["text"]
                 if self.normalize_text:
                     text = normalize(text)
+                if self.phoneme_aug is not None:
+                    text = self.phoneme_aug(text)
                 tt = np.asarray(self.tokenizer.encode(text), np.int32)
             text_tokens.append(tt)
 

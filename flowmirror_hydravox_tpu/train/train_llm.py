@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None,
                    help="write TB scalars (reference train_utils.py:187-192)")
     p.add_argument("--resume", default=None, help="orbax train-state dir")
+    p.add_argument("--phoneme_aug", action="store_true",
+                   help="random CMU/pinyin phoneme substitution in the collator "
+                        "(reference train_llm_pretrain.py:86-195)")
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="Megatron-style TP degree over the 'model' mesh axis "
                         "(parallel/sharding.llm_param_specs)")
@@ -121,7 +124,13 @@ def main(argv=None):
         args.train_data, args.val_split_ratio if args.auto_val_split else 0.0, args.seed
     )
     tokenizer = get_tokenizer(args.tokenizer_path)
-    collator = LLMCollator(tokenizer)
+    aug = None
+    if args.phoneme_aug:
+        from ..frontend.tokenizer import SPECIAL_TOKENS
+        from .phoneme_aug import PhonemeAugmenter
+
+        aug = PhonemeAugmenter(SPECIAL_TOKENS, seed=args.seed)
+    collator = LLMCollator(tokenizer, phoneme_aug=aug)
     it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
 
     tb = None

@@ -58,9 +58,12 @@ def test_default_tokenizer_is_tiktoken():
 
     tok = get_tokenizer()
     assert isinstance(tok, WhisperTiktokenTokenizer)
-    assert tok.vocab_size == 59319
-    ids = tok.encode("你好，世界 hello world [breath] [AA1] [:zh]")
-    assert tok.decode(ids) == "你好，世界 hello world [breath] [AA1] [:zh]"
+    # 58,757 ranks + whisper special layout (tokenizer.py:179-198: 2+99 langs
+    # +11 events +4 emotions +6 +30 +20 +1501 timestamps) + 280 CV3 specials
+    assert tok.vocab_size == 60789
+    s = "你好，世界 hello world [breath] [AA1] [zh][ōng]"
+    ids = tok.encode(s)
+    assert tok.decode(ids) == s
     # specials encode to single ids at the top of the vocab
     assert max(ids) >= 58757
 
