@@ -96,6 +96,7 @@ class DiTConfig:
     static_chunk_size: int = 50  # mel frames per streaming chunk (decoder.py:306)
     num_decoding_left_chunks: int = 2
     rope_theta: float = 10000.0
+    dropout_rate: float = 0.1  # train-time attn/FF dropout (DiT/modules.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dit import _conv_init, _linear_init, conv1d, linear
+from .dit import _conv_init, _linear_init, conv1d, dropout, linear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,23 +198,35 @@ def _ff(x, w_in, w_out):
     return linear(w_out, jax.nn.silu(linear(w_in, x)))  # swish activation
 
 
-def _conformer_layer(layer, x, pos_proj, attn_mask, pad_mask, cfg: ConformerConfig):
-    """encoder_layer.py:160-236 order (normalize_before=True)."""
+def _conformer_layer(layer, x, pos_proj, attn_mask, pad_mask, cfg: ConformerConfig,
+                     drop_rate: float = 0.0, drop_rng=None):
+    """encoder_layer.py:160-236 order (normalize_before=True); each sub-module
+    output passes train-time dropout before the residual add
+    (encoder_layer.py self.dropout, rate 0.1)."""
+    ks = [None] * 4
+    if drop_rng is not None:
+        ks = list(jax.random.split(drop_rng, 4))
     if cfg.macaron_style:
         res = x
         h = _layer_norm(x, layer["norm_ff_macaron"])
-        x = res + 0.5 * _ff(h, layer["ff_mac_in"], layer["ff_mac_out"])
+        x = res + 0.5 * dropout(_ff(h, layer["ff_mac_in"], layer["ff_mac_out"]),
+                                drop_rate, ks[0])
     res = x
     h = _layer_norm(x, layer["norm_mha"])
-    x = res + _rel_attention(layer, h, pos_proj, attn_mask, cfg.attention_heads)
+    x = res + dropout(
+        _rel_attention(layer, h, pos_proj, attn_mask, cfg.attention_heads),
+        drop_rate, ks[1])
     if cfg.use_cnn_module:
         res = x
         h = _layer_norm(x, layer["norm_conv"])
-        x = res + _conv_module(layer, h, pad_mask, cfg.cnn_module_kernel, cfg.causal_cnn)
+        x = res + dropout(
+            _conv_module(layer, h, pad_mask, cfg.cnn_module_kernel, cfg.causal_cnn),
+            drop_rate, ks[2])
     res = x
     h = _layer_norm(x, layer["norm_ff"])
     ff_scale = 0.5 if cfg.macaron_style else 1.0
-    x = res + ff_scale * _ff(h, layer["ff_in"], layer["ff_out"])
+    x = res + ff_scale * dropout(_ff(h, layer["ff_in"], layer["ff_out"]),
+                                 drop_rate, ks[3])
     if cfg.use_cnn_module:
         x = _layer_norm(x, layer["norm_final"])
     return x
@@ -230,14 +242,17 @@ def _chunk_attn_mask(valid: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return m
 
 
-def _run_blocks(params_layers, x, valid, cfg, chunk, pos_pe):
+def _run_blocks(params_layers, x, valid, cfg, chunk, pos_pe,
+                drop_rate: float = 0.0, drop_rng=None):
     t = x.shape[1]
     attn_mask = _chunk_attn_mask(valid, chunk)
-    for layer in params_layers:
+    for i, layer in enumerate(params_layers):
         pos_proj = (pos_pe @ layer["linear_pos"]["w"]).reshape(
             2 * t - 1, cfg.attention_heads, cfg.output_size // cfg.attention_heads
         )
-        x = _conformer_layer(layer, x, pos_proj, attn_mask, valid, cfg)
+        rng_i = None if drop_rng is None else jax.random.fold_in(drop_rng, i)
+        x = _conformer_layer(layer, x, pos_proj, attn_mask, valid, cfg,
+                             drop_rate, rng_i)
     return x
 
 
@@ -247,6 +262,8 @@ def encoder_forward(
     xs: jnp.ndarray,  # (B, T, input_size)
     xs_lens: jnp.ndarray,
     streaming: bool = False,
+    dropout_rng=None,
+    dropout_rate: float = 0.1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Plain ConformerEncoder with linear input layer (encoder.py:111-183).
     Returns (out (B, T, D), valid (B, T))."""
@@ -256,7 +273,8 @@ def encoder_forward(
     x = x * math.sqrt(cfg.output_size)  # espnet xscale
     pe = jnp.asarray(espnet_rel_pos(t, cfg.output_size), x.dtype)
     chunk = cfg.static_chunk_size if streaming else 0
-    x = _run_blocks(params["layers"], x, valid, cfg, chunk, pe)
+    rate = dropout_rate if dropout_rng is not None else 0.0
+    x = _run_blocks(params["layers"], x, valid, cfg, chunk, pe, rate, dropout_rng)
     return _layer_norm(x, params["after_norm"]), valid
 
 
@@ -267,6 +285,8 @@ def upsample_encoder_forward(
     xs_lens: jnp.ndarray,
     context: Optional[jnp.ndarray] = None,  # (B, pre_lookahead_len, input_size)
     streaming: bool = False,
+    dropout_rng=None,
+    dropout_rate: float = 0.1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """UpsampleConformerEncoder.forward (upsample_encoder.py:244-305):
     embed -> pre-lookahead -> N conformer blocks -> 2x nearest-upsample conv
@@ -295,7 +315,11 @@ def upsample_encoder_forward(
 
     pe = jnp.asarray(espnet_rel_pos(t, cfg.output_size), x.dtype)
     chunk = cfg.static_chunk_size if streaming else 0
-    x = _run_blocks(params["layers"], x, valid, cfg, chunk, pe)
+    rate = dropout_rate if dropout_rng is not None else 0.0
+    rng_a = rng_b = None
+    if dropout_rng is not None:
+        rng_a, rng_b = jax.random.split(dropout_rng)
+    x = _run_blocks(params["layers"], x, valid, cfg, chunk, pe, rate, rng_a)
 
     # Upsample1D: nearest x2, left-pad 2*stride, conv k5 (upsample_encoder.py:37-63)
     h = jnp.swapaxes(x, 1, 2)
@@ -311,7 +335,7 @@ def upsample_encoder_forward(
     x = x * math.sqrt(cfg.output_size)
     pe2 = jnp.asarray(espnet_rel_pos(t2, cfg.output_size), x.dtype)
     chunk2 = cfg.static_chunk_size * 2 if streaming else 0
-    x = _run_blocks(params["up_layers"], x, valid2, cfg, chunk2, pe2)
+    x = _run_blocks(params["up_layers"], x, valid2, cfg, chunk2, pe2, rate, rng_b)
     return _layer_norm(x, params["after_norm"]), valid2
 
 

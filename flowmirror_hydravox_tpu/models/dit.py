@@ -61,6 +61,16 @@ def conv1d(p, x, *, groups: int = 1, padding="VALID"):
     return out + p["b"][None, :, None]
 
 
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout; identity when rng is None or rate == 0 (inference).
+    `rate` must be a static Python float so the no-op path traces to nothing
+    (reference trains with 0.1, e.g. transformer/encoder.py:46)."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 def layer_norm(x, eps=1e-6):
     """LayerNorm without affine params (elementwise_affine=False)."""
     dt = x.dtype
@@ -169,15 +179,21 @@ def _attention(block, x, mask_bias, cos, sin, heads: int, dim_head: int):
     return linear(block["to_out"], out)
 
 
-def _dit_block(block, x, t_emb, mask_bias, cos, sin, heads, dim_head):
-    """AdaLN-Zero block (modules.py:500-530)."""
+def _dit_block(block, x, t_emb, mask_bias, cos, sin, heads, dim_head,
+               drop_rate=0.0, drop_rng=None):
+    """AdaLN-Zero block (modules.py:500-530); attn-out + FF dropout at train
+    time (modules.py Attention/FeedForward dropout, default 0.1)."""
     mod = linear(block["attn_norm_linear"], jax.nn.silu(t_emb))  # (B, 6*dim)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+    k1 = k2 = None
+    if drop_rng is not None:
+        k1, k2 = jax.random.split(drop_rng)
     norm = layer_norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
     attn_out = _attention(block, norm, mask_bias, cos, sin, heads, dim_head)
-    x = x + gate_msa[:, None] * attn_out
+    x = x + gate_msa[:, None] * dropout(attn_out, drop_rate, k1)
     ff_norm = layer_norm(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-    ff = linear(block["ff_out"], jax.nn.gelu(linear(block["ff_in"], ff_norm), approximate=True))
+    ff = linear(block["ff_out"], dropout(
+        jax.nn.gelu(linear(block["ff_in"], ff_norm), approximate=True), drop_rate, k2))
     return x + gate_mlp[:, None] * ff
 
 
@@ -196,12 +212,17 @@ def forward(
     cond: jnp.ndarray,  # (B, mel_dim, T) prompt-mel conditioning
     streaming: bool = False,
     unroll: Optional[bool] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
     """Velocity estimate, (B, mel_dim, T). Mirrors DiT.forward (dit.py:145-176).
 
     `unroll` defaults to True on TPU: the axon backend miscompiles bf16 scan
     *backward* (see models/qwen2.py forward docstring); inference-only
-    callers may pass unroll=False for faster compiles."""
+    callers may pass unroll=False for faster compiles.
+
+    `dropout_rng`/`dropout_rate`: train-time attn/FF dropout inside each
+    block (reference DiT modules default 0.1); inference passes neither."""
     # mixed-precision policy: compute in the param dtype (bf16 in training
     # CLIs / serving), accumulate the loss in f32 at the caller
     dtype = params["input_proj"]["w"].dtype
@@ -230,16 +251,33 @@ def forward(
 
     if unroll is None:
         unroll = jax.default_backend() == "tpu"
+    use_drop = dropout_rng is not None and dropout_rate > 0.0
 
-    def body(hh, block):
-        return _dit_block(block, hh, t_emb, mask_bias, cos, sin, cfg.heads, cfg.dim_head), None
+    if use_drop:
+        block_rngs = jax.random.split(dropout_rng, cfg.depth)
 
-    if unroll:
-        for i in range(cfg.depth):
-            block_i = jax.tree.map(lambda a: a[i], params["blocks"])
-            h, _ = jax.checkpoint(body)(h, block_i)
+        def body(hh, scanned):
+            block, rng_i = scanned
+            return _dit_block(block, hh, t_emb, mask_bias, cos, sin, cfg.heads,
+                              cfg.dim_head, dropout_rate, rng_i), None
+
+        if unroll:
+            for i in range(cfg.depth):
+                block_i = jax.tree.map(lambda a: a[i], params["blocks"])
+                h, _ = jax.checkpoint(body)(h, (block_i, block_rngs[i]))
+        else:
+            h, _ = jax.lax.scan(body, h, (params["blocks"], block_rngs))
     else:
-        h, _ = jax.lax.scan(body, h, params["blocks"])
+        def body(hh, block):
+            return _dit_block(block, hh, t_emb, mask_bias, cos, sin,
+                              cfg.heads, cfg.dim_head), None
+
+        if unroll:
+            for i in range(cfg.depth):
+                block_i = jax.tree.map(lambda a: a[i], params["blocks"])
+                h, _ = jax.checkpoint(body)(h, block_i)
+        else:
+            h, _ = jax.lax.scan(body, h, params["blocks"])
 
     mod = linear(params["norm_out_linear"], jax.nn.silu(t_emb))
     scale, shift = jnp.split(mod, 2, axis=-1)  # note: scale first (modules.py:262)

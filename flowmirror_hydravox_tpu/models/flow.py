@@ -218,7 +218,7 @@ def compute_loss(
 ) -> jnp.ndarray:
     """CFM training loss (flow.py:312-365 + flow_matching.py:155-194):
     random cosine t, OT interpolant, CFG condition dropout, masked MSE."""
-    rng_t, rng_z, rng_cfg, rng_cond, rng_idx = jax.random.split(rng, 5)
+    rng_t, rng_z, rng_cfg, rng_cond, rng_idx, rng_drop = jax.random.split(rng, 6)
     b, t_mel, mel_dim = feat.shape
 
     token_valid = jnp.arange(token.shape[1])[None, :] < token_len[:, None]
@@ -254,6 +254,7 @@ def compute_loss(
     pred = dit.forward(
         params["estimator"], cfg.estimator, y, mask, mu, t[:, 0, 0], spks, cond,
         streaming=streaming,
+        dropout_rng=rng_drop, dropout_rate=cfg.estimator.dropout_rate,
     ).astype(jnp.float32)
     num = jnp.sum(((pred - u) * mask) ** 2)
     return num / (jnp.maximum(jnp.sum(mask), 1.0) * mel_dim)

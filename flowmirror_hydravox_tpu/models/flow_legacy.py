@@ -189,7 +189,7 @@ def compute_loss(
     training_cfg_rate: float = 0.2,
 ) -> jnp.ndarray:
     """CFM loss (flow.py:183-227 + flow_matching.py:155-194)."""
-    rng_t, rng_z, rng_cfg, rng_cond, rng_idx = jax.random.split(rng, 5)
+    rng_t, rng_z, rng_cfg, rng_cond, rng_idx, rng_drop = jax.random.split(rng, 6)
     b, t_mel, mel_dim = feat.shape
     valid = jnp.arange(token.shape[1])[None, :] < token_len[:, None]
     emb = jnp.take(params["input_embedding"], jnp.clip(token, 0), axis=0)
@@ -198,10 +198,12 @@ def compute_loss(
 
     if cfg.causal:
         h, _ = upsample_encoder_forward(
-            params["encoder"], cfg.encoder, emb, token_len, streaming=streaming
+            params["encoder"], cfg.encoder, emb, token_len, streaming=streaming,
+            dropout_rng=rng_drop,
         )
     else:
-        enc, _ = encoder_forward(params["encoder"], cfg.encoder, emb, token_len)
+        enc, _ = encoder_forward(params["encoder"], cfg.encoder, emb, token_len,
+                                 dropout_rng=rng_drop)
         h = regulator_forward(
             params["length_regulator"], linear(params["encoder_proj"], enc), t_mel
         )

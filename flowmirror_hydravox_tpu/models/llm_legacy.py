@@ -241,13 +241,16 @@ def transformerlm_forward_loss(
     speech_token: jnp.ndarray,  # (B, Ls)
     speech_len: jnp.ndarray,
     embedding: jnp.ndarray,  # (B, 192)
+    dropout_rng=None,
 ) -> dict:
     """CV1 loss (llm_multi_head_v3.py:101-149): conformer-encoded text +
-    speaker row; input [sos, spk, text_enc, task, speech]; causal LM CE."""
+    speaker row; input [sos, spk, text_enc, task, speech]; causal LM CE.
+    Pass dropout_rng at train time for encoder dropout (rate 0.1)."""
     b, lt = text_token.shape
     ls = speech_token.shape[1]
     text_emb = jnp.take(params["text_embedding"], jnp.clip(text_token, 0), axis=0)
-    enc, _ = encoder_forward(params["text_encoder"], cfg.text_encoder, text_emb, text_len)
+    enc, _ = encoder_forward(params["text_encoder"], cfg.text_encoder, text_emb, text_len,
+                             dropout_rng=dropout_rng)
     enc = linear(params["text_encoder_affine"], enc)
 
     spk = embedding / jnp.maximum(

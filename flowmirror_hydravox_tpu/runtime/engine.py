@@ -117,11 +117,18 @@ class Engine:
                 emb, plen = llm_model.build_inference_prompt(
                     params, cfg, text_tokens, text_len, sp_tokens, sp_len
                 )
-                return llm_model.generate(
+                res = llm_model.generate(
                     params, cfg, rng, emb, plen, min_len, max_len, sampling,
                     inference_head_num=head_num, max_tokens=self.max_tokens,
                     cache_len_cap=cache_cap,
                 )
+                # (tokens, num, steps) packed into one int32 buffer: the host
+                # reads everything in ONE transfer (each tunnel round-trip
+                # costs ~30 ms); tokens also stay device-resident for stage 2
+                packed = jnp.concatenate(
+                    [res.tokens, jnp.stack([res.num_tokens, res.steps])]
+                )
+                return res, packed
 
             self._gen_cache[key] = jax.jit(fn)
         return self._gen_cache[key]
@@ -168,7 +175,10 @@ class Engine:
                 mel_gen = mel_gen[:, :, src]
 
                 wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
-                return wav, mel_gen
+                # int16 PCM halves the host transfer (quantization matches the
+                # WAV output the server emits anyway)
+                wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+                return wav_i16, mel_gen
 
             self._synth_cache[key] = jax.jit(fn)
         return self._synth_cache[key]
@@ -187,11 +197,20 @@ class Engine:
                         params, cfg, tt, tl, sp_tokens, sp_len
                     )
                 )(text_tokens, text_len)
-                return llm_model.generate_batched(
+                res = llm_model.generate_batched(
                     params, cfg, rng, emb, plen, min_len, max_len, sampling,
                     inference_head_num=head_num, max_tokens=self.max_tokens,
                     cache_len_cap=cache_cap,
                 )
+                packed = jnp.concatenate(
+                    [
+                        res.tokens,
+                        res.num_tokens[:, None],
+                        jnp.full((batch, 1), res.steps, jnp.int32),
+                    ],
+                    axis=1,
+                )
+                return res, packed
 
             self._gen_cache[key] = jax.jit(fn)
         return self._gen_cache[key]
@@ -234,7 +253,7 @@ class Engine:
                 mel_gen = jnp.take_along_axis(mel_gen, src[:, None, :], axis=2)
 
                 wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
-                return wav
+                return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
             self._synth_cache[key] = jax.jit(fn)
         return self._synth_cache[key]
@@ -285,12 +304,14 @@ class Engine:
 
         t0 = time.time()
         gen = self._batch_gen_fn(bsz, tbkt, sbkt, head_num)
-        res = gen(
+        res, packed = gen(
             self.llm_params, rng, jnp.asarray(text_pad),
             jnp.asarray(lts, jnp.int32), jnp.asarray(sp_pad), jnp.int32(lp),
             jnp.asarray(min_lens), jnp.asarray(max_lens), sp,
         )
-        nums = np.asarray(res.num_tokens)
+        meta = np.asarray(packed)  # one transfer: tokens + nums + steps
+        nums = meta[:, -2]
+        steps = int(meta[0, -1])
         llm_time = time.time() - t0
 
         t0 = time.time()
@@ -314,7 +335,7 @@ class Engine:
         )
         ratio = cfg.flow.token_mel_ratio
         up = cfg.hift.upsample_scale
-        wavs_np = np.asarray(wav_dev, np.float32)
+        wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
         wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]
         synth_time = time.time() - t0
 
@@ -322,7 +343,7 @@ class Engine:
         dur = sum(len(w) for w in wavs) / cfg.sample_rate
         stats = dict(
             llm_time=llm_time, synth_time=synth_time, total_time=total,
-            tokens=[int(n) for n in nums], steps=int(res.steps),
+            tokens=[int(n) for n in nums], steps=steps,
             rtf=total / max(dur, 1e-9),
         )
         logger.info(
@@ -444,7 +465,7 @@ class Engine:
         )
         up = cfg.hift.upsample_scale
         ratio = cfg.flow.token_mel_ratio
-        return np.asarray(wav_dev)[0, : n_tok * ratio * up].astype(np.float32)
+        return np.asarray(wav_dev)[0, : n_tok * ratio * up].astype(np.float32) / 32767.0
 
     def synthesize(
         self,
@@ -498,13 +519,14 @@ class Engine:
 
         t0 = time.time()
         gen = self._generate_fn(tbkt, sbkt, head_num)
-        res = gen(
+        res, packed = gen(
             self.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
             jnp.asarray(sp_pad), jnp.int32(lp),
             jnp.int32(min_len), jnp.int32(max_len), sp,
         )
-        n_tok = int(res.num_tokens)  # sync point
-        steps = int(res.steps)
+        meta = np.asarray(packed)  # single host transfer: tokens + num + steps
+        n_tok = int(meta[-2])
+        steps = int(meta[-1])
         llm_time = time.time() - t0
 
         # ---- stage 2: fused flow + hift (tokens stay on device) ----
@@ -554,10 +576,10 @@ class Engine:
                 self._hift_only_fn()(self.hift_params, jnp.asarray(mel_pad), rng)
             )[0, : mel.shape[2] * up]
         else:
-            wav = np.asarray(wav_dev)[0, : n_tok * ratio * up]
+            wav = np.asarray(wav_dev)[0, : n_tok * ratio * up].astype(np.float32) / 32767.0
         synth_time = time.time() - t0
 
-        tokens = np.asarray(res.tokens[:n_tok])
+        tokens = meta[: self.max_tokens][:n_tok]
         total = time.time() - t_start
         dur = len(wav) / cfg.sample_rate if len(wav) else 1e-9
         result = SynthesisResult(

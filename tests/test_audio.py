@@ -7,6 +7,9 @@ import pytest
 
 from flowmirror_hydravox_tpu.utils import audio
 
+pytestmark = pytest.mark.quick
+
+
 
 def test_hann_window_matches_torch():
     torch = pytest.importorskip("torch")

@@ -11,6 +11,9 @@ from flowmirror_hydravox_tpu.models import flow, hift, llm
 from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
 from flowmirror_hydravox_tpu.runtime.engine import Engine
 
+pytestmark = pytest.mark.quick
+
+
 CFG = tiny_config()
 
 

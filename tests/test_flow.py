@@ -116,3 +116,36 @@ def test_dit_cfg_batch(params):
     )
     assert out.shape == (2, 80, t_mel)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dropout_active_in_training_only():
+    """Train-time dropout (reference encoder.py:46, DiT modules 0.1): loss
+    varies with the dropout rng; inference path has no dropout."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowmirror_hydravox_tpu.config import tiny_config
+    from flowmirror_hydravox_tpu.models import flow as flow_model
+
+    cfg = tiny_config().flow
+    params = flow_model.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tok = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+    tl = jnp.asarray([8, 6])
+    feat = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 80))
+    fl = jnp.asarray([16, 12])
+    emb = jax.random.normal(jax.random.PRNGKey(3), (2, 192))
+
+    # same data rng components but different dropout keys -> different loss.
+    # compute_loss splits rng internally, so compare rate>0 vs rate=0 config
+    l1 = float(flow_model.compute_loss(params, cfg, jax.random.PRNGKey(7),
+                                       tok, tl, feat, fl, emb))
+    import dataclasses
+    cfg0 = dataclasses.replace(
+        cfg, estimator=dataclasses.replace(cfg.estimator, dropout_rate=0.0))
+    l0 = float(flow_model.compute_loss(params, cfg0, jax.random.PRNGKey(7),
+                                       tok, tl, feat, fl, emb))
+    assert l1 != l0  # dropout changed the estimator output
+    # and the dropout-free loss is deterministic
+    l0b = float(flow_model.compute_loss(params, cfg0, jax.random.PRNGKey(7),
+                                        tok, tl, feat, fl, emb))
+    assert l0 == l0b

@@ -12,6 +12,9 @@ from flowmirror_hydravox_tpu.frontend.tokenizer import ByteTokenizer
 from flowmirror_hydravox_tpu.preprocess.vad import VADConfig, detect_speech
 from flowmirror_hydravox_tpu.utils import i18n, wavio
 
+pytestmark = pytest.mark.quick
+
+
 
 def test_num_to_words_en():
     assert text_norm.num_to_words_en(0) == "zero"

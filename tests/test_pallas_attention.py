@@ -1,11 +1,15 @@
 """Pallas fused decode attention vs the XLA reference (interpreter mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from flowmirror_hydravox_tpu.ops.attention import decode_attention
 from flowmirror_hydravox_tpu.ops.pallas_attention import pallas_decode_attention
+
+pytestmark = pytest.mark.quick
+
 
 
 def _case(kblk, hq, hkv, d, s_max, cache_len, seed):

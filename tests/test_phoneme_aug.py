@@ -2,11 +2,14 @@
 train_llm_pretrain.py:86-195 semantics) with injected lexicons."""
 
 import numpy as np
+import pytest
 
 from flowmirror_hydravox_tpu.frontend.tokenizer import SPECIAL_TOKENS, get_tokenizer
 from flowmirror_hydravox_tpu.train.phoneme_aug import (
     PhonemeAugmenter, numeric_pinyin_to_tone_final,
 )
+
+pytestmark = pytest.mark.quick
 
 CMU = {
     "hello": ["HH", "AH0", "L", "OW1"],

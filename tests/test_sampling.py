@@ -2,10 +2,14 @@
 (cosyvoice/utils/common.py:138-166)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from flowmirror_hydravox_tpu.ops.sampling import SamplingParams, nucleus_sample, ras_sample
+
+pytestmark = pytest.mark.quick
+
 
 
 def oracle_nucleus_set(probs, top_p, top_k):
