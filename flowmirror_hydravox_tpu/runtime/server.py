@@ -278,6 +278,13 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(body)
             except Exception as e:
                 self._send(500, _response(False, "plot failed", error=str(e)))
+        elif self.path.startswith("/api/v1/models/list"):
+            from . import models_admin
+
+            self._send(200, _response(True, "ok", data={
+                "root": models_admin.models_root(),
+                "models": models_admin.list_models(),
+            }))
         elif self.path == "/api/v1/training/list":
             from .training_manager import training_manager
 
@@ -336,6 +343,34 @@ class _Handler(BaseHTTPRequestHandler):
                 code = 200 if ok else 404
                 self._send(code, _response(ok, "removed" if ok else "unknown speaker",
                                            error=None if ok else f"unknown speaker {spk}"))
+            elif self.path == "/api/v1/models/delete":
+                from . import models_admin
+
+                if not body.get("path"):
+                    self._send(400, _response(False, "missing fields", error="path required"))
+                    return
+                try:
+                    result = models_admin.delete_model(body["path"])
+                except ValueError as e:
+                    self._send(400, _response(False, "bad path", error=str(e)))
+                    return
+                code = 200 if result.get("success") else 404
+                self._send(code, _response(
+                    result.get("success", False), "deleted" if result.get("success") else "failed",
+                    data=result if result.get("success") else None,
+                    error=result.get("error"),
+                ))
+            elif self.path == "/api/v1/models/convert":
+                from . import models_admin
+
+                result = models_admin.convert_model(body)
+                code = 200 if result.get("success") else 400
+                self._send(code, _response(
+                    result.get("success", False),
+                    "convert started" if result.get("success") else "failed",
+                    data=result if result.get("success") else None,
+                    error=result.get("error"),
+                ))
             elif self.path == "/api/v1/data/run":
                 from .training_manager import training_manager
 

@@ -81,6 +81,9 @@ class TrainingManager:
         if stage == "4":
             return base + ["flowmirror_hydravox_tpu.preprocess.extract_tokens",
                            "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
+        if stage == "5":
+            return base + ["flowmirror_hydravox_tpu.preprocess.merge",
+                           "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
         raise ValueError(f"unknown stage {stage}")
 
     def start_data_stage(self, req: dict) -> dict:

@@ -2,10 +2,15 @@
 
 Gradio is not part of this image, so the UI is a single dependency-free HTML
 page served by the API server itself (enable with serve(..., with_ui=True)).
-It covers the reference's four tabs (user_interface/tabs/__init__.py):
-inference (preset-speaker TTS + params), zero-shot voice cloning (wav
-upload), training (start/stop/status + live log tail), and speakers.
-All actions go through the same REST API as the reference UI's APIClient.
+It covers the reference's tabs (user_interface/tabs/__init__.py +
+data_tab.py + training_tab.py model management): inference (preset-speaker
+TTS + params), zero-shot voice cloning (wav upload), data preprocessing
+(stages 1-5 one-click with live logs, data_tab.py:221-710), training
+(start/stop/status + live log tail + loss-curve plot), model management
+(list/delete/convert, training_tab.py:826-1070), and speakers. The zh/en
+language toggle mirrors the reference's UI i18n (user_interface/i18n.py);
+all strings live in the I18N table below. All actions go through the same
+REST API as the reference UI's APIClient.
 """
 
 INDEX_HTML = """<!DOCTYPE html>
@@ -15,11 +20,13 @@ INDEX_HTML = """<!DOCTYPE html>
 <title>HydraVox TPU</title>
 <style>
  body { font-family: system-ui, sans-serif; margin: 0; background: #f5f6f8; color: #1d2733; }
- header { background: #16324f; color: #fff; padding: 14px 24px; font-size: 20px; }
- nav { display: flex; gap: 4px; background: #1d4065; padding: 0 16px; }
+ header { background: #16324f; color: #fff; padding: 14px 24px; font-size: 20px; display: flex; justify-content: space-between; align-items: center; }
+ header .lang button { background: #1d4065; color: #cfe0f1; border: 1px solid #3a5a7d; padding: 4px 10px; cursor: pointer; border-radius: 4px; font-size: 13px; }
+ header .lang button.active { background: #f5f6f8; color: #16324f; }
+ nav { display: flex; gap: 4px; background: #1d4065; padding: 0 16px; flex-wrap: wrap; }
  nav button { background: none; border: none; color: #cfe0f1; padding: 10px 16px; cursor: pointer; font-size: 14px; }
  nav button.active { background: #f5f6f8; color: #16324f; border-radius: 6px 6px 0 0; }
- main { padding: 24px; max-width: 860px; margin: 0 auto; }
+ main { padding: 24px; max-width: 900px; margin: 0 auto; }
  section { display: none; background: #fff; border-radius: 8px; padding: 20px; box-shadow: 0 1px 3px rgba(0,0,0,.08); }
  section.active { display: block; }
  label { display: block; margin: 10px 0 4px; font-size: 13px; color: #49617a; }
@@ -28,26 +35,34 @@ INDEX_HTML = """<!DOCTYPE html>
  .row { display: flex; gap: 12px; } .row > div { flex: 1; }
  button.go { margin-top: 14px; background: #2374ab; color: #fff; border: none; padding: 10px 22px; border-radius: 6px; font-size: 15px; cursor: pointer; }
  button.go:disabled { background: #9db4c8; }
+ button.danger { background: #ab3b23; }
  audio { width: 100%; margin-top: 14px; }
  pre { background: #10141a; color: #b9e08c; padding: 12px; border-radius: 6px; max-height: 300px; overflow: auto; font-size: 12px; }
  .status { margin-top: 10px; font-size: 13px; color: #49617a; }
+ table { width: 100%; border-collapse: collapse; margin-top: 12px; font-size: 13px; }
+ th, td { text-align: left; padding: 6px 8px; border-bottom: 1px solid #e3e9ef; }
+ td button { background: #ab3b23; color: #fff; border: none; padding: 4px 10px; border-radius: 4px; cursor: pointer; }
 </style>
 </head>
 <body>
-<header>HydraVox TPU &mdash; multi-head TTS</header>
+<header><span>HydraVox TPU &mdash; <span data-i18n="subtitle"></span></span>
+ <span class="lang"><button id="lang-en">EN</button><button id="lang-zh">中文</button></span>
+</header>
 <nav>
- <button data-tab="tts" class="active">Inference</button>
- <button data-tab="zeroshot">Zero-shot</button>
- <button data-tab="training">Training</button>
- <button data-tab="speakers">Speakers</button>
+ <button data-tab="tts" class="active" data-i18n="tab_infer"></button>
+ <button data-tab="zeroshot" data-i18n="tab_zeroshot"></button>
+ <button data-tab="data" data-i18n="tab_data"></button>
+ <button data-tab="training" data-i18n="tab_training"></button>
+ <button data-tab="models" data-i18n="tab_models"></button>
+ <button data-tab="speakers" data-i18n="tab_speakers"></button>
 </nav>
 <main>
 <section id="tab-tts" class="active">
- <label>Text</label><textarea id="tts-text">Hello from the TPU-native HydraVox.</textarea>
+ <label data-i18n="text"></label><textarea id="tts-text">Hello from the TPU-native HydraVox.</textarea>
  <div class="row">
-  <div><label>Speaker</label><select id="tts-speaker"></select></div>
-  <div><label>Heads (1-5)</label><input id="tts-heads" type="number" value="2" min="1" max="5"/></div>
-  <div><label>Speed</label><input id="tts-speed" type="number" value="1.0" step="0.1"/></div>
+  <div><label data-i18n="speaker"></label><select id="tts-speaker"></select></div>
+  <div><label data-i18n="heads"></label><input id="tts-heads" type="number" value="2" min="1" max="5"/></div>
+  <div><label data-i18n="speed"></label><input id="tts-speed" type="number" value="1.0" step="0.1"/></div>
  </div>
  <div class="row">
   <div><label>top_p</label><input id="tts-topp" type="number" value="0.9" step="0.05"/></div>
@@ -55,47 +70,132 @@ INDEX_HTML = """<!DOCTYPE html>
   <div><label>win_size</label><input id="tts-win" type="number" value="24"/></div>
   <div><label>tau_r</label><input id="tts-tau" type="number" value="0.2" step="0.05"/></div>
  </div>
- <button class="go" id="tts-go">Synthesize</button>
+ <button class="go" id="tts-go" data-i18n="synthesize"></button>
  <div class="status" id="tts-status"></div>
  <audio id="tts-audio" controls></audio>
 </section>
 
 <section id="tab-zeroshot">
- <label>Text to synthesize</label><textarea id="zs-text"></textarea>
- <label>Prompt transcript</label><input id="zs-prompt-text"/>
- <label>Prompt audio (wav)</label><input id="zs-file" type="file" accept=".wav,audio/wav"/>
+ <label data-i18n="zs_text"></label><textarea id="zs-text"></textarea>
+ <label data-i18n="zs_prompt_text"></label><input id="zs-prompt-text"/>
+ <label data-i18n="zs_prompt_audio"></label><input id="zs-file" type="file" accept=".wav,audio/wav"/>
  <div class="row">
-  <div><label>Heads</label><input id="zs-heads" type="number" value="2" min="1" max="5"/></div>
-  <div><label>Speed</label><input id="zs-speed" type="number" value="1.0" step="0.1"/></div>
+  <div><label data-i18n="heads"></label><input id="zs-heads" type="number" value="2" min="1" max="5"/></div>
+  <div><label data-i18n="speed"></label><input id="zs-speed" type="number" value="1.0" step="0.1"/></div>
  </div>
- <button class="go" id="zs-go">Clone &amp; synthesize</button>
+ <button class="go" id="zs-go" data-i18n="clone"></button>
  <div class="status" id="zs-status"></div>
  <audio id="zs-audio" controls></audio>
 </section>
 
+<section id="tab-data">
+ <div class="row">
+  <div><label data-i18n="data_stage"></label>
+   <select id="da-stage">
+    <option value="1">1 — resample/mono</option>
+    <option value="2">2 — VAD segmentation</option>
+    <option value="3">3 — transcribe (ASR)</option>
+    <option value="4">4 — token extraction</option>
+    <option value="5">5 — merge datasets</option>
+   </select></div>
+ </div>
+ <label data-i18n="data_input"></label><input id="da-in"/>
+ <label data-i18n="data_output"></label><input id="da-out"/>
+ <button class="go" id="da-go" data-i18n="data_run"></button>
+ <div class="status" id="da-status"></div>
+ <pre id="da-log"></pre>
+</section>
+
 <section id="tab-training">
  <div class="row">
-  <div><label>Model</label><select id="tr-type"><option>llm</option><option>flow</option></select></div>
-  <div><label>Batch size</label><input id="tr-bs" type="number" value="4"/></div>
-  <div><label>Learning rate</label><input id="tr-lr" value="1e-4"/></div>
+  <div><label data-i18n="tr_model"></label><select id="tr-type"><option>llm</option><option>flow</option><option>hift</option></select></div>
+  <div><label data-i18n="tr_bs"></label><input id="tr-bs" type="number" value="4"/></div>
+  <div><label data-i18n="tr_lr"></label><input id="tr-lr" value="1e-4"/></div>
  </div>
- <label>Train data (HF dataset dir)</label><input id="tr-data"/>
- <label>Output dir</label><input id="tr-out" value="checkpoints/training"/>
- <label>Init checkpoint (optional)</label><input id="tr-ckpt"/>
- <button class="go" id="tr-go">Start training</button>
- <button class="go" id="tr-stop" style="background:#ab3b23">Stop</button>
+ <label data-i18n="tr_data"></label><input id="tr-data"/>
+ <label data-i18n="tr_out"></label><input id="tr-out" value="checkpoints/training"/>
+ <label data-i18n="tr_ckpt"></label><input id="tr-ckpt"/>
+ <button class="go" id="tr-go" data-i18n="tr_start"></button>
+ <button class="go danger" id="tr-stop" data-i18n="tr_stop"></button>
  <div class="status" id="tr-status"></div>
  <img id="tr-plot" style="max-width:100%; margin-top:10px; display:none"/>
  <pre id="tr-log"></pre>
 </section>
 
+<section id="tab-models">
+ <button class="go" id="mo-refresh" data-i18n="refresh"></button>
+ <div class="status" id="mo-root"></div>
+ <table id="mo-table">
+  <thead><tr><th data-i18n="mo_path"></th><th data-i18n="mo_kind"></th><th>MB</th><th data-i18n="mo_modified"></th><th></th></tr></thead>
+  <tbody id="mo-body"></tbody>
+ </table>
+ <h4 data-i18n="mo_convert"></h4>
+ <div class="row">
+  <div><label data-i18n="mo_action"></label>
+   <select id="mo-action"><option value="import">import (.pt/.safetensors → npz)</option>
+    <option value="graft-mtp">graft-mtp</option></select></div>
+  <div><label data-i18n="tr_model"></label><select id="mo-model"><option>llm</option><option>flow</option><option>hift</option></select></div>
+ </div>
+ <label data-i18n="mo_src"></label><input id="mo-src"/>
+ <label data-i18n="mo_dst"></label><input id="mo-dst"/>
+ <button class="go" id="mo-convert-go" data-i18n="mo_convert_go"></button>
+ <div class="status" id="mo-status"></div>
+</section>
+
 <section id="tab-speakers">
- <button class="go" id="spk-refresh">Refresh</button>
+ <button class="go" id="spk-refresh" data-i18n="refresh"></button>
  <pre id="spk-list"></pre>
 </section>
 </main>
 
 <script>
+const I18N = {
+ en: {subtitle: "multi-head TTS", tab_infer: "Inference", tab_zeroshot: "Zero-shot",
+  tab_data: "Data", tab_training: "Training", tab_models: "Models", tab_speakers: "Speakers",
+  text: "Text", speaker: "Speaker", heads: "Heads (1-5)", speed: "Speed",
+  synthesize: "Synthesize", synthesizing: "synthesizing...",
+  zs_text: "Text to synthesize", zs_prompt_text: "Prompt transcript",
+  zs_prompt_audio: "Prompt audio (wav)", clone: "Clone & synthesize",
+  cloning: "cloning...", pick_wav: "pick a prompt wav first",
+  data_stage: "Pipeline stage", data_input: "Input directory",
+  data_output: "Output directory", data_run: "Run stage",
+  tr_model: "Model", tr_bs: "Batch size", tr_lr: "Learning rate",
+  tr_data: "Train data (HF dataset dir)", tr_out: "Output dir",
+  tr_ckpt: "Init checkpoint (optional)", tr_start: "Start training", tr_stop: "Stop",
+  refresh: "Refresh", mo_path: "Path", mo_kind: "Kind", mo_modified: "Modified",
+  mo_convert: "Convert checkpoint", mo_action: "Action", mo_src: "Source path",
+  mo_dst: "Destination path", mo_convert_go: "Convert", mo_delete: "Delete",
+  mo_confirm: "Delete {p}?", running: "running", done: "done", error: "error",
+  ok_secs: "ok: {s} s", started: "started: "},
+ zh: {subtitle: "多头并行语音合成", tab_infer: "语音合成", tab_zeroshot: "声音克隆",
+  tab_data: "数据处理", tab_training: "模型训练", tab_models: "模型管理", tab_speakers: "说话人",
+  text: "合成文本", speaker: "说话人", heads: "并行头数 (1-5)", speed: "语速",
+  synthesize: "开始合成", synthesizing: "合成中...",
+  zs_text: "要合成的文本", zs_prompt_text: "提示音频文本",
+  zs_prompt_audio: "提示音频 (wav)", clone: "克隆并合成",
+  cloning: "克隆中...", pick_wav: "请先选择提示音频",
+  data_stage: "处理阶段", data_input: "输入目录",
+  data_output: "输出目录", data_run: "运行该阶段",
+  tr_model: "模型", tr_bs: "批大小", tr_lr: "学习率",
+  tr_data: "训练数据 (HF 数据集目录)", tr_out: "输出目录",
+  tr_ckpt: "初始权重 (可选)", tr_start: "开始训练", tr_stop: "停止",
+  refresh: "刷新", mo_path: "路径", mo_kind: "类型", mo_modified: "修改时间",
+  mo_convert: "权重转换", mo_action: "操作", mo_src: "源路径",
+  mo_dst: "目标路径", mo_convert_go: "转换", mo_delete: "删除",
+  mo_confirm: "确定删除 {p}？", running: "运行中", done: "已完成", error: "错误",
+  ok_secs: "完成：{s} 秒", started: "已启动："}
+};
+let LANG = localStorage.getItem("hydravox_lang") || "en";
+const T = (k, vars) => { let s = (I18N[LANG][k] ?? I18N.en[k] ?? k);
+  for (const v in (vars||{})) s = s.replace("{"+v+"}", vars[v]); return s; };
+function applyLang() {
+  document.querySelectorAll("[data-i18n]").forEach(el => el.textContent = T(el.dataset.i18n));
+  document.getElementById("lang-en").classList.toggle("active", LANG === "en");
+  document.getElementById("lang-zh").classList.toggle("active", LANG === "zh");
+}
+document.getElementById("lang-en").onclick = () => { LANG = "en"; localStorage.setItem("hydravox_lang", LANG); applyLang(); };
+document.getElementById("lang-zh").onclick = () => { LANG = "zh"; localStorage.setItem("hydravox_lang", LANG); applyLang(); };
+
 const $ = (id) => document.getElementById(id);
 document.querySelectorAll('nav button').forEach(b => b.onclick = () => {
   document.querySelectorAll('nav button').forEach(x => x.classList.remove('active'));
@@ -116,35 +216,56 @@ async function loadSpeakers() {
   (r.data?.speakers || []).forEach(s => { const o = document.createElement('option'); o.textContent = s; sel.appendChild(o); });
   $('spk-list').textContent = JSON.stringify(r.data, null, 2);
 }
-loadSpeakers();
+applyLang(); loadSpeakers();
 $('spk-refresh').onclick = loadSpeakers;
 
 $('tts-go').onclick = async () => {
-  $('tts-go').disabled = true; $('tts-status').textContent = 'synthesizing...';
+  $('tts-go').disabled = true; $('tts-status').textContent = T('synthesizing');
   try {
     const r = await api('/tts', {text: $('tts-text').value, speaker_id: $('tts-speaker').value,
       extra_params: {top_p: +$('tts-topp').value, top_k: +$('tts-topk').value,
         win_size: +$('tts-win').value, tau_r: +$('tts-tau').value,
         speed: +$('tts-speed').value, inference_head_num: +$('tts-heads').value}});
     if (r.success) { playAudio($('tts-audio'), r.data.audio_base64);
-      $('tts-status').textContent = `ok: ${r.data.duration.toFixed(2)} s`; }
-    else $('tts-status').textContent = 'error: ' + r.error;
+      $('tts-status').textContent = T('ok_secs', {s: r.data.duration.toFixed(2)}); }
+    else $('tts-status').textContent = T('error') + ': ' + r.error;
   } finally { $('tts-go').disabled = false; }
 };
 
 $('zs-go').onclick = async () => {
   const f = $('zs-file').files[0];
-  if (!f) { $('zs-status').textContent = 'pick a prompt wav first'; return; }
+  if (!f) { $('zs-status').textContent = T('pick_wav'); return; }
   const b64 = btoa(String.fromCharCode(...new Uint8Array(await f.arrayBuffer())));
-  $('zs-go').disabled = true; $('zs-status').textContent = 'cloning...';
+  $('zs-go').disabled = true; $('zs-status').textContent = T('cloning');
   try {
     const r = await api('/zero-shot', {tts_text: $('zs-text').value,
       prompt_text: $('zs-prompt-text').value, prompt_audio_base64: b64,
       extra_params: {speed: +$('zs-speed').value, inference_head_num: +$('zs-heads').value}});
     if (r.success) { playAudio($('zs-audio'), r.data.audio_base64);
-      $('zs-status').textContent = `ok: ${r.data.duration.toFixed(2)} s`; }
-    else $('zs-status').textContent = 'error: ' + r.error;
+      $('zs-status').textContent = T('ok_secs', {s: r.data.duration.toFixed(2)}); }
+    else $('zs-status').textContent = T('error') + ': ' + r.error;
   } finally { $('zs-go').disabled = false; }
+};
+
+// ---- data pipeline (stages 1-5, reference data_tab.py one-click) ----
+let dataId = null, dataPoller = null;
+$('da-go').onclick = async () => {
+  const r = await api('/data/run', {stage: $('da-stage').value,
+    input_dir: $('da-in').value, output_dir: $('da-out').value});
+  if (!r.success) { $('da-status').textContent = T('error') + ': ' + r.error; return; }
+  dataId = r.data.training_id;
+  $('da-status').textContent = T('started') + dataId;
+  $('da-log').textContent = '';
+  clearInterval(dataPoller);
+  dataPoller = setInterval(async () => {
+    const s = await api('/training/status/' + dataId);
+    if (s.success) {
+      $('da-status').textContent = `${s.data.status} (${Math.round(s.data.elapsed_s)} s)`;
+      if (s.data.new_log) { $('da-log').textContent += s.data.new_log;
+        $('da-log').scrollTop = $('da-log').scrollHeight; }
+      if (s.data.status !== 'running') clearInterval(dataPoller);
+    }
+  }, 2000);
 };
 
 let trainingId = null, poller = null;
@@ -153,9 +274,9 @@ $('tr-go').onclick = async () => {
     train_data: $('tr-data').value, output_dir: $('tr-out').value,
     model_checkpoint: $('tr-ckpt').value || null,
     batch_size: +$('tr-bs').value, learning_rate: +$('tr-lr').value});
-  if (!r.success) { $('tr-status').textContent = 'error: ' + r.error; return; }
+  if (!r.success) { $('tr-status').textContent = T('error') + ': ' + r.error; return; }
   trainingId = r.data.training_id;
-  $('tr-status').textContent = 'running: ' + trainingId;
+  $('tr-status').textContent = T('running') + ': ' + trainingId;
   clearInterval(poller);
   poller = setInterval(async () => {
     const s = await api('/training/status/' + trainingId);
@@ -172,6 +293,35 @@ $('tr-go').onclick = async () => {
 };
 $('tr-stop').onclick = async () => {
   if (trainingId) await api('/training/stop/' + trainingId, {});
+};
+
+// ---- model management (reference training_tab.py:826-1070) ----
+async function loadModels() {
+  const r = await api('/models/list');
+  if (!r.success) return;
+  $('mo-root').textContent = r.data.root;
+  const body = $('mo-body'); body.innerHTML = '';
+  r.data.models.forEach(m => {
+    const tr = document.createElement('tr');
+    tr.innerHTML = `<td>${m.path}</td><td>${m.kind}</td><td>${m.size_mb}</td><td>${m.modified}</td>`;
+    const td = document.createElement('td');
+    const del = document.createElement('button');
+    del.textContent = T('mo_delete');
+    del.onclick = async () => {
+      if (!confirm(T('mo_confirm', {p: m.path}))) return;
+      await api('/models/delete', {path: m.path});
+      loadModels();
+    };
+    td.appendChild(del); tr.appendChild(td); body.appendChild(tr);
+  });
+}
+$('mo-refresh').onclick = loadModels;
+document.querySelector('[data-tab="models"]').addEventListener('click', loadModels);
+$('mo-convert-go').onclick = async () => {
+  const r = await api('/models/convert', {action: $('mo-action').value,
+    model: $('mo-model').value, src: $('mo-src').value, dst: $('mo-dst').value});
+  $('mo-status').textContent = r.success ? T('started') + r.data.training_id
+                                         : T('error') + ': ' + r.error;
 };
 </script>
 </body>

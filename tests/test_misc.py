@@ -157,3 +157,34 @@ def test_convert_ckpt_cli_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(grafted["llm_decoder"]), np.asarray(params["llm_decoder"])
     )
+
+
+def test_models_admin_list_delete_guard(tmp_path, monkeypatch):
+    """Model management (reference training_tab.py:826-1070): list finds
+    weights files, delete works, path escapes are rejected."""
+    from flowmirror_hydravox_tpu.runtime import models_admin
+
+    root = tmp_path / "models"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.pt").write_bytes(b"x" * 100)
+    (root / "sub" / "b.npz").write_bytes(b"y" * 200)
+    monkeypatch.setenv("TTS_MODEL_ROOT", str(root))
+
+    models = models_admin.list_models()
+    paths = {m["path"] for m in models}
+    assert paths == {"a.pt", "sub/b.npz"}
+
+    out = models_admin.delete_model("sub/b.npz")
+    assert out["success"] and not (root / "sub" / "b.npz").exists()
+
+    with pytest.raises(ValueError):
+        models_admin.delete_model("../outside")
+    assert models_admin.delete_model("missing.pt")["success"] is False
+
+
+def test_data_stage5_command():
+    from flowmirror_hydravox_tpu.runtime.training_manager import TrainingManager
+
+    cmd = TrainingManager().build_data_command(
+        {"stage": "5", "input_dir": "a,b", "output_dir": "o"})
+    assert "flowmirror_hydravox_tpu.preprocess.merge" in cmd
