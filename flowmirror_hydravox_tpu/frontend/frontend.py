@@ -85,6 +85,12 @@ class Frontend:
         self._spk_embed_jit = jax.jit(
             lambda p, m: st.speaker_embedding(p, self.spk_cfg, m)
         )
+        # ONNX adapters take over the moment the reference graphs + runtime
+        # exist (speech_tokenizer.maybe_onnx_extractors; env
+        # HYDRAVOX_SPEECH_TOKENIZER_ONNX / HYDRAVOX_CAMPPLUS_ONNX); until
+        # then the native random-weight architectures keep the pipeline
+        # executable — zero-shot timbre transfer needs real weights either way
+        self._onnx_tokenizer, self._onnx_speaker = st.maybe_onnx_extractors()
 
     # -- text ---------------------------------------------------------------
 
@@ -110,6 +116,8 @@ class Frontend:
         pad = (-t) % frame
         if pad:
             wav16 = np.pad(wav16, [(0, 0), (0, pad)])
+        if self._onnx_tokenizer is not None:
+            return self._onnx_tokenizer(wav16[0])
         toks = self._tokenize_jit(self.tokenizer_params, jnp.asarray(wav16))
         return np.asarray(toks)[0]
 
@@ -130,6 +138,8 @@ class Frontend:
         wav16 = np.asarray(audio.resample_linear(
             jnp.asarray(np.asarray(wav, np.float32).reshape(-1))[None], sample_rate, 16000
         ))
+        if self._onnx_speaker is not None:
+            return self._onnx_speaker(wav16[0])
         mel = audio.mel_spectrogram(jnp.asarray(wav16), 400, 80, 16000, 160, 400)
         emb = self._spk_embed_jit(self.speaker_params, mel)
         return np.asarray(emb)[0]

@@ -22,8 +22,12 @@ levels (3^8 = 6561 codes).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
-from typing import Tuple
+import os
+from typing import Optional, Tuple
+
+logger = logging.getLogger("hydravox.speech_tokenizer")
 
 import jax
 import jax.numpy as jnp
@@ -184,3 +188,81 @@ def speaker_embedding(params: dict, cfg: SpeakerEncoderConfig, mel80: jnp.ndarra
     mean = jnp.mean(x, axis=-1)
     std = jnp.sqrt(jnp.maximum(jnp.var(x, axis=-1), 1e-8))
     return jnp.concatenate([mean, std], axis=-1) @ params["proj"]
+
+
+# ---------------------------------------------------------------------------
+# ONNX Runtime adapters (gated external): the moment the reference graphs
+# (speech_tokenizer_v3.onnx / campplus.onnx — they ship with the weights, not
+# the repo) and onnxruntime are available, these run them at the frontend
+# boundary exactly like the reference (cli/frontend.py:54-57,92-116). Enable
+# via Frontend(..., onnx_tokenizer_path=..., onnx_campplus_path=...) or the
+# HYDRAVOX_SPEECH_TOKENIZER_ONNX / HYDRAVOX_CAMPPLUS_ONNX env vars.
+
+
+class OnnxSpeechTokenizer:
+    """speech_tokenizer_v3.onnx adapter: 16 kHz wav -> whisper 128-mel ->
+    ORT-CPU session -> 25 Hz token ids (cli/frontend.py:92-104)."""
+
+    def __init__(self, onnx_path: str):
+        import onnxruntime as ort  # gated: not in this image by default
+
+        so = ort.SessionOptions()
+        so.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+        self.sess = ort.InferenceSession(
+            onnx_path, sess_options=so, providers=["CPUExecutionProvider"]
+        )
+        self.input_names = [i.name for i in self.sess.get_inputs()]
+
+    def __call__(self, wav16k: np.ndarray) -> np.ndarray:
+        mel = np.asarray(whisper_log_mel(jnp.asarray(wav16k, jnp.float32)[None]))
+        feeds = {self.input_names[0]: mel.astype(np.float32)}
+        if len(self.input_names) > 1:
+            feeds[self.input_names[1]] = np.array([mel.shape[2]], np.int32)
+        out = self.sess.run(None, feeds)
+        return np.asarray(out[0]).reshape(-1).astype(np.int32)
+
+
+class OnnxSpeakerEncoder:
+    """campplus.onnx adapter: 16 kHz wav -> kaldi-style fbank80 (mean-normed)
+    -> ORT-CPU -> 192-d embedding (cli/frontend.py:105-116)."""
+
+    def __init__(self, onnx_path: str):
+        import onnxruntime as ort
+
+        self.sess = ort.InferenceSession(onnx_path, providers=["CPUExecutionProvider"])
+        self.input_name = self.sess.get_inputs()[0].name
+
+    def __call__(self, wav16k: np.ndarray) -> np.ndarray:
+        from ..utils.audio import kaldi_fbank
+
+        feat = np.asarray(kaldi_fbank(jnp.asarray(wav16k, jnp.float32), 16000, 80))
+        feat = feat - feat.mean(axis=0, keepdims=True)  # frontend.py:109
+        out = self.sess.run(None, {self.input_name: feat[None].astype(np.float32)})
+        return np.asarray(out[0]).reshape(-1)[:192].astype(np.float32)
+
+
+def maybe_onnx_extractors(
+    tokenizer_path: Optional[str] = None, campplus_path: Optional[str] = None
+):
+    """(tokenizer_fn, speaker_fn) or (None, None) when graphs/runtime are
+    absent — the native JAX architectures stay the fallback."""
+    tokenizer_path = tokenizer_path or os.environ.get("HYDRAVOX_SPEECH_TOKENIZER_ONNX")
+    campplus_path = campplus_path or os.environ.get("HYDRAVOX_CAMPPLUS_ONNX")
+    tok_fn = spk_fn = None
+    for path, cls, name in (
+        (tokenizer_path, OnnxSpeechTokenizer, "speech_tokenizer"),
+        (campplus_path, OnnxSpeakerEncoder, "campplus"),
+    ):
+        if not path:
+            continue
+        try:
+            fn = cls(path)
+        except Exception as e:
+            logger.warning("ONNX %s adapter unavailable (%s); using native JAX "
+                           "architecture with its own weights", name, e)
+            continue
+        if name == "speech_tokenizer":
+            tok_fn = fn
+        else:
+            spk_fn = fn
+    return tok_fn, spk_fn

@@ -170,6 +170,162 @@ class FlowCollator:
         return batch
 
 
+def shard_list_iterator(
+    list_file: str,
+    rank: int = 0,
+    world_size: int = 1,
+    worker: int = 0,
+    num_workers: int = 1,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    shuffle: bool = True,
+) -> Iterator[Dict]:
+    """Parquet shard-list chain (reference dataset/dataset.py:51-122 +
+    dataset/processor.py:29 parquet_opener): a text file with one shard path
+    per line (parquet file or HF-dataset dir) -> epoch-seeded shuffle ->
+    two-level rank x worker modulo sharding -> open -> yield row dicts."""
+    with open(list_file) as f:
+        shards = [line.strip() for line in f if line.strip()]
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = list(range(len(shards)))
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(order)
+        # rank-level then worker-level modulo sharding (dataset.py:51-122)
+        mine = [shards[i] for j, i in enumerate(order) if j % world_size == rank]
+        mine = [s for j, s in enumerate(mine) if j % num_workers == worker]
+        for shard in mine:
+            if shard.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                table = pq.read_table(shard)
+                cols = table.column_names
+                for i in range(table.num_rows):
+                    yield {c: table.column(c)[i].as_py() for c in cols}
+            else:
+                import datasets
+
+                ds = datasets.load_from_disk(shard)
+                for row in ds:
+                    yield row
+        epoch += 1
+
+
+def dynamic_batch_iterator(
+    data: Iterable[Dict],
+    collator,
+    max_frames_in_batch: int = 12000,
+    length_fn=None,
+    pad_batch_pow2: bool = True,
+    min_batch_multiple: int = 1,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Token/frame-budget batching (reference processor.py:324-350
+    dynamic_batch): accumulate rows until padded frames
+    (longest * (batch+1)) would exceed the budget, then emit.
+
+    TPU adaptation: `pad_batch_pow2` zero-pads the batch dim up to the next
+    power of two (at least `min_batch_multiple`, the DP shard count) so each
+    batch size hits a cached XLA program; padded rows carry zero lengths and
+    contribute nothing to masked losses."""
+    if length_fn is None:
+        def length_fn(row):
+            if row.get("mel") is not None:
+                return len(row["mel"])
+            if row.get("speech_token") is not None:
+                return len(row["speech_token"])
+            return len(row.get("text", ""))
+
+    def emit(rows):
+        batch = collator(rows)
+        if pad_batch_pow2:
+            b = len(rows)
+            target = max(min_batch_multiple, 1 << (b - 1).bit_length())
+            if target > b:
+                batch = {
+                    k: np.concatenate(
+                        [v, np.zeros((target - b,) + v.shape[1:], v.dtype)]
+                    )
+                    for k, v in batch.items()
+                }
+        return batch
+
+    buf: List[Dict] = []
+    longest = 0
+    for row in data:
+        n = int(length_fn(row))
+        longest = max(longest, n)
+        if buf and longest * (len(buf) + 1) > max_frames_in_batch:
+            yield emit(buf)
+            buf = [row]
+            longest = n
+        else:
+            buf.append(row)
+    if buf:
+        yield emit(buf)
+
+
+def static_batch_iterable(
+    data: Iterable[Dict], collator, batch_size: int, drop_last: bool = True
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Fixed-size batching over an iterable source (processor.py:304-321)."""
+    buf: List[Dict] = []
+    for row in data:
+        buf.append(row)
+        if len(buf) >= batch_size:
+            yield collator(buf)
+            buf = []
+    if buf and not drop_last:
+        yield collator(buf)
+
+
+def iterate_rows(dataset, seed: int = 0, epochs: Optional[int] = None,
+                 shuffle: bool = True) -> Iterator[Dict]:
+    """Epoch-seeded shuffled row stream over an indexable dataset."""
+    n = len(dataset)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(order)
+        for i in order:
+            yield dataset[int(i)]
+        epoch += 1
+
+
+def make_batch_source(
+    collator,
+    batch_size: int,
+    train_data: Optional[str] = None,
+    shard_list: Optional[str] = None,
+    batch_type: str = "static",
+    max_frames_in_batch: int = 12000,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    val_split: float = 0.0,
+    min_batch_multiple: int = 1,
+    rank: int = 0,
+    world_size: int = 1,
+):
+    """CLI-facing data source builder: HF-dataset dir (default) or parquet
+    shard-list chain; static (fixed batch) or dynamic (frame-budget)
+    batching. Returns (batch_iterator, val_dataset_or_None)."""
+    if shard_list:
+        rows = shard_list_iterator(shard_list, rank=rank, world_size=world_size,
+                                   seed=seed, epochs=epochs)
+        if batch_type == "dynamic":
+            return dynamic_batch_iterator(
+                rows, collator, max_frames_in_batch,
+                min_batch_multiple=min_batch_multiple), None
+        return static_batch_iterable(rows, collator, batch_size), None
+    train_ds, val_ds = load_hf_dataset(train_data, val_split, seed)
+    if batch_type == "dynamic":
+        rows = iterate_rows(train_ds, seed=seed, epochs=epochs)
+        return dynamic_batch_iterator(
+            rows, collator, max_frames_in_batch,
+            min_batch_multiple=min_batch_multiple), val_ds
+    return batch_iterator(train_ds, collator, batch_size, seed=seed, epochs=epochs), val_ds
+
+
 def batch_iterator(
     dataset,
     collator,

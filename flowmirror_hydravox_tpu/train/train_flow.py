@@ -18,7 +18,11 @@ logger = logging.getLogger("hydravox.train_flow")
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--train_data", required=True)
+    p.add_argument("--train_data", default=None, help="HF dataset dir")
+    p.add_argument("--shard_list", default=None,
+                   help="parquet/dataset shard-list file")
+    p.add_argument("--batch_type", choices=["static", "dynamic"], default="static")
+    p.add_argument("--max_frames_in_batch", type=int, default=12000)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--model_ckpt", default=None)
     p.add_argument("--batch_size", type=int, default=8)
@@ -38,6 +42,8 @@ def main(argv=None):
                         "attention/FF sharding, parallel/sharding.flow_param_specs)")
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style optimizer-moment sharding over 'data'")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed init + hybrid ICI/DCN mesh")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -55,7 +61,13 @@ def main(argv=None):
 
     full_cfg = tiny_config() if args.tiny else HydraVoxConfig()
     cfg = full_cfg.flow
-    mesh = make_mesh(model=args.tensor_parallel)
+    if args.multihost:
+        from ..parallel.mesh import init_distributed, make_multihost_mesh
+
+        init_distributed()
+        mesh = make_multihost_mesh(model=args.tensor_parallel)
+    else:
+        mesh = make_mesh(model=args.tensor_parallel)
     assert args.batch_size % mesh.shape["data"] == 0
 
     rng = jax.random.PRNGKey(args.seed)
@@ -105,9 +117,16 @@ def main(argv=None):
         )
         return np.asarray(mel)[0].T
 
-    train_ds, _ = load_hf_dataset(args.train_data)
+    assert args.train_data or args.shard_list, "--train_data or --shard_list required"
     collator = FlowCollator(mel_extract_fn=mel_extract, token_mel_ratio=cfg.token_mel_ratio)
-    it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
+    from .data import make_batch_source
+
+    it, _ = make_batch_source(
+        collator, args.batch_size, train_data=args.train_data,
+        shard_list=args.shard_list, batch_type=args.batch_type,
+        max_frames_in_batch=args.max_frames_in_batch, seed=args.seed,
+        epochs=args.epochs, min_batch_multiple=mesh.shape["data"],
+    )
 
     tb = None
     if args.tensorboard_dir:
@@ -115,11 +134,13 @@ def main(argv=None):
 
         tb = SummaryWriter(args.tensorboard_dir)
 
+    from ..parallel.mesh import host_local_batch_to_global
+
     t0 = time.time()
     metrics = {}
     for batch in it:
         rng, step_rng = jax.random.split(rng)
-        sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+        sharded = host_local_batch_to_global(mesh, batch)
         state, metrics = step_fn(state, sharded, step_rng)
         step = int(state.step)
         if step % args.logging_steps == 0:

@@ -25,7 +25,13 @@ logger = logging.getLogger("hydravox.train_llm")
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--train_data", required=True)
+    p.add_argument("--train_data", default=None, help="HF dataset dir")
+    p.add_argument("--shard_list", default=None,
+                   help="parquet/dataset shard-list file (reference "
+                        "dataset/dataset.py:125 chain)")
+    p.add_argument("--batch_type", choices=["static", "dynamic"], default="static")
+    p.add_argument("--max_frames_in_batch", type=int, default=12000,
+                   help="dynamic-batch token budget (processor.py:324)")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--model_ckpt", default=None, help="weights-only npz or torch .pt")
     p.add_argument("--tokenizer_path", default=None)
@@ -53,6 +59,11 @@ def main(argv=None):
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style optimizer-moment sharding over 'data' "
                         "(reference DeepSpeed stage 2, deepspeed_config.json)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host training: jax.distributed init + hybrid "
+                        "ICI/DCN mesh (reference train_utils.py:39-50 NCCL "
+                        "equivalent; set COORDINATOR_ADDRESS/NUM_PROCESSES/"
+                        "PROCESS_ID or run on Cloud TPU)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -69,7 +80,13 @@ def main(argv=None):
     from .steps import OptimConfig, init_state, llm_train_step, make_optimizer
 
     cfg = (tiny_config() if args.tiny else HydraVoxConfig()).llm
-    mesh = make_mesh(model=args.tensor_parallel)
+    if args.multihost:
+        from ..parallel.mesh import init_distributed, make_multihost_mesh
+
+        init_distributed()
+        mesh = make_multihost_mesh(model=args.tensor_parallel)
+    else:
+        mesh = make_mesh(model=args.tensor_parallel)
     n_data = mesh.shape["data"]
     assert args.batch_size % n_data == 0, (
         f"batch_size {args.batch_size} not divisible by {n_data} data shards"
@@ -120,9 +137,7 @@ def main(argv=None):
         lambda s, b: llm_train_step(s, b, cfg, optimizer), donate_argnums=(0,)
     )
 
-    train_ds, val_ds = load_hf_dataset(
-        args.train_data, args.val_split_ratio if args.auto_val_split else 0.0, args.seed
-    )
+    assert args.train_data or args.shard_list, "--train_data or --shard_list required"
     tokenizer = get_tokenizer(args.tokenizer_path)
     aug = None
     if args.phoneme_aug:
@@ -131,7 +146,17 @@ def main(argv=None):
 
         aug = PhonemeAugmenter(SPECIAL_TOKENS, seed=args.seed)
     collator = LLMCollator(tokenizer, phoneme_aug=aug)
-    it = batch_iterator(train_ds, collator, args.batch_size, seed=args.seed, epochs=args.epochs)
+    from .data import make_batch_source
+
+    it, val_ds = make_batch_source(
+        collator, args.batch_size, train_data=args.train_data,
+        shard_list=args.shard_list, batch_type=args.batch_type,
+        max_frames_in_batch=args.max_frames_in_batch, seed=args.seed,
+        epochs=args.epochs,
+        val_split=args.val_split_ratio if args.auto_val_split else 0.0,
+        min_batch_multiple=n_data,
+        rank=jax.process_index(), world_size=jax.process_count(),
+    )
 
     tb = None
     if args.tensorboard_dir:
@@ -139,10 +164,12 @@ def main(argv=None):
 
         tb = SummaryWriter(args.tensorboard_dir)
 
+    from ..parallel.mesh import host_local_batch_to_global
+
     t0 = time.time()
     metrics = {}
     for batch in it:
-        sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+        sharded = host_local_batch_to_global(mesh, batch)
         state, metrics = step_fn(state, sharded)
         step = int(state.step)
         if step % args.logging_steps == 0:

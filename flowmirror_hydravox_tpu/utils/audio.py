@@ -46,19 +46,31 @@ def mel_to_hz_slaney(mels):
 
 @functools.lru_cache(maxsize=16)
 def mel_filterbank(
-    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None,
+    htk: bool = False,
 ) -> np.ndarray:
-    """Slaney-normalized triangular mel filterbank, (n_mels, n_fft//2 + 1).
+    """Triangular mel filterbank, (n_mels, n_fft//2 + 1).
 
-    Matches librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax) defaults
-    (htk=False, norm='slaney').
+    htk=False: Slaney scale + normalization, matching
+    librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax) defaults.
+    htk=True: HTK mel scale, unnormalized (kaldi-fbank style).
     """
     if fmax is None:
         fmax = sr / 2.0
     n_freqs = n_fft // 2 + 1
     fft_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
-    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
-    hz_pts = mel_to_hz_slaney(mel_pts)
+    if htk:
+        def to_mel(f):
+            return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+        def to_hz(m):
+            return 700.0 * (np.exp(np.asarray(m, np.float64) / 1127.0) - 1.0)
+
+        mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+        hz_pts = to_hz(mel_pts)
+    else:
+        mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
+        hz_pts = mel_to_hz_slaney(mel_pts)
 
     fdiff = np.diff(hz_pts)
     ramps = hz_pts[:, None] - fft_freqs[None, :]
@@ -66,9 +78,10 @@ def mel_filterbank(
     upper = ramps[2:] / fdiff[1:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
 
-    # Slaney normalization: scale each filter to ~constant energy per channel.
-    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
-    weights = weights * enorm[:, None]
+    if not htk:
+        # Slaney normalization: scale each filter to ~constant energy per channel.
+        enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+        weights = weights * enorm[:, None]
     return weights.astype(np.float32)
 
 
@@ -145,6 +158,35 @@ def whisper_log_mel(y: jnp.ndarray, n_mels: int = 128, sample_rate: int = 16000)
     log_spec = jnp.log10(jnp.clip(mel, 1e-10, None))
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0)
     return (log_spec + 4.0) / 4.0
+
+
+def kaldi_fbank(y: jnp.ndarray, sample_rate: int = 16000, num_mels: int = 80) -> jnp.ndarray:
+    """Kaldi-style log-mel fbank feeding the campplus speaker model
+    (reference cli/frontend.py:105-116 uses torchaudio kaldi.fbank):
+    25 ms / 10 ms frames, snip-edges, DC removal, povey window, HTK mel.
+
+    y: (T,) 16 kHz waveform in [-1, 1]. Returns (n_frames, num_mels).
+    Close-but-not-bit-exact to torchaudio's kaldi.fbank (documented delta:
+    no dither, HTK mel instead of kaldi's; irrelevant until the opaque
+    campplus graph itself is available)."""
+    frame_len = int(sample_rate * 0.025)
+    hop = int(sample_rate * 0.010)
+    y = jnp.asarray(y, jnp.float32).reshape(-1) * 32768.0  # kaldi int16 scale
+    n_frames = max(1 + (y.shape[0] - frame_len) // hop, 1)
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_len)[None, :]
+    frames = y[jnp.clip(idx, 0, y.shape[0] - 1)]
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)  # remove_dc
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame_len) / (frame_len - 1))
+    povey = jnp.asarray(hann ** 0.85, jnp.float32)
+    n_fft = 1 << (frame_len - 1).bit_length()
+    spec = jnp.fft.rfft(frames * povey[None, :], n=n_fft, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    # HTK mel banks, kaldi default low 20 Hz
+    mel_fb = jnp.asarray(
+        mel_filterbank(sample_rate, n_fft, num_mels, fmin=20.0, htk=True)
+    )
+    mel = power @ mel_fb.T
+    return jnp.log(jnp.clip(mel, 1e-10, None))
 
 
 def resample_linear(y: jnp.ndarray, orig_sr: int, target_sr: int) -> jnp.ndarray:

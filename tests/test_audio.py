@@ -81,3 +81,20 @@ def test_resample_linear_identity_and_ratio():
     np.testing.assert_array_equal(np.asarray(same), np.asarray(wav))
     down = audio.resample_linear(wav, 48000, 16000)
     assert down.shape == (1, 16000)
+
+
+def test_kaldi_fbank_shape_and_finite():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flowmirror_hydravox_tpu.utils.audio import kaldi_fbank
+
+    sr = 16000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    feat = np.asarray(kaldi_fbank(jnp.asarray(wav), sr, 80))
+    # 25ms/10ms snip-edges: 1 + (16000-400)//160 = 98 frames
+    assert feat.shape == (98, 80)
+    assert np.isfinite(feat).all()
+    # 220 Hz tone: energy concentrated in low mel bands
+    assert feat[:, :20].mean() > feat[:, 60:].mean()

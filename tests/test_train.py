@@ -120,3 +120,56 @@ def test_flow_collator():
     assert b["speech_token"].shape == (3, 16)
     assert b["speech_feat"].shape == (3, 32, 80)
     assert (b["feat_len"] == 2 * b["token_len"]).all()
+
+
+def test_dynamic_batch_iterator_budget_and_pow2():
+    """Frame-budget batching (reference processor.py:324-350) with TPU
+    power-of-2 batch padding: padded rows carry zero lengths."""
+    from flowmirror_hydravox_tpu.frontend.tokenizer import ByteTokenizer
+    from flowmirror_hydravox_tpu.train.data import dynamic_batch_iterator
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"text": "x" * int(n), "speech_token": rng.integers(0, 50, int(n)).tolist()}
+        for n in rng.integers(5, 30, 20)
+    ]
+    coll = LLMCollator(ByteTokenizer(), text_buckets=(64,), speech_buckets=(64,))
+    batches = list(dynamic_batch_iterator(
+        rows, coll, max_frames_in_batch=100,
+        length_fn=lambda r: len(r["speech_token"]), min_batch_multiple=2,
+    ))
+    assert len(batches) >= 2
+    for b in batches:
+        bs = b["speech_token"].shape[0]
+        assert bs & (bs - 1) == 0 and bs >= 2  # power of two, >= DP shards
+        # budget respected before padding: valid rows * longest <= 100
+        valid = int((b["speech_len"] > 0).sum())
+        assert valid * int(b["speech_len"].max()) <= 100 or valid == 1
+        # padded rows are all-zero (masked out of the loss)
+        assert (b["speech_len"][valid:] == 0).all()
+
+
+def test_shard_list_iterator_parquet_and_hf(tmp_path):
+    """Shard-list chain (reference dataset/dataset.py:51-122): parquet +
+    HF-dataset shards, rank/worker modulo sharding."""
+    import datasets
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flowmirror_hydravox_tpu.train.data import shard_list_iterator
+
+    pq.write_table(pa.table({"text": ["p0", "p1"], "speech_token": [[1], [2, 3]]}),
+                   str(tmp_path / "shard0.parquet"))
+    datasets.Dataset.from_list(
+        [{"text": "h0", "speech_token": [4]}]).save_to_disk(str(tmp_path / "shard1"))
+    lst = tmp_path / "shards.txt"
+    lst.write_text(f"{tmp_path}/shard0.parquet\n{tmp_path}/shard1\n")
+
+    rows = list(shard_list_iterator(str(lst), epochs=1, shuffle=False))
+    assert {r["text"] for r in rows} == {"p0", "p1", "h0"}
+    # two ranks split the two shards disjointly
+    r0 = {r["text"] for r in shard_list_iterator(str(lst), rank=0, world_size=2,
+                                                 epochs=1, shuffle=False)}
+    r1 = {r["text"] for r in shard_list_iterator(str(lst), rank=1, world_size=2,
+                                                 epochs=1, shuffle=False)}
+    assert r0 | r1 == {"p0", "p1", "h0"} and not (r0 & r1)
