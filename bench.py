@@ -161,10 +161,19 @@ def main():
         "hift_s": round(hift_s, 4), "audio_s": round(audio_dur, 3),
     }))
 
-    # decode HBM roofline: each base-LLM step streams the weights once from
-    # HBM (batch 1, bandwidth-bound); v5e peak ~819 GB/s
-    weight_bytes = sum(
-        int(np.prod(p.shape)) * p.dtype.itemsize for p in jax.tree.leaves(llm_params)
+    # decode HBM roofline: each base-LLM step streams the backbone layers,
+    # the active MTP heads, and the shared decoder once from HBM (batch 1,
+    # bandwidth-bound). The embedding table is gathered (K rows), not
+    # streamed, so it is excluded; so is the unused 5th head. v5e ~819 GB/s.
+    def tree_bytes(t):
+        return sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in jax.tree.leaves(t))
+
+    heads_used = 4
+    mtp_bytes = tree_bytes(llm_params["mtp_block"]) * heads_used / cfg.llm.head_num
+    weight_bytes = (
+        tree_bytes(llm_params["backbone"]["layers"])
+        + mtp_bytes
+        + tree_bytes(llm_params["llm_decoder"])
     )
     step_s = r.llm_time / max(r.steps, 1)
     hbm_peak = 819e9

@@ -94,6 +94,8 @@ class TTSService:
 
         if kind == "tts":
             return self._process_tts_segmented(task, sampling, head_num, speed)
+        elif kind == "tts_stream":
+            return self._process_tts_stream(task, sampling, head_num)
         elif kind == "zero_shot":
             wav, sr = task["prompt_audio"], task["prompt_sample_rate"]
             mode = task.get("mode", "zero_shot")
@@ -188,6 +190,45 @@ class TTSService:
                 }
         audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
         return {"output_audio": audio, "sample_rate": sr}
+
+    def _process_tts_stream(self, task: dict, sampling, head_num) -> dict:
+        """Streaming synthesis: ~1 s PCM chunks pushed into task['chunk_queue']
+        as the multi-head decode produces tokens (StreamingSynthesizer rides
+        the fused first-chunk program, TTFT ~130 ms). A capability extension
+        over the reference server, whose HTTP layer is offline-only
+        (SURVEY §3.4: the streaming machinery exists but only the CLI uses
+        it); chunk semantics follow cli/model.py:279-360 (25-token hop,
+        Hamming cross-fade, inter-segment pauses)."""
+        import random as _random
+
+        q = task["chunk_queue"]
+        try:
+            segments = self.frontend.text_normalize(task["text"], split=True)
+            synth = self.engine.streaming()
+            sr = self.engine.cfg.sample_rate
+            for i, seg in enumerate(segments):
+                feats = self.frontend.frontend_sft(seg, task["speaker_id"])
+                gen = synth.synthesize_stream(
+                    text_tokens=feats["text_tokens"],
+                    tts_text_len=feats["tts_text_len"],
+                    sampling=sampling,
+                    inference_head_num=head_num,
+                    prompt_speech_tokens=feats.get("prompt_speech_tokens"),
+                    prompt_mel=feats.get("prompt_mel"),
+                    spk_embedding=feats.get("spk_embedding"),
+                )
+                for wav in gen:
+                    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+                    q.put(pcm.tobytes())
+                if i < len(segments) - 1:
+                    pause = int(_random.uniform(0.05, 0.15) * sr)
+                    q.put(np.zeros(pause, "<i2").tobytes())
+            q.put(None)
+            return {"streamed": True}
+        except Exception as e:
+            q.put(e)
+            q.put(None)
+            raise
 
     def _synthesize_one(self, feats, sampling, head_num, speed):
         res = self.engine.synthesize(
@@ -320,6 +361,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if self.path == "/api/v1/tts":
                 self._handle_tts(body)
+            elif self.path == "/api/v1/tts/stream":
+                self._handle_tts_stream(body)
             elif self.path == "/api/v1/zero-shot":
                 self._handle_zero_shot(body)
             elif self.path == "/api/v1/vc":
@@ -434,6 +477,54 @@ class _Handler(BaseHTTPRequestHandler):
             "extra_params": extra,
         })
         self._finish_audio(self.service.wait(tid))
+
+    def _handle_tts_stream(self, body: dict):
+        """Streamed WAV over a plain HTTP response body: an unknown-length
+        RIFF header (0xFFFFFFFF sizes, the standard live-WAV convention)
+        followed by 16-bit PCM chunks as synthesis proceeds; the connection
+        closes at end-of-utterance."""
+        import struct
+
+        if not body.get("text") or not body.get("speaker_id"):
+            self._send(400, _response(False, "missing fields",
+                                      error="text + speaker_id required"))
+            return
+        extra = {**DEFAULT_TTS_EXTRA, **(body.get("extra_params") or {})}
+        chunk_q: "queue.Queue" = queue.Queue()
+        self.service.submit({
+            "type": "tts_stream",
+            "text": body["text"],
+            "speaker_id": body["speaker_id"],
+            "extra_params": extra,
+            "chunk_queue": chunk_q,
+        })
+        try:
+            first = chunk_q.get(timeout=self.service.timeout)
+        except queue.Empty:
+            self._send(408, _response(False, "timeout", error="tts timeout"))
+            return
+        if isinstance(first, Exception):
+            self._send(500, _response(False, "synthesis failed", error=str(first)))
+            return
+        sr = self.service.engine.cfg.sample_rate
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("X-Sample-Rate", str(sr))
+        self.send_header("Connection", "close")
+        self.end_headers()
+        header = (
+            b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF)
+        )
+        self.wfile.write(header)
+        chunk = first
+        while chunk is not None:
+            if isinstance(chunk, Exception):
+                break  # mid-stream failure: truncate the stream
+            self.wfile.write(chunk)
+            self.wfile.flush()
+            chunk = chunk_q.get(timeout=self.service.timeout)
 
     def _handle_zero_shot(self, body: dict):
         if not body.get("prompt_audio_base64"):

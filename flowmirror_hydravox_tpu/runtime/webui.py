@@ -144,7 +144,16 @@ INDEX_HTML = """<!DOCTYPE html>
 
 <section id="tab-speakers">
  <button class="go" id="spk-refresh" data-i18n="refresh"></button>
- <pre id="spk-list"></pre>
+ <table>
+  <thead><tr><th data-i18n="speaker"></th><th></th></tr></thead>
+  <tbody id="spk-body"></tbody>
+ </table>
+ <h4 data-i18n="spk_add"></h4>
+ <label data-i18n="spk_id"></label><input id="spk-new-id"/>
+ <label data-i18n="zs_prompt_audio"></label><input id="spk-new-file" type="file" accept=".wav,audio/wav"/>
+ <label data-i18n="zs_prompt_text"></label><input id="spk-new-text"/>
+ <button class="go" id="spk-add-go" data-i18n="spk_add"></button>
+ <div class="status" id="spk-status"></div>
 </section>
 </main>
 
@@ -166,7 +175,9 @@ const I18N = {
   mo_convert: "Convert checkpoint", mo_action: "Action", mo_src: "Source path",
   mo_dst: "Destination path", mo_convert_go: "Convert", mo_delete: "Delete",
   mo_confirm: "Delete {p}?", running: "running", done: "done", error: "error",
-  ok_secs: "ok: {s} s", started: "started: "},
+  ok_secs: "ok: {s} s", started: "started: ",
+  spk_add: "Add speaker (zero-shot enrollment)", spk_id: "Speaker id",
+  spk_remove: "Remove", spk_confirm: "Remove speaker {p}?"},
  zh: {subtitle: "多头并行语音合成", tab_infer: "语音合成", tab_zeroshot: "声音克隆",
   tab_data: "数据处理", tab_training: "模型训练", tab_models: "模型管理", tab_speakers: "说话人",
   text: "合成文本", speaker: "说话人", heads: "并行头数 (1-5)", speed: "语速",
@@ -183,7 +194,9 @@ const I18N = {
   mo_convert: "权重转换", mo_action: "操作", mo_src: "源路径",
   mo_dst: "目标路径", mo_convert_go: "转换", mo_delete: "删除",
   mo_confirm: "确定删除 {p}？", running: "运行中", done: "已完成", error: "错误",
-  ok_secs: "完成：{s} 秒", started: "已启动："}
+  ok_secs: "完成：{s} 秒", started: "已启动：",
+  spk_add: "添加说话人（零样本注册）", spk_id: "说话人 ID",
+  spk_remove: "删除", spk_confirm: "确定删除说话人 {p}？"}
 };
 let LANG = localStorage.getItem("hydravox_lang") || "en";
 const T = (k, vars) => { let s = (I18N[LANG][k] ?? I18N.en[k] ?? k);
@@ -213,11 +226,32 @@ function playAudio(el, b64) { el.src = 'data:audio/wav;base64,' + b64; el.play()
 async function loadSpeakers() {
   const r = await api('/speakers');
   const sel = $('tts-speaker'); sel.innerHTML = '';
-  (r.data?.speakers || []).forEach(s => { const o = document.createElement('option'); o.textContent = s; sel.appendChild(o); });
-  $('spk-list').textContent = JSON.stringify(r.data, null, 2);
+  const body = $('spk-body'); body.innerHTML = '';
+  (r.data?.speakers || []).forEach(s => {
+    const o = document.createElement('option'); o.textContent = s; sel.appendChild(o);
+    const tr = document.createElement('tr');
+    const td1 = document.createElement('td'); td1.textContent = s;
+    const td2 = document.createElement('td');
+    const del = document.createElement('button'); del.textContent = T('spk_remove');
+    del.onclick = async () => {
+      if (!confirm(T('spk_confirm', {p: s}))) return;
+      await api('/speakers/remove/' + encodeURIComponent(s), {});
+      loadSpeakers();
+    };
+    td2.appendChild(del); tr.appendChild(td1); tr.appendChild(td2); body.appendChild(tr);
+  });
 }
 applyLang(); loadSpeakers();
 $('spk-refresh').onclick = loadSpeakers;
+$('spk-add-go').onclick = async () => {
+  const f = $('spk-new-file').files[0];
+  if (!f || !$('spk-new-id').value) { $('spk-status').textContent = T('pick_wav'); return; }
+  const b64 = btoa(String.fromCharCode(...new Uint8Array(await f.arrayBuffer())));
+  const r = await api('/speakers/add', {speaker_id: $('spk-new-id').value,
+    audio_base64: b64, prompt_text: $('spk-new-text').value || null});
+  $('spk-status').textContent = r.success ? 'ok' : T('error') + ': ' + r.error;
+  loadSpeakers();
+};
 
 $('tts-go').onclick = async () => {
   $('tts-go').disabled = true; $('tts-status').textContent = T('synthesizing');
