@@ -48,20 +48,30 @@ def _gumbel_argmax(rng, log_probs):
     return jnp.argmax(log_probs + g).astype(jnp.int32)
 
 
+# Nucleus candidates are drawn from at most KMAX top tokens: the reference's
+# set is capped by top_k (defaults <= 25, server <= 25), so a static top-64
+# window is exact for every production config while replacing the full-vocab
+# sort (6,761 entries — ~0.7 ms/step of pure VPU sorting) with lax.top_k.
+NUCLEUS_KMAX = 64
+
+
 def nucleus_sample(rng: jax.Array, logits: jnp.ndarray, top_p, top_k) -> jnp.ndarray:
     """Sample from the reference's nucleus set (common.py:146-161).
 
     logits: (V,) f32 (already masked if needed). Returns scalar int32 token.
+    Exact as long as top_k <= NUCLEUS_KMAX (runtime top_k is clamped).
     """
     probs = jax.nn.softmax(logits.astype(jnp.float32))
-    order = jnp.argsort(-probs)  # jnp sort is stable -> matches reference's stable sort
-    sorted_p = probs[order]
-    excl_cum = jnp.cumsum(sorted_p) - sorted_p
-    rank = jnp.arange(probs.shape[0])
-    keep = (excl_cum < top_p) & (rank < top_k)
-    kept_logp = jnp.where(keep, jnp.log(jnp.maximum(sorted_p, 1e-30)), -jnp.inf)
+    kmax = min(NUCLEUS_KMAX, probs.shape[0])
+    # top_k ties break toward the lower index — identical to the stable
+    # descending sort the reference uses
+    top_vals, top_idx = jax.lax.top_k(probs, kmax)
+    excl_cum = jnp.cumsum(top_vals) - top_vals
+    rank = jnp.arange(kmax)
+    keep = (excl_cum < top_p) & (rank < jnp.minimum(top_k, kmax))
+    kept_logp = jnp.where(keep, jnp.log(jnp.maximum(top_vals, 1e-30)), -jnp.inf)
     pick = _gumbel_argmax(rng, kept_logp)
-    return order[pick].astype(jnp.int32)
+    return top_idx[pick].astype(jnp.int32)
 
 
 def ras_sample(
