@@ -114,3 +114,13 @@ def test_vocoder_shapes():
     assert wav.shape == (1, 20 * cfg.hop_length)
     w = np.asarray(wav)
     assert np.isfinite(w).all() and np.abs(w).max() <= 1.0
+
+
+def test_matcha_demo_app_synth():
+    """Web-demo equivalent of reference matcha/app.py: build_synth produces
+    a waveform through the full text->MAS->CFM->HiFi-GAN path (tiny)."""
+    from flowmirror_hydravox_tpu.models.matcha.app import build_synth
+
+    synth = build_synth(tiny=True)
+    wav, sr, dt = synth("hello demo", steps=2, temperature=0.667, speaking_rate=1.0)
+    assert sr == 22050 and len(wav) > 0 and np.isfinite(wav).all()
