@@ -29,6 +29,11 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # rbg PRNG: ~7% faster decode steps than threefry (sampling draws full-
+    # vocab gumbels every step); sampling quality is unaffected, streams are
+    # just a different counter-based generator
+    if os.environ.get("HYDRAVOX_FAST_RNG", "1") not in ("0", "false"):
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from flowmirror_hydravox_tpu.config import HydraVoxConfig
     from flowmirror_hydravox_tpu.models import llm as llm_model

