@@ -302,6 +302,86 @@ def transformerlm_forward_loss(
     return {"loss": loss, "acc": acc}
 
 
+def transformerlm_generate(
+    params: dict,
+    cfg: TransformerLMConfig,
+    rng: jax.Array,
+    text_token: jnp.ndarray,  # (Lt,) padded
+    text_len: jnp.ndarray,  # scalar
+    embedding: jnp.ndarray,  # (192,)
+    min_len: jnp.ndarray,
+    max_len: jnp.ndarray,
+    sampling: SamplingParams,
+    *,
+    max_tokens: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CV1 AR decode (TransformerLM.inference, llm_multi_head_v3.py:168-229).
+
+    The reference streams through forward_chunk's attention cache; here the
+    whole padded sequence re-encodes each step inside a bounded while_loop —
+    the same full-prefix-recompute strategy the reference's served CV3 path
+    uses (llm_multi_head_v3.py:873-882). Fine for the legacy stack; the
+    flagship CV3 decode (models/llm.py) is the KV-cached fast path.
+    Returns (tokens (max_tokens,), num)."""
+    lt = text_token.shape[0]
+    text_emb = jnp.take(params["text_embedding"], jnp.clip(text_token, 0), axis=0)
+    enc, _ = encoder_forward(params["text_encoder"], cfg.text_encoder,
+                             text_emb[None], text_len[None])
+    enc = linear(params["text_encoder_affine"], enc)[0]
+    spk = embedding / jnp.maximum(
+        jnp.linalg.norm(embedding.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+    )
+    spk = linear(params["spk_embed_affine"], spk.astype(enc.dtype))
+    sos, task = params["llm_embedding"][0], params["llm_embedding"][1]
+
+    t_total = 3 + lt + max_tokens
+    pos = jnp.arange(t_total)
+    ti = jnp.clip(pos - 2, 0, lt - 1)
+    base = jnp.where(
+        (pos == 0)[:, None], sos[None],
+        jnp.where(
+            (pos == 1)[:, None], spk[None],
+            jnp.where(((pos >= 2) & (pos <= text_len + 1))[:, None], enc[ti],
+                      task[None]),
+        ),
+    ).astype(enc.dtype)
+
+    state = dict(
+        rng=rng, seq=base,
+        tokens=jnp.full((max_tokens,), -1, jnp.int32),
+        num=jnp.int32(0), finished=jnp.bool_(False),
+    )
+    prefix = 3 + text_len  # sos, spk, text, task
+
+    def cond(s):
+        return ~s["finished"]
+
+    def body(s):
+        rng, step_rng = jax.random.split(s["rng"])
+        cur_len = prefix + s["num"]
+        out, _ = _causal_encoder(params["llm"], cfg.llm, s["seq"][None],
+                                 cur_len[None])
+        hidden = out[0, cur_len - 1]
+        logits = linear(params["llm_decoder"], hidden).astype(jnp.float32)
+        tok = ras_sample(
+            step_rng, logits, s["tokens"], s["num"], sampling,
+            s["num"] < min_len, cfg.speech_token_size,
+        )
+        is_stop = tok >= cfg.speech_token_size
+        tokens = s["tokens"].at[s["num"]].set(
+            jnp.where(is_stop, s["tokens"][s["num"]], tok))
+        num = s["num"] + jnp.where(is_stop, 0, 1)
+        emb = params["speech_embedding"][jnp.clip(tok, 0, cfg.speech_token_size - 1)]
+        seq = jax.lax.dynamic_update_slice(
+            s["seq"], emb[None].astype(s["seq"].dtype), (cur_len, 0))
+        finished = is_stop | (num >= max_len) | (num >= max_tokens)
+        return dict(rng=rng, seq=jnp.where(is_stop, s["seq"], seq),
+                    tokens=tokens, num=num, finished=finished)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["tokens"], final["num"]
+
+
 def _causal_encoder(params, cfg: ConformerConfig, x, lens):
     """Conformer blocks under a causal attention mask (the CV1 LM runs its
     TransformerEncoder with tril masks, llm_multi_head_v3.py:216-220)."""

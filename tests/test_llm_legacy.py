@@ -66,3 +66,38 @@ def test_transformerlm_loss():
         params, cfg, tt, jnp.asarray([5, 3]), st, jnp.asarray([8, 6]), emb
     )
     assert np.isfinite(float(out["loss"]))
+
+
+def test_transformerlm_generate():
+    """CV1 AR decode (TransformerLM.inference) emits valid tokens."""
+    cfg = llm_legacy.TransformerLMConfig(
+        text_encoder_input_size=32, llm_input_size=32, llm_output_size=32,
+        text_token_size=300, speech_token_size=50,
+        text_encoder=ConformerConfig(input_size=32, output_size=32,
+                                     attention_heads=4, linear_units=64, num_blocks=2),
+        llm=ConformerConfig(input_size=32, output_size=32, attention_heads=4,
+                            linear_units=64, num_blocks=2,
+                            use_cnn_module=False, macaron_style=False),
+    )
+    params = llm_legacy.init_transformerlm_params(jax.random.PRNGKey(0), cfg)
+    tokens, num = llm_legacy.transformerlm_generate(
+        params, cfg, jax.random.PRNGKey(1),
+        jnp.arange(5, dtype=jnp.int32), jnp.int32(5),
+        jnp.zeros((192,), jnp.float32),
+        jnp.int32(3), jnp.int32(12), SamplingParams.make(), max_tokens=16,
+    )
+    n = int(num)
+    assert 3 <= n <= 12
+    toks = np.asarray(tokens[:n])
+    assert (toks >= 0).all() and (toks < cfg.speech_token_size).all()
+
+
+def test_legacy_tts_cli_end_to_end(tmp_path):
+    """CV1 + CV2 full pipelines (LM -> legacy flow -> HiFT) through the CLI."""
+    from flowmirror_hydravox_tpu.tools.legacy_tts import main
+
+    for gen in ("cv1", "cv2"):
+        out = main(["--gen", gen, "--text", "hi", "--tiny",
+                    "--output", str(tmp_path / f"{gen}.wav"), "--max_tokens", "16"])
+        assert out["tokens"] > 0 and out["duration_s"] > 0
+        assert (tmp_path / f"{gen}.wav").exists()
