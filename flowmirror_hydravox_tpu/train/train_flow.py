@@ -94,7 +94,11 @@ def main(argv=None):
     state = init_state(params, optimizer)
     if args.resume:
         state = ckpt.restore_train_state(args.resume, state)
-        state = state._replace(params=jax.device_put(state.params, param_sharding))
+        state = state._replace(
+            params=jax.device_put(state.params, param_sharding),
+            opt_state=jax.device_put(state.opt_state, repl),
+            step=jax.device_put(state.step, repl),
+        )
     if args.shard_optimizer:
         state = state._replace(
             opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))

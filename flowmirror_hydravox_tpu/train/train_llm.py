@@ -122,7 +122,14 @@ def main(argv=None):
     state = init_state(params, optimizer)
     if args.resume:
         state = ckpt.restore_train_state(args.resume, state)
-        state = state._replace(params=jax.device_put(state.params, param_sharding))
+        # restored leaves live on one device: re-place the full state on the
+        # mesh (params per their layout, moments/step replicated; the ZeRO
+        # re-placement below overrides moments when requested)
+        state = state._replace(
+            params=jax.device_put(state.params, param_sharding),
+            opt_state=jax.device_put(state.opt_state, repl),
+            step=jax.device_put(state.step, repl),
+        )
         logger.info("resumed at step %d", int(state.step))
     if args.shard_optimizer:
         # ZeRO-2 layout: moments sharded over 'data' on each leaf's largest

@@ -84,3 +84,20 @@ def test_flow_cli_tp_zero_runs(flow_ds, tmp_path):
     ])
     assert out["step"] == 2
     assert np.isfinite(out["metrics"]["loss"])
+
+
+def test_llm_cli_resume_continues_step_count(llm_ds, tmp_path):
+    """Checkpoint/resume (reference train_utils.py:195-214 + HF
+    --resume_from_checkpoint): a killed run restarts from the saved state."""
+    out = str(tmp_path / "resume")
+    first = _run_llm(llm_ds, out, ["--save_steps", "2"])
+    assert first["step"] == 2
+    # resume from the step-2 orbax state and run to step 4
+    second = train_llm.main([
+        "--train_data", llm_ds, "--output_dir", out, "--tiny",
+        "--batch_size", "8", "--max_steps", "4", "--logging_steps", "1",
+        "--save_steps", "100", "--learning_rate", "1e-3", "--warmup_steps", "1",
+        "--resume", out,
+    ])
+    assert second["step"] == 4
+    assert np.isfinite(second["metrics"]["loss"])
