@@ -123,7 +123,14 @@ def main(argv=None):
         lambda sd: torch_import.hift_from_state_dict(sd, cfg.hift), jnp.float32,
     )
 
-    engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=args.max_tokens)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=1)
+        logging.info("multi-chip serving mesh: %s", dict(mesh.shape))
+    engine = Engine(cfg, llm_params, flow_params, hift_params,
+                    max_tokens=args.max_tokens, mesh=mesh)
     frontend = Frontend(cfg, tokenizer=tokenizer)
     if args.spk2info and os.path.exists(args.spk2info):
         frontend.load_spk2info(args.spk2info)

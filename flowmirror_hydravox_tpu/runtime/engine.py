@@ -78,8 +78,23 @@ class Engine:
         prompt_buckets=PROMPT_BUCKETS,
         token_buckets=TOKEN_BUCKETS,
         mel_buckets=MEL_BUCKETS,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh for multi-chip serving — params
+        replicate across the mesh and flash-batch rows shard over its 'data'
+        axis (the TPU-native replacement for the reference's
+        one-replica-per-GPU worker pool, server/worker.py:25-31; here the
+        replicas are batch rows of one jitted program and XLA keeps each
+        utterance's decode local to its shard)."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            llm_params = jax.device_put(llm_params, repl)
+            flow_params = jax.device_put(flow_params, repl)
+            hift_params = jax.device_put(hift_params, repl)
         self.llm_params = llm_params
         self.flow_params = flow_params
         self.hift_params = hift_params
@@ -302,12 +317,22 @@ class Engine:
         )
         sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
 
+        # multi-chip: shard batch rows over the mesh 'data' axis
+        row_shard = None
+        if self.mesh is not None and bsz % self.mesh.shape.get("data", 1) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row_shard = lambda a: jax.device_put(  # noqa: E731
+                jnp.asarray(a), NamedSharding(self.mesh, P("data", *([None] * (np.ndim(a) - 1))))
+            )
+        put_rows = row_shard if row_shard is not None else jnp.asarray
+
         t0 = time.time()
         gen = self._batch_gen_fn(bsz, tbkt, sbkt, head_num)
         res, packed = gen(
-            self.llm_params, rng, jnp.asarray(text_pad),
-            jnp.asarray(lts, jnp.int32), jnp.asarray(sp_pad), jnp.int32(lp),
-            jnp.asarray(min_lens), jnp.asarray(max_lens), sp,
+            self.llm_params, rng, put_rows(text_pad),
+            put_rows(np.asarray(lts, np.int32)), jnp.asarray(sp_pad), jnp.int32(lp),
+            put_rows(min_lens), put_rows(max_lens), sp,
         )
         meta = np.asarray(packed)  # one transfer: tokens + nums + steps
         nums = meta[:, -2]

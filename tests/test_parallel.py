@@ -81,3 +81,36 @@ def test_zero_sharding_specs():
     # placing optimizer-like state with these shardings works
     placed = jax.device_put(jax.tree.map(jnp.zeros_like, params), shardings)
     assert jax.tree.leaves(placed)[0] is not None
+
+
+def test_engine_flash_batch_sharded_over_mesh(mesh):
+    """Multi-chip serving: flash-batch rows shard over 'data' (the TPU
+    replacement for the reference's one-replica-per-GPU pool,
+    server/worker.py:25-31). Same-output-shape smoke on the virtual mesh."""
+    import jax.numpy as jnp
+
+    from flowmirror_hydravox_tpu.config import tiny_config
+    from flowmirror_hydravox_tpu.models import flow, hift
+    from flowmirror_hydravox_tpu.models import llm as llm_model
+    from flowmirror_hydravox_tpu.runtime.engine import Engine
+
+    cfg = tiny_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    engine = Engine(
+        cfg,
+        llm_model.init_params(k1, cfg.llm, jnp.float32),
+        flow.init_params(k2, cfg.flow, jnp.float32),
+        hift.init_params(k3, cfg.hift, jnp.float32),
+        max_tokens=32, prompt_buckets=(32,), token_buckets=(64,),
+        mel_buckets=(128,), mesh=mesh,
+    )
+    texts = [np.arange(6, dtype=np.int32) + i for i in range(4)]
+    wavs, stats = engine.synthesize_batch(
+        texts, inference_head_num=2,
+        min_token_text_ratio=1.0, max_token_text_ratio=2.0,
+        rng=jax.random.PRNGKey(5),
+    )
+    assert len(wavs) == 4
+    for w, n in zip(wavs, stats["tokens"]):
+        assert n > 0 and len(w) == n * cfg.flow.token_mel_ratio * cfg.hift.upsample_scale
+        assert np.isfinite(w).all()
