@@ -110,3 +110,34 @@ def test_http_server_roundtrip(engine):
         assert body["data"]["duration"] > 0
     finally:
         server.shutdown()
+
+
+def test_service_concurrent_requests(engine):
+    """API<->worker handoff under concurrency: parallel submitters all get
+    results (the queue+worker design keeps the single device program stream
+    race-free by construction, reference app_server.py:25-37 semantics)."""
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    frontend.add_speaker("demo", SpeakerInfo(embedding=np.zeros(192, np.float32)))
+    service = TTSService(engine, frontend, request_timeout=300.0)
+    try:
+        results = {}
+
+        def one(i):
+            tid = service.submit({
+                "type": "tts", "text": f"hello {i}", "speaker_id": "demo",
+                "extra_params": {"inference_head_num": 1},
+            })
+            results[i] = service.wait(tid)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 3
+        for r in results.values():
+            assert "output_audio" in r and len(r["output_audio"]) > 0, r
+    finally:
+        service.shutdown()
