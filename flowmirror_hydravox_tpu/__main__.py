@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--compile-cache", default=".jax_cache")
     p.add_argument("--no-prewarm", action="store_true",
                    help="skip compiling hot bucket programs before serving")
+    p.add_argument("--quantize", default=os.environ.get("HYDRAVOX_QUANTIZE"),
+                   choices=[None, "none", "bf16", "int8"],
+                   help="weight-only LLM quantization for decode (int8: ~1.3x "
+                        "faster steps on v5e; flow/hift stay bf16/f32)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -130,7 +134,7 @@ def main(argv=None):
         mesh = make_mesh(model=1)
         logging.info("multi-chip serving mesh: %s", dict(mesh.shape))
     engine = Engine(cfg, llm_params, flow_params, hift_params,
-                    max_tokens=args.max_tokens, mesh=mesh)
+                    max_tokens=args.max_tokens, mesh=mesh, quantize=args.quantize)
     frontend = Frontend(cfg, tokenizer=tokenizer)
     if args.spk2info and os.path.exists(args.spk2info):
         frontend.load_spk2info(args.spk2info)

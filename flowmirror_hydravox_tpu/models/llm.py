@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LLMConfig
+from ..ops.quant import matmul_q
 from ..ops.sampling import SamplingParams, ras_sample_heads
 from . import qwen2
 
@@ -88,11 +89,11 @@ def init_params(rng: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> dict:
 def _mtp_head_apply(head: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Single head, pointwise. x: (..., H) -> (..., H)."""
     attn_in = qwen2._rms_norm(x, head["input_layernorm"], eps)
-    v = attn_in @ head["v_proj_w"] + head["v_proj_b"]
-    x = x + v @ head["o_proj_w"]
+    v = matmul_q(attn_in, head, "v_proj_w") + head["v_proj_b"]
+    x = x + matmul_q(v, head, "o_proj_w")
     mlp_in = qwen2._rms_norm(x, head["post_attention_layernorm"], eps)
-    gate = jax.nn.silu(mlp_in @ head["gate_proj_w"])
-    return x + (gate * (mlp_in @ head["up_proj_w"])) @ head["down_proj_w"]
+    gate = jax.nn.silu(matmul_q(mlp_in, head, "gate_proj_w"))
+    return x + matmul_q(gate * matmul_q(mlp_in, head, "up_proj_w"), head, "down_proj_w")
 
 
 def mtp_logits(params: dict, cfg: LLMConfig, hidden: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -103,7 +104,7 @@ def mtp_logits(params: dict, cfg: LLMConfig, hidden: jnp.ndarray, num_heads: int
     eps = cfg.backbone.rms_norm_eps
     heads = jax.tree.map(lambda a: a[:num_heads], params["mtp_block"])
     out = jax.vmap(lambda head: _mtp_head_apply(head, hidden, eps))(heads)
-    return (out @ params["llm_decoder"]).astype(jnp.float32)
+    return matmul_q(out, params, "llm_decoder").astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import Qwen2Config
 from ..ops.attention import decode_attention_dispatch, mha
+from ..ops.quant import matmul_q
 from ..ops.rope import apply_rope_halved, rope_cos_sin
 
 
@@ -91,18 +92,24 @@ def embed_tokens(params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
 def _attention_block(layer, x, cfg: Qwen2Config, cos, sin, mask):
     """Full-sequence attention (no cache). x: (B, T, H)."""
     b, t, _ = x.shape
-    q = (x @ layer["q_proj_w"] + layer["q_proj_b"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = (x @ layer["k_proj_w"] + layer["k_proj_b"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ layer["v_proj_w"] + layer["v_proj_b"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = (matmul_q(x, layer, "q_proj_w") + layer["q_proj_b"]).reshape(
+        b, t, cfg.num_heads, cfg.head_dim
+    )
+    k = (matmul_q(x, layer, "k_proj_w") + layer["k_proj_b"]).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim
+    )
+    v = (matmul_q(x, layer, "v_proj_w") + layer["v_proj_b"]).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim
+    )
     q = apply_rope_halved(q, cos, sin)
     k = apply_rope_halved(k, cos, sin)
     out = mha(q, k, v, mask)
-    return out.reshape(b, t, -1) @ layer["o_proj_w"]
+    return matmul_q(out.reshape(b, t, -1), layer, "o_proj_w")
 
 
 def _mlp_block(layer, x):
-    gate = jax.nn.silu(x @ layer["gate_proj_w"])
-    return (gate * (x @ layer["up_proj_w"])) @ layer["down_proj_w"]
+    gate = jax.nn.silu(matmul_q(x, layer, "gate_proj_w"))
+    return matmul_q(gate * matmul_q(x, layer, "up_proj_w"), layer, "down_proj_w")
 
 
 def forward(
@@ -184,13 +191,13 @@ def forward_block_with_cache(
     def body(x, scanned):
         layer, k_cache_l, v_cache_l = scanned
         attn_in = _rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        q = (attn_in @ layer["q_proj_w"] + layer["q_proj_b"]).reshape(
+        q = (matmul_q(attn_in, layer, "q_proj_w") + layer["q_proj_b"]).reshape(
             b, kblk, cfg.num_heads, cfg.head_dim
         )
-        k = (attn_in @ layer["k_proj_w"] + layer["k_proj_b"]).reshape(
+        k = (matmul_q(attn_in, layer, "k_proj_w") + layer["k_proj_b"]).reshape(
             b, kblk, cfg.num_kv_heads, cfg.head_dim
         )
-        v = (attn_in @ layer["v_proj_w"] + layer["v_proj_b"]).reshape(
+        v = (matmul_q(attn_in, layer, "v_proj_w") + layer["v_proj_b"]).reshape(
             b, kblk, cfg.num_kv_heads, cfg.head_dim
         )
         q = apply_rope_halved(q, cos, sin)
@@ -198,7 +205,7 @@ def forward_block_with_cache(
         k_cache_l = write(k_cache_l, k.astype(k_cache_l.dtype), cache.length)
         v_cache_l = write(v_cache_l, v.astype(v_cache_l.dtype), cache.length)
         attn = decode_attention_dispatch(q, k_cache_l, v_cache_l, cache.length)
-        x = x + attn.reshape(b, kblk, -1) @ layer["o_proj_w"]
+        x = x + matmul_q(attn.reshape(b, kblk, -1), layer, "o_proj_w")
         mlp_in = _rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp_block(layer, mlp_in)
         return x, (k_cache_l, v_cache_l)

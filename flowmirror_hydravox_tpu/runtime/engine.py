@@ -79,15 +79,23 @@ class Engine:
         token_buckets=TOKEN_BUCKETS,
         mel_buckets=MEL_BUCKETS,
         mesh=None,
+        quantize: str | None = None,
     ):
         """`mesh`: optional jax.sharding.Mesh for multi-chip serving — params
         replicate across the mesh and flash-batch rows shard over its 'data'
         axis (the TPU-native replacement for the reference's
         one-replica-per-GPU worker pool, server/worker.py:25-31; here the
         replicas are batch rows of one jitted program and XLA keeps each
-        utterance's decode local to its shard)."""
+        utterance's decode local to its shard).
+
+        `quantize`: None (bf16, default) or "int8" — weight-only int8 for the
+        HBM-bound LLM decode (ops/quant.py; ~1.3x faster decode steps on v5e,
+        +14% more with the Pallas kernel's cache wins on long prefixes).
+        Flow/HiFT stay bf16/f32: their matmuls are batch-amortized, not
+        weight-streaming-bound."""
         self.cfg = cfg
         self.mesh = mesh
+        self.quantize = quantize
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -95,7 +103,7 @@ class Engine:
             llm_params = jax.device_put(llm_params, repl)
             flow_params = jax.device_put(flow_params, repl)
             hift_params = jax.device_put(hift_params, repl)
-        self.llm_params = llm_params
+        self.llm_params = self._prepare_llm_params(llm_params)
         self.flow_params = flow_params
         self.hift_params = hift_params
         self.max_tokens = max_tokens
@@ -106,6 +114,27 @@ class Engine:
         self._synth_cache = {}
         self._streaming = None
         self._rng = jax.random.PRNGKey(int(time.time()))
+
+    # -- param policy --------------------------------------------------------
+
+    def _prepare_llm_params(self, params):
+        if self.quantize == "int8":
+            from ..ops.quant import quantize_llm_params
+
+            return jax.jit(quantize_llm_params)(params)
+        if self.quantize not in (None, "", "none", "bf16"):
+            raise ValueError(f"unknown quantize mode {self.quantize!r}")
+        return params
+
+    def set_llm_params(self, params):
+        """Hot-reload entry (POST /load_pt): re-applies dtype/quantize policy.
+        Jitted programs close over nothing — next calls pick up the new tree."""
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        self.llm_params = self._prepare_llm_params(params)
 
     # -- bucket helpers ------------------------------------------------------
 

@@ -566,9 +566,8 @@ class _Handler(BaseHTTPRequestHandler):
         loaded = {}
         if body.get("llm_pt"):
             sd = torch_import.load_torch_pt(body["llm_pt"])
-            engine.llm_params = _cast_like(
-                torch_import.llm_from_state_dict(sd, engine.cfg.llm), engine.llm_params
-            )
+            # set_llm_params applies the engine's dtype + quantization policy
+            engine.set_llm_params(torch_import.llm_from_state_dict(sd, engine.cfg.llm))
             loaded["llm"] = body["llm_pt"]
         if body.get("flow_pt"):
             sd = torch_import.load_torch_pt(body["flow_pt"])
