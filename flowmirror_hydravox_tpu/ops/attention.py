@@ -51,6 +51,12 @@ def pallas_decode_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# below this static cache length the XLA decode path is faster than the
+# Pallas kernel (see decode_attention_dispatch docstring for measurements);
+# an explicit set_pallas_decode(True) override still forces the kernel.
+_PALLAS_MIN_SMAX = 1536
+
+
 def _pick_block(s_max: int) -> Optional[int]:
     for blk in (512, 256, 128, 64):
         if s_max % blk == 0:
@@ -122,11 +128,19 @@ def decode_attention_dispatch(
     Pallas path requirements: B == 1 (serving decode; flash batch stays on
     the batched XLA einsum, which already amortizes weight reads) and S_max
     divisible by a supported block size. The kernel is the TPU-native stand-in
-    for the reference's vLLM fast path (llm_multi_head_v3.py:476-504)."""
+    for the reference's vLLM fast path (llm_multi_head_v3.py:476-504).
+
+    Size-aware routing: at short static cache lengths the whole-step XLA
+    fusion wins (kernel-call overhead x n_layers dominates); the flash
+    kernel's blockwise streaming pays off on long caches.  Measured on v5e
+    @ heads=4 int8 ms/step by S_max: 256: 2.37 xla / 2.50 pallas;
+    1024: 2.51 / 2.91; 2048: 4.07 / 3.52 — crossover ~1.5k."""
     b, t, hq, d = q.shape
     s_max = k_cache.shape[1]
     blk = _pick_block(s_max)
-    if pallas_decode_enabled() and b == 1 and blk is not None:
+    if pallas_decode_enabled() and b == 1 and blk is not None and (
+        s_max >= _PALLAS_MIN_SMAX or _PALLAS_DECODE is True
+    ):
         from .pallas_attention import pallas_decode_attention
 
         out = pallas_decode_attention(

@@ -61,7 +61,10 @@ def matmul_q(x: jnp.ndarray, layer: dict, name: str) -> jnp.ndarray:
     """`x @ layer[name]`, transparently dequantizing if the leaf is int8.
 
     The scale multiply happens on the (small) matmul *output*, never on the
-    weight, so the weight read stays int8."""
+    weight, so the weight read stays int8.  (A W8A8 variant — dynamic per-row
+    activation quantization + s8xs8->s32 MXU dot — measured identical step
+    time on v5e, 2.39 vs 2.41 ms at heads=4, so weight-only is kept: the
+    residual over the byte-roofline is not the s8->bf16 convert.)"""
     w = layer[name]
     if w.dtype == jnp.int8:
         y = jnp.dot(x, w.astype(x.dtype))
