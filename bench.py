@@ -61,7 +61,10 @@ def main():
     text_len = 63  # tokens; max ratio 20 >> 125, min ratio 2 ~ 126
     max_gen = 128
 
-    engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen)
+    # two-stage engine for the per-stage sweeps (accurate llm_time/TPS split);
+    # the headline RTF uses the default fused single-dispatch engine below
+    engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen,
+                    fused=False)
 
     def run(head_num, rng):
         text = np.arange(text_len, dtype=np.int32) % 1000
@@ -171,7 +174,23 @@ def main():
         "llm_s": round(best["llm_time"], 4), "synth_s": round(best["synth_time"], 4),
     }))
 
-    r = aux[4]
+    # headline: default engine (fused single-dispatch path)
+    engine_f = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen)
+
+    def run_f(rng):
+        text = np.arange(text_len, dtype=np.int32) % 1000
+        return engine_f.synthesize(
+            text_tokens=text, tts_text_len=text_len, inference_head_num=4,
+            min_token_text_ratio=n_tokens / text_len,
+            max_token_text_ratio=n_tokens / text_len, rng=rng,
+        )
+
+    run_f(jax.random.PRNGKey(42))  # compile
+    r = None
+    for i in range(4):
+        cand = run_f(jax.random.PRNGKey(400 + i))
+        if r is None or cand.total_time < r.total_time:
+            r = cand
     audio_dur = len(r.audio) / cfg.sample_rate
     rtf = r.total_time / audio_dur
     target = 0.05
@@ -184,15 +203,19 @@ def main():
     mel_probe = jax.random.normal(jax.random.PRNGKey(3), (1, 80, mbkt)) * 2.0 - 6.0
     hift_fn = engine._hift_only_fn()
     jax.block_until_ready(hift_fn(hift_params, mel_probe, jax.random.PRNGKey(4)))
-    t0 = time.time()
-    for i in range(3):
+    probes = []
+    for i in range(5):
+        t0 = time.time()
         jax.block_until_ready(hift_fn(hift_params, mel_probe, jax.random.PRNGKey(5 + i)))
-    hift_s = (time.time() - t0) / 3
-    flow_s = max(r.synth_time - hift_s, 0.0)
+        probes.append(time.time() - t0)
+    hift_s = min(probes)  # min: the tunnel adds tens of ms of jitter per call
+    r2 = aux[4]  # two-stage run: accurate llm/synth split
+    flow_s = max(r2.synth_time - hift_s, 0.0)
     print(json.dumps({
         "aux": True, "metric": "stage_times_heads4",
-        "llm_s": round(r.llm_time, 4), "flow_s": round(flow_s, 4),
+        "llm_s": round(r2.llm_time, 4), "flow_s": round(flow_s, 4),
         "hift_s": round(hift_s, 4), "audio_s": round(audio_dur, 3),
+        "fused_total_s": round(r.total_time, 4),
     }))
 
     # decode HBM roofline: each base-LLM step streams the backbone layers,
@@ -209,7 +232,7 @@ def main():
         + mtp_bytes
         + tree_bytes(llm_params["llm_decoder"])
     )
-    step_s = r.llm_time / max(r.steps, 1)
+    step_s = r2.llm_time / max(r2.steps, 1)
     hbm_peak = 819e9
     roofline_pct = (weight_bytes / step_s) / hbm_peak * 100
     print(json.dumps({
@@ -217,7 +240,7 @@ def main():
         "value": round(roofline_pct, 1), "unit": "%_of_819GBps",
         "weight_gb": round(weight_bytes / 1e9, 3),
         "step_ms": round(step_s * 1000, 3),
-        "tokens_per_sec_per_chip": round(r.tps / max(len(jax.devices()), 1), 1),
+        "tokens_per_sec_per_chip": round(r2.tps / max(len(jax.devices()), 1), 1),
     }))
     print(json.dumps({
         "metric": "rtf_e2e_heads4", "value": round(rtf, 5), "unit": "x_realtime",

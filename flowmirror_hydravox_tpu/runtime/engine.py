@@ -80,6 +80,8 @@ class Engine:
         mel_buckets=MEL_BUCKETS,
         mesh=None,
         quantize: str | None = None,
+        fused: bool = True,
+        fused_est_ratio: float = 6.0,
     ):
         """`mesh`: optional jax.sharding.Mesh for multi-chip serving — params
         replicate across the mesh and flash-batch rows shard over its 'data'
@@ -92,10 +94,18 @@ class Engine:
         HBM-bound LLM decode (ops/quant.py; ~1.3x faster decode steps on v5e,
         +14% more with the Pallas kernel's cache wins on long prefixes).
         Flow/HiFT stay bf16/f32: their matmuls are batch-amortized, not
-        weight-streaming-bound."""
+        weight-streaming-bound.
+
+        `fused`: single-dispatch synthesis (LLM+flow+HiFT one program, one
+        packed transfer — saves a host round-trip per utterance; ~30 ms over
+        the tunnel).  `fused_est_ratio`: speech-tokens-per-text-token estimate
+        used to bucket the fused program's flow stage (overestimate wastes
+        flow compute, underestimate falls back to a two-stage redispatch)."""
         self.cfg = cfg
         self.mesh = mesh
         self.quantize = quantize
+        self.fused = fused
+        self.fused_est_ratio = fused_est_ratio
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -141,6 +151,13 @@ class Engine:
     def _bucket_prompt(self, n: int) -> int:
         return _bucket(n, self.prompt_buckets)
 
+    def _estimate_token_bucket(self, tts_text_len: int, min_len: int,
+                               max_len: int, flow_prompt_len: int) -> int:
+        """Token bucket for the fused program's flow stage, estimated before
+        the realized token count exists (see _fused_fn)."""
+        est = min(max_len, max(min_len, int(tts_text_len * self.fused_est_ratio)))
+        return _bucket(max(flow_prompt_len + est, 1), self.token_buckets)
+
     def _bucket_token(self, n: int) -> int:
         return _bucket(n, self.token_buckets)
 
@@ -177,55 +194,112 @@ class Engine:
             self._gen_cache[key] = jax.jit(fn)
         return self._gen_cache[key]
 
-    def _synth_fn(self, token_bucket: int, pm_bucket: int, sp_bucket: int):
-        """Jitted fused flow+hift: device token buffer -> waveform.
+    def _synth_body(self, token_bucket: int, pm_bucket: int, sp_bucket: int):
+        """Traceable flow+hift body shared by the two-stage and fused paths.
 
-        tokens: (max_tokens+,) generated buffer (device-resident from stage 1)
+        tokens: (max_tokens+,) generated buffer (device-resident)
         num: scalar count; sp_tokens: (sp_bucket,) prompt speech tokens.
-        Returns wav (1, token_bucket * ratio * upsample)."""
+        Returns (wav_i16 (1, token_bucket*ratio*upsample), mel (1, 80, t_mel))."""
+        fcfg, hcfg = self.cfg.flow, self.cfg.hift
+        ratio = fcfg.token_mel_ratio
+        t_mel = token_bucket * ratio
+
+        def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
+               prompt_mel, pm_len, embedding, rng):
+            pos = jnp.arange(token_bucket)
+            gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[0] - 1)
+            sp_idx = jnp.clip(pos, 0, max(sp_bucket - 1, 0))
+            if sp_bucket > 0:
+                seq = jnp.where(pos < sp_len, sp_tokens[sp_idx], tokens[gen_idx])
+            else:
+                seq = tokens[gen_idx]
+            n_all = sp_len + num
+            valid = pos < n_all
+
+            mel = flow_model.inference(
+                flow_params, fcfg, seq[None], valid[None],
+                prompt_mel, pm_len, embedding,
+            )  # (1, 80, t_mel) f32, includes prompt region
+
+            # drop the prompt-mel region with a dynamic-start slice
+            mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
+            mel_gen = jax.lax.dynamic_slice(
+                mel_pad, (0, 0, pm_len), (1, 80, t_mel)
+            )
+            # edge-replicate past the valid end so the f0 convs near the
+            # boundary see plausible context instead of masked garbage
+            n_frames = num * ratio
+            frame = jnp.arange(t_mel)
+            src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
+            mel_gen = mel_gen[:, :, src]
+
+            wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
+            # int16 PCM halves the host transfer (quantization matches the
+            # WAV output the server emits anyway)
+            wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+            return wav_i16, mel_gen
+
+        return fn
+
+    def _synth_fn(self, token_bucket: int, pm_bucket: int, sp_bucket: int):
+        """Jitted fused flow+hift: device token buffer -> waveform."""
         key = (token_bucket, pm_bucket, sp_bucket)
         if key not in self._synth_cache:
-            fcfg, hcfg = self.cfg.flow, self.cfg.hift
-            ratio = fcfg.token_mel_ratio
-            t_mel = token_bucket * ratio
-
-            def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
-                   prompt_mel, pm_len, embedding, rng):
-                pos = jnp.arange(token_bucket)
-                gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[0] - 1)
-                sp_idx = jnp.clip(pos, 0, max(sp_bucket - 1, 0))
-                if sp_bucket > 0:
-                    seq = jnp.where(pos < sp_len, sp_tokens[sp_idx], tokens[gen_idx])
-                else:
-                    seq = tokens[gen_idx]
-                n_all = sp_len + num
-                valid = pos < n_all
-
-                mel = flow_model.inference(
-                    flow_params, fcfg, seq[None], valid[None],
-                    prompt_mel, pm_len, embedding,
-                )  # (1, 80, t_mel) f32, includes prompt region
-
-                # drop the prompt-mel region with a dynamic-start slice
-                mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
-                mel_gen = jax.lax.dynamic_slice(
-                    mel_pad, (0, 0, pm_len), (1, 80, t_mel)
-                )
-                # edge-replicate past the valid end so the f0 convs near the
-                # boundary see plausible context instead of masked garbage
-                n_frames = num * ratio
-                frame = jnp.arange(t_mel)
-                src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
-                mel_gen = mel_gen[:, :, src]
-
-                wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
-                # int16 PCM halves the host transfer (quantization matches the
-                # WAV output the server emits anyway)
-                wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-                return wav_i16, mel_gen
-
-            self._synth_cache[key] = jax.jit(fn)
+            self._synth_cache[key] = jax.jit(
+                self._synth_body(token_bucket, pm_bucket, sp_bucket)
+            )
         return self._synth_cache[key]
+
+    def _fused_fn(self, text_bucket: int, sp_bucket: int, fsp_bucket: int,
+                  head_num: int, token_bucket: int, pm_bucket: int):
+        """Jitted single-dispatch synthesis: LLM decode + flow + HiFT in ONE
+        device program with ONE packed host transfer.
+
+        The two-stage path needs a host round-trip between decode and synth
+        (to bucket stage 2 by the realized token count); over the v5e tunnel
+        each round-trip costs ~30 ms.  Here stage 2 runs at a host-estimated
+        `token_bucket`; the packed result carries wav + tokens + counts, and
+        the caller falls back to a correctly-bucketed stage-2 redispatch on
+        the (device-resident) tokens only when the estimate was too small.
+
+        sp_bucket: LLM prefix speech tokens; fsp_bucket: flow prompt tokens
+        (they differ in cross-lingual/instruct2 modes, cli/frontend.py:186-209).
+        Returns (GenerateResult, packed int32 (t_wav//2 + max_tokens + head + 2,))."""
+        key = ("fused", text_bucket, sp_bucket, fsp_bucket, head_num,
+               token_bucket, pm_bucket)
+        if key not in self._gen_cache:
+            cfg = self.cfg.llm
+            cache_cap = 2 + text_bucket + sp_bucket + self.max_tokens + head_num
+            synth_body = self._synth_body(token_bucket, pm_bucket, fsp_bucket)
+
+            def fn(llm_params, flow_params, hift_params, rng,
+                   text_tokens, text_len, sp_tokens, sp_len,
+                   fsp_tokens, fsp_len, min_len, max_len, sampling,
+                   prompt_mel, pm_len, embedding):
+                emb, plen = llm_model.build_inference_prompt(
+                    llm_params, cfg, text_tokens, text_len, sp_tokens, sp_len
+                )
+                res = llm_model.generate(
+                    llm_params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                    inference_head_num=head_num, max_tokens=self.max_tokens,
+                    cache_len_cap=cache_cap,
+                )
+                wav_i16, _ = synth_body(
+                    flow_params, hift_params, res.tokens, res.num_tokens,
+                    fsp_tokens, fsp_len, prompt_mel, pm_len, embedding, rng,
+                )
+                # pack wav (int16 pairs bitcast to int32) + tokens + counts
+                # into one buffer -> a single tunnel transfer
+                wav32 = jax.lax.bitcast_convert_type(
+                    wav_i16.reshape(-1, 2), jnp.int32
+                ).reshape(-1)
+                packed = jnp.concatenate(
+                    [wav32, res.tokens, jnp.stack([res.num_tokens, res.steps])]
+                )
+                return res, packed
+
+            self._gen_cache[key] = jax.jit(fn)
+        return self._gen_cache[key]
 
     def _batch_gen_fn(self, batch: int, text_bucket: int, sp_bucket: int, head_num: int):
         """Jitted batched generate — the 'flash batch' decode."""
@@ -453,6 +527,21 @@ class Engine:
                 jnp.zeros((1, 192), jnp.float32), rng,
             )
             jax.block_until_ready(w)
+        if self.fused:
+            for heads in head_nums:
+                for tbkt in text_buckets:
+                    for tok_bkt in token_buckets:
+                        fused = self._fused_fn(tbkt, 0, 0, heads, tok_bkt, 0)
+                        _, packed = fused(
+                            self.llm_params, self.flow_params, self.hift_params, rng,
+                            jnp.zeros((tbkt,), jnp.int32), jnp.int32(min(8, tbkt)),
+                            jnp.zeros((0,), jnp.int32), jnp.int32(0),
+                            jnp.zeros((0,), jnp.int32), jnp.int32(0),
+                            jnp.int32(2), jnp.int32(4), sp,
+                            jnp.zeros((1, 0, self.cfg.flow.output_size), jnp.float32),
+                            jnp.int32(0), jnp.zeros((1, 192), jnp.float32),
+                        )
+                        jax.block_until_ready(packed)
         if streaming:
             synth = self.streaming()
             for heads in head_nums:
@@ -558,7 +647,7 @@ class Engine:
         if spk_embedding is None:
             spk_embedding = np.zeros((192,), np.float32)
 
-        # ---- stage 1: LLM ----
+        # ---- shared padding/bucketing ----
         lt, lp = len(text_tokens), len(sp_tokens)
         tbkt = _bucket(lt, self.prompt_buckets)
         sbkt = _bucket(lp, self.prompt_buckets) if lp else 0
@@ -571,28 +660,12 @@ class Engine:
         max_len = min(int(tts_text_len * max_token_text_ratio), self.max_tokens)
         sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
 
-        t0 = time.time()
-        gen = self._generate_fn(tbkt, sbkt, head_num)
-        res, packed = gen(
-            self.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
-            jnp.asarray(sp_pad), jnp.int32(lp),
-            jnp.int32(min_len), jnp.int32(max_len), sp,
-        )
-        meta = np.asarray(packed)  # single host transfer: tokens + num + steps
-        n_tok = int(meta[-2])
-        steps = int(meta[-1])
-        llm_time = time.time() - t0
-
-        # ---- stage 2: fused flow + hift (tokens stay on device) ----
         # flow conditioning always uses the FLOW prompt tokens (which may
         # differ from the LLM prefix in cross-lingual/instruct2 modes)
-        t0 = time.time()
         flp = len(flow_sp_tokens)
         fsbkt = _bucket(flp, self.prompt_buckets) if flp else 0
         fsp_pad = np.zeros((fsbkt,), np.int32)
         fsp_pad[:flp] = flow_sp_tokens
-        n_all = flp + n_tok
-        tok_bkt = _bucket(max(n_all, 1), self.token_buckets)
         if prompt_mel is not None and len(prompt_mel) > 0:
             lm = len(prompt_mel)
             pm_bucket = _bucket(lm, self.mel_buckets)
@@ -603,16 +676,75 @@ class Engine:
             pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
             pm_bucket, pm_len = 0, 0
 
-        synth = self._synth_fn(tok_bkt, pm_bucket, fsbkt)
-        wav_dev, mel_dev = synth(
-            self.flow_params, self.hift_params, res.tokens, res.num_tokens,
-            jnp.asarray(fsp_pad), jnp.int32(flp), jnp.asarray(pm), jnp.int32(pm_len),
-            jnp.asarray(spk_embedding, jnp.float32)[None], rng,
-        )
         ratio = cfg.flow.token_mel_ratio
         up = cfg.hift.upsample_scale
 
-        if speed != 1.0:
+        # ---- fused single-dispatch path (default): LLM + flow + HiFT in one
+        # program, ONE packed host transfer.  Stage 2 runs at a bucket
+        # estimated from the text length; an underestimate falls back to a
+        # correctly-bucketed redispatch on the device-resident tokens. ----
+        res = None
+        wav = None
+        n_tok = steps = 0
+        meta = None
+        llm_time = 0.0
+        if self.fused and speed == 1.0:
+            tok_bkt = self._estimate_token_bucket(tts_text_len, min_len, max_len, flp)
+            t0 = time.time()
+            fused = self._fused_fn(tbkt, sbkt, fsbkt, head_num, tok_bkt, pm_bucket)
+            res, packed = fused(
+                self.llm_params, self.flow_params, self.hift_params, rng,
+                jnp.asarray(text_pad), jnp.int32(lt),
+                jnp.asarray(sp_pad), jnp.int32(lp),
+                jnp.asarray(fsp_pad), jnp.int32(flp),
+                jnp.int32(min_len), jnp.int32(max_len), sp,
+                jnp.asarray(pm), jnp.int32(pm_len),
+                jnp.asarray(spk_embedding, jnp.float32)[None],
+            )
+            buf = np.asarray(packed)  # the single transfer
+            llm_time = time.time() - t0  # whole fused dispatch (no split)
+            n32 = tok_bkt * ratio * up // 2
+            meta = buf[n32:]
+            n_tok = int(meta[-2])
+            steps = int(meta[-1])
+            if flp + n_tok <= tok_bkt:
+                wav16 = np.ascontiguousarray(buf[:n32]).view(np.int16)
+                wav = wav16[: n_tok * ratio * up].astype(np.float32) / 32767.0
+            # else: bucket estimate too small — flow output is truncated;
+            # redispatch stage 2 below at the right bucket (tokens on device)
+
+        if res is None:
+            # ---- stage 1: LLM ----
+            t0 = time.time()
+            gen = self._generate_fn(tbkt, sbkt, head_num)
+            res, packed = gen(
+                self.llm_params, rng, jnp.asarray(text_pad), jnp.int32(lt),
+                jnp.asarray(sp_pad), jnp.int32(lp),
+                jnp.int32(min_len), jnp.int32(max_len), sp,
+            )
+            meta = np.asarray(packed)  # single host transfer: tokens + num + steps
+            n_tok = int(meta[-2])
+            steps = int(meta[-1])
+            llm_time = time.time() - t0
+
+        # ---- stage 2: fused flow + hift (tokens stay on device) ----
+        t0 = time.time()
+        if wav is not None and speed == 1.0:
+            mel_dev = None  # fused path already produced the waveform
+            wav_dev = None
+        else:
+            n_all = flp + n_tok
+            tok_bkt = _bucket(max(n_all, 1), self.token_buckets)
+            synth = self._synth_fn(tok_bkt, pm_bucket, fsbkt)
+            wav_dev, mel_dev = synth(
+                self.flow_params, self.hift_params, res.tokens, res.num_tokens,
+                jnp.asarray(fsp_pad), jnp.int32(flp), jnp.asarray(pm), jnp.int32(pm_len),
+                jnp.asarray(spk_embedding, jnp.float32)[None], rng,
+            )
+
+        if wav is not None:
+            pass  # fused path already unpacked the waveform
+        elif speed != 1.0:
             # slow path: resample mel on host then re-vocode (rare;
             # infer_speech_model.py:586-587)
             mel = np.asarray(mel_dev)[:, :, : n_tok * ratio]

@@ -141,3 +141,45 @@ def test_service_concurrent_requests(engine):
             assert "output_audio" in r and len(r["output_audio"]) > 0, r
     finally:
         service.shutdown()
+
+
+def test_fused_matches_two_stage(engine):
+    """The single-dispatch fused program must produce the same tokens and
+    waveform as the two-stage (decode -> fetch -> synth) path."""
+    kwargs = dict(
+        text_tokens=np.arange(10, dtype=np.int32), tts_text_len=10,
+        inference_head_num=2, rng=jax.random.PRNGKey(5),
+    )
+    res_f = engine.synthesize(**kwargs)
+    two_stage = Engine(
+        engine.cfg, engine.llm_params, engine.flow_params, engine.hift_params,
+        max_tokens=64, prompt_buckets=(64, 128), token_buckets=(64, 128),
+        mel_buckets=(128, 256), fused=False,
+    )
+    res_t = two_stage.synthesize(**kwargs)
+    np.testing.assert_array_equal(res_f.speech_tokens, res_t.speech_tokens)
+    assert res_f.audio.shape == res_t.audio.shape
+    np.testing.assert_allclose(res_f.audio, res_t.audio, atol=1e-6)
+
+
+def test_fused_underestimate_falls_back(engine):
+    """A too-small fused bucket estimate must redispatch stage 2 correctly
+    (and still match the well-estimated fused output bit-for-bit)."""
+    kwargs = dict(
+        text_tokens=np.arange(24, dtype=np.int32), tts_text_len=24,
+        inference_head_num=2, min_token_text_ratio=2.0,
+        max_token_text_ratio=2.0,  # exactly 48 tokens
+        rng=jax.random.PRNGKey(6),
+    )
+    good = engine.synthesize(**kwargs)
+    assert len(good.speech_tokens) == 48
+
+    orig = engine._estimate_token_bucket
+    engine._estimate_token_bucket = lambda *a: 32  # < 48 realized: overflow
+    try:
+        res = engine.synthesize(**kwargs)
+    finally:
+        engine._estimate_token_bucket = orig
+    np.testing.assert_array_equal(res.speech_tokens, good.speech_tokens)
+    assert res.audio.shape == good.audio.shape
+    np.testing.assert_allclose(res.audio, good.audio, atol=1e-6)
