@@ -333,48 +333,102 @@ class Engine:
             self._gen_cache[key] = jax.jit(fn)
         return self._gen_cache[key]
 
+    def _batch_synth_body(self, batch: int, token_bucket: int, pm_bucket: int,
+                          sp_bucket: int):
+        """Traceable batched flow+hift body (shared prompt/speaker across
+        rows), used by both the two-stage and fused batch paths."""
+        fcfg, hcfg = self.cfg.flow, self.cfg.hift
+        ratio = fcfg.token_mel_ratio
+        t_mel = token_bucket * ratio
+
+        def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
+               prompt_mel, pm_len, embedding, rng):
+            # tokens: (B, max_tokens+), num: (B,)
+            pos = jnp.arange(token_bucket)[None, :]
+            gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[1] - 1)
+            if sp_bucket > 0:
+                sp_idx = jnp.clip(pos[0], 0, sp_bucket - 1)
+                seq = jnp.where(
+                    pos < sp_len, sp_tokens[sp_idx][None, :],
+                    jnp.take_along_axis(tokens, gen_idx, axis=1),
+                )
+            else:
+                seq = jnp.take_along_axis(tokens, gen_idx, axis=1)
+            valid = pos < (sp_len + num)[:, None]
+
+            emb_b = jnp.broadcast_to(embedding, (batch, embedding.shape[-1]))
+            mel = flow_model.inference(
+                flow_params, fcfg, seq, valid, prompt_mel, pm_len, emb_b,
+            )  # (B, 80, t_mel)
+
+            mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
+            mel_gen = jax.lax.dynamic_slice(
+                mel_pad, (0, 0, pm_len), (batch, 80, t_mel)
+            )
+            n_frames = (num * ratio)[:, None]
+            frame = jnp.arange(t_mel)[None, :]
+            src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
+            mel_gen = jnp.take_along_axis(mel_gen, src[:, None, :], axis=2)
+
+            wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
+            return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+        return fn
+
     def _batch_synth_fn(self, batch: int, token_bucket: int, pm_bucket: int, sp_bucket: int):
         """Jitted batched flow+hift (shared prompt/speaker across rows)."""
         key = ("batch", batch, token_bucket, pm_bucket, sp_bucket)
         if key not in self._synth_cache:
-            fcfg, hcfg = self.cfg.flow, self.cfg.hift
-            ratio = fcfg.token_mel_ratio
-            t_mel = token_bucket * ratio
-
-            def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
-                   prompt_mel, pm_len, embedding, rng):
-                # tokens: (B, max_tokens+), num: (B,)
-                pos = jnp.arange(token_bucket)[None, :]
-                gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[1] - 1)
-                if sp_bucket > 0:
-                    sp_idx = jnp.clip(pos[0], 0, sp_bucket - 1)
-                    seq = jnp.where(
-                        pos < sp_len, sp_tokens[sp_idx][None, :],
-                        jnp.take_along_axis(tokens, gen_idx, axis=1),
-                    )
-                else:
-                    seq = jnp.take_along_axis(tokens, gen_idx, axis=1)
-                valid = pos < (sp_len + num)[:, None]
-
-                emb_b = jnp.broadcast_to(embedding, (batch, embedding.shape[-1]))
-                mel = flow_model.inference(
-                    flow_params, fcfg, seq, valid, prompt_mel, pm_len, emb_b,
-                )  # (B, 80, t_mel)
-
-                mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
-                mel_gen = jax.lax.dynamic_slice(
-                    mel_pad, (0, 0, pm_len), (batch, 80, t_mel)
-                )
-                n_frames = (num * ratio)[:, None]
-                frame = jnp.arange(t_mel)[None, :]
-                src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
-                mel_gen = jnp.take_along_axis(mel_gen, src[:, None, :], axis=2)
-
-                wav = hift_model.inference(hift_params, hcfg, mel_gen, rng)
-                return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-
-            self._synth_cache[key] = jax.jit(fn)
+            self._synth_cache[key] = jax.jit(
+                self._batch_synth_body(batch, token_bucket, pm_bucket, sp_bucket)
+            )
         return self._synth_cache[key]
+
+    def _fused_batch_fn(self, batch: int, text_bucket: int, sp_bucket: int,
+                        head_num: int, token_bucket: int, pm_bucket: int):
+        """Jitted single-dispatch flash batch: batched decode + flow + HiFT in
+        one program, one packed (B, t_wav//2 + max_tokens + head + 2) int32
+        transfer (see _fused_fn for the rationale and fallback contract)."""
+        key = ("fused_batch", batch, text_bucket, sp_bucket, head_num,
+               token_bucket, pm_bucket)
+        if key not in self._gen_cache:
+            cfg = self.cfg.llm
+            cache_cap = 2 + text_bucket + sp_bucket + self.max_tokens + head_num
+            synth_body = self._batch_synth_body(batch, token_bucket, pm_bucket, sp_bucket)
+
+            def fn(llm_params, flow_params, hift_params, rng,
+                   text_tokens, text_len, sp_tokens, sp_len,
+                   min_len, max_len, sampling, prompt_mel, pm_len, embedding):
+                emb, plen = jax.vmap(
+                    lambda tt, tl: llm_model.build_inference_prompt(
+                        llm_params, cfg, tt, tl, sp_tokens, sp_len
+                    )
+                )(text_tokens, text_len)
+                res = llm_model.generate_batched(
+                    llm_params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                    inference_head_num=head_num, max_tokens=self.max_tokens,
+                    cache_len_cap=cache_cap,
+                )
+                wav_i16 = synth_body(
+                    flow_params, hift_params, res.tokens, res.num_tokens,
+                    sp_tokens, sp_len, prompt_mel, pm_len, embedding, rng,
+                )  # (B, t_wav)
+                wav32 = jax.lax.bitcast_convert_type(
+                    wav_i16.reshape(batch, -1, 2), jnp.int32
+                ).reshape(batch, -1)
+                packed = jnp.concatenate(
+                    [
+                        wav32,
+                        res.tokens,
+                        res.num_tokens[:, None],
+                        jnp.full((batch, 1), res.steps, jnp.int32),
+                    ],
+                    axis=1,
+                )
+                return res, packed
+
+            self._gen_cache[key] = jax.jit(fn)
+        return self._gen_cache[key]
 
     def synthesize_batch(
         self,
@@ -430,21 +484,6 @@ class Engine:
             )
         put_rows = row_shard if row_shard is not None else jnp.asarray
 
-        t0 = time.time()
-        gen = self._batch_gen_fn(bsz, tbkt, sbkt, head_num)
-        res, packed = gen(
-            self.llm_params, rng, put_rows(text_pad),
-            put_rows(np.asarray(lts, np.int32)), jnp.asarray(sp_pad), jnp.int32(lp),
-            put_rows(min_lens), put_rows(max_lens), sp,
-        )
-        meta = np.asarray(packed)  # one transfer: tokens + nums + steps
-        nums = meta[:, -2]
-        steps = int(meta[0, -1])
-        llm_time = time.time() - t0
-
-        t0 = time.time()
-        n_all_max = lp + int(nums.max())
-        tok_bkt = _bucket(max(n_all_max, 1), self.token_buckets)
         if prompt_mel is not None and len(prompt_mel) > 0:
             lm = len(prompt_mel)
             pm_bucket = _bucket(lm, self.mel_buckets)
@@ -455,16 +494,67 @@ class Engine:
             pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
             pm_bucket, pm_len = 0, 0
 
-        synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, sbkt)
-        wav_dev = synth(
-            self.flow_params, self.hift_params, res.tokens, res.num_tokens,
-            jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
-            jnp.asarray(spk_embedding, jnp.float32)[None], rng,
-        )
         ratio = cfg.flow.token_mel_ratio
         up = cfg.hift.upsample_scale
-        wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
-        wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]
+
+        # fused single-dispatch flash batch (see synthesize): one program,
+        # one packed transfer; fallback redispatch when the bucket estimate
+        # undershoots the realized max token count
+        res = None
+        wavs = None
+        llm_time = 0.0
+        if self.fused:
+            tok_bkt = self._estimate_token_bucket(
+                max(lts), int(min_lens.max()), int(max_lens.max()), lp
+            )
+            t0 = time.time()
+            fused = self._fused_batch_fn(bsz, tbkt, sbkt, head_num, tok_bkt, pm_bucket)
+            res, packed = fused(
+                self.llm_params, self.flow_params, self.hift_params, rng,
+                put_rows(text_pad), put_rows(np.asarray(lts, np.int32)),
+                jnp.asarray(sp_pad), jnp.int32(lp),
+                put_rows(min_lens), put_rows(max_lens), sp,
+                jnp.asarray(pm), jnp.int32(pm_len),
+                jnp.asarray(spk_embedding, jnp.float32)[None],
+            )
+            buf = np.asarray(packed)  # the single transfer
+            llm_time = time.time() - t0
+            n32 = tok_bkt * ratio * up // 2
+            meta = buf[:, n32:]
+            nums = meta[:, -2]
+            steps = int(meta[0, -1])
+            if lp + int(nums.max()) <= tok_bkt:
+                wav16 = np.ascontiguousarray(buf[:, :n32]).view(np.int16)
+                wavs = [
+                    wav16[i, : int(nums[i]) * ratio * up].astype(np.float32) / 32767.0
+                    for i in range(bsz)
+                ]
+
+        if res is None:
+            t0 = time.time()
+            gen = self._batch_gen_fn(bsz, tbkt, sbkt, head_num)
+            res, packed = gen(
+                self.llm_params, rng, put_rows(text_pad),
+                put_rows(np.asarray(lts, np.int32)), jnp.asarray(sp_pad), jnp.int32(lp),
+                put_rows(min_lens), put_rows(max_lens), sp,
+            )
+            meta = np.asarray(packed)  # one transfer: tokens + nums + steps
+            nums = meta[:, -2]
+            steps = int(meta[0, -1])
+            llm_time = time.time() - t0
+
+        t0 = time.time()
+        if wavs is None:
+            n_all_max = lp + int(nums.max())
+            tok_bkt = _bucket(max(n_all_max, 1), self.token_buckets)
+            synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, sbkt)
+            wav_dev = synth(
+                self.flow_params, self.hift_params, res.tokens, res.num_tokens,
+                jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
+                jnp.asarray(spk_embedding, jnp.float32)[None], rng,
+            )
+            wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
+            wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]
         synth_time = time.time() - t0
 
         total = time.time() - t_start

@@ -100,3 +100,31 @@ def test_engine_synthesize_batch():
         assert len(w) == n * spt
         assert np.isfinite(w).all()
     assert stats["rtf"] > 0
+
+
+def test_fused_batch_matches_two_stage():
+    import jax
+    import jax.numpy as jnp
+    from flowmirror_hydravox_tpu.config import tiny_config
+    from flowmirror_hydravox_tpu.models import flow, hift, llm
+    from flowmirror_hydravox_tpu.runtime.engine import Engine
+
+    cfg = tiny_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = (
+        llm.init_params(k1, cfg.llm, jnp.float32),
+        flow.init_params(k2, cfg.flow, jnp.float32),
+        hift.init_params(k3, cfg.hift, jnp.float32),
+    )
+    mk = lambda fused: Engine(  # noqa: E731
+        cfg, *params, max_tokens=48, prompt_buckets=(32, 64),
+        token_buckets=(64, 128), mel_buckets=(128,), fused=fused,
+    )
+    texts = [np.arange(8, dtype=np.int32), np.arange(12, dtype=np.int32) % 7]
+    kwargs = dict(inference_head_num=2, rng=jax.random.PRNGKey(3),
+                  min_token_text_ratio=2.0, max_token_text_ratio=3.0)
+    wavs_f, stats_f = mk(True).synthesize_batch(texts, **kwargs)
+    wavs_t, stats_t = mk(False).synthesize_batch(texts, **kwargs)
+    assert stats_f["tokens"] == stats_t["tokens"]
+    for a, b in zip(wavs_f, wavs_t):
+        np.testing.assert_allclose(a, b, atol=1e-6)
