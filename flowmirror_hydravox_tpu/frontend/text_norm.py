@@ -105,14 +105,117 @@ def _spell_number(match: re.Match, zh: bool) -> str:
 _SYMBOLS_ZH = {"%": "百分之", "+": "加", "=": "等于", "℃": "摄氏度", "$": "美元", "￥": "元"}
 _SYMBOLS_EN = {"%": " percent", "+": " plus ", "=": " equals ", "℃": " degrees celsius", "$": " dollars"}
 
+# digit-wise zh reading; phone numbers read 1 as 幺 (wetext convention)
+_ZH_DIGITS_PHONE = "零幺二三四五六七八九"
+
+
+def _zh_digitwise(digits: str, phone: bool = False) -> str:
+    table = _ZH_DIGITS_PHONE if phone else _ZH_DIGITS
+    return "".join(table[int(d)] for d in digits)
+
+
+_EN_ORDINAL_IRREG = {
+    1: "first", 2: "second", 3: "third", 5: "fifth", 8: "eighth", 9: "ninth", 12: "twelfth",
+}
+
+
+def num_to_ordinal_en(n: int) -> str:
+    if n in _EN_ORDINAL_IRREG:
+        return _EN_ORDINAL_IRREG[n]
+    if n < 20:
+        return num_to_words_en(n) + "th"
+    if n % 10 == 0 and n < 100:
+        return num_to_words_en(n)[:-1] + "ieth"
+    if n % 100 == 0 or n % 10 == 0:
+        return num_to_words_en(n) + "th"
+    tens, ones = n - n % 10, n % 10
+    return num_to_words_en(tens) + "-" + num_to_ordinal_en(ones)
+
+
+def _en_time(h: int, m: int) -> str:
+    hour = num_to_words_en(h if 1 <= h <= 12 else (h - 12 if h > 12 else 12))
+    if m == 0:
+        return f"{hour} o'clock"
+    if m < 10:
+        return f"{hour} oh {num_to_words_en(m)}"
+    return f"{hour} {num_to_words_en(m)}"
+
+
+def _normalize_zh(text: str) -> str:
+    # money: ￥/¥/$ BEFORE the amount reads AFTER it in zh
+    text = re.sub(r"[￥¥](\d+(?:\.\d+)?)", lambda m: m.group(1) + "元", text)
+    text = re.sub(r"\$(\d+(?:\.\d+)?)", lambda m: m.group(1) + "美元", text)
+    # ISO dates 2024-05-01 -> 二零二四年5月1日 (generic pass reads M月D日)
+    text = re.sub(
+        r"(?<!\d)(\d{4})-(\d{1,2})-(\d{1,2})(?!\d)",
+        lambda m: _zh_digitwise(m.group(1)) + "年" + str(int(m.group(2))) + "月"
+        + str(int(m.group(3))) + "日",
+        text,
+    )
+    # years: digit-wise before 年 (wetext: 2024年 -> 二零二四年)
+    text = re.sub(r"(\d{4})年", lambda m: _zh_digitwise(m.group(1)) + "年", text)
+    # phone-like digit runs (10-12 digits, e.g. 11-digit mobile): digit-wise with 幺
+    text = re.sub(
+        r"(?<!\d)(\d{10,12})(?!\d)", lambda m: _zh_digitwise(m.group(1), phone=True), text
+    )
+    # time H:MM / H：MM -> H点MM分 (zero-minutes -> 整)
+    def _zh_time(m):
+        h, mm = int(m.group(1)), int(m.group(2))
+        mins = "整" if mm == 0 else ("零" + num_to_words_zh(mm) if mm < 10 else num_to_words_zh(mm)) + ("分" if mm else "")
+        return num_to_words_zh(h) + "点" + mins
+    text = re.sub(r"(?<!\d)(\d{1,2})[:：](\d{2})(?!\d)", _zh_time, text)
+    # fractions a/b -> b分之a
+    text = re.sub(
+        r"(?<!\d)(\d+)/(\d+)(?!\d)",
+        lambda m: num_to_words_zh(int(m.group(2))) + "分之" + num_to_words_zh(int(m.group(1))),
+        text,
+    )
+    # ranges a~b / a-b between digits -> a到b
+    text = re.sub(r"(\d+(?:\.\d+)?)[~～—-](\d+(?:\.\d+)?)", r"\1到\2", text)
+    # percentages read prefix ("百分之NN")
+    text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + m.group(1), text)
+    return text
+
+
+def _normalize_en(text: str) -> str:
+    # money: $5.30 -> five dollars and thirty cents; $5 -> five dollars
+    def _en_money(m):
+        dollars = int(m.group(1))
+        head = num_to_words_en(dollars) + (" dollar" if dollars == 1 else " dollars")
+        if m.group(2):
+            cents = int(m.group(2)[:2].ljust(2, "0"))
+            if cents:
+                head += " and " + num_to_words_en(cents) + (" cent" if cents == 1 else " cents")
+        return head
+    text = re.sub(r"\$(\d+)(?:\.(\d+))?", _en_money, text)
+    # ordinals: 1st, 22nd, 103rd ...
+    text = re.sub(
+        r"(?<!\d)(\d+)(st|nd|rd|th)\b",
+        lambda m: num_to_ordinal_en(int(m.group(1))),
+        text,
+    )
+    # time H:MM -> eight thirty / eight oh five / eight o'clock
+    text = re.sub(
+        r"(?<!\d)(\d{1,2}):(\d{2})(?!\d)",
+        lambda m: _en_time(int(m.group(1)), int(m.group(2))),
+        text,
+    )
+    return text
+
 
 def normalize(text: str) -> str:
-    """Normalize a piece of text for synthesis (fmtn-equivalent light TN)."""
+    """Normalize a piece of text for synthesis.
+
+    fmtn-equivalent rule set (the proprietary wheel is absent from the
+    snapshot; the reference's fallback is wetext+inflect,
+    cli/frontend.py:124-155): grouped digits, money, years, phone numbers,
+    clock times, fractions, ranges, percentages, ordinals, generic number
+    spell-out (en + zh), symbol expansion, whitespace cleanup."""
     zh = _has_cjk(text)
     text = text.strip()
-    # percentages: zh reads prefix ("百分之NN")
-    if zh:
-        text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + m.group(1), text)
+    # strip digit-grouping commas (1,234,567)
+    text = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", text)
+    text = _normalize_zh(text) if zh else _normalize_en(text)
     text = re.sub(r"\d+(?:\.\d+)?", lambda m: _spell_number(m, zh), text)
     symbols = _SYMBOLS_ZH if zh else _SYMBOLS_EN
     for sym, word in symbols.items():

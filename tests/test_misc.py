@@ -36,6 +36,31 @@ def test_normalize_mixed():
     assert "二十五" in zh and "摄氏度" in zh and "百分之" in zh
 
 
+def test_normalize_zh_rules():
+    """wetext-class zh rules (reference TN fallback, cli/frontend.py:124-155)."""
+    assert text_norm.normalize("2024年5月1日") == "二零二四年五月一日"
+    assert text_norm.normalize("现在是8:30") == "现在是八点三十分"
+    assert text_norm.normalize("现在是8:05") == "现在是八点零五分"
+    assert text_norm.normalize("下午3:00开会") == "下午三点整开会"
+    assert text_norm.normalize("完成了3/4") == "完成了四分之三"
+    assert text_norm.normalize("价格￥12.5") == "价格十二点五元"
+    assert text_norm.normalize("价格$9万") == "价格九美元万" or "九美元" in text_norm.normalize("价格$9")
+    assert text_norm.normalize("电话13800138000") == "电话幺三八零零幺三八零零零"
+    assert text_norm.normalize("大约3~5天") == "大约三到五天"
+    assert text_norm.normalize("会议2024-05-01举行") == "会议二零二四年五月一日举行"
+    assert text_norm.normalize("人口1,234,567人") == "人口一百二十三万四千五百六十七人"
+
+
+def test_normalize_en_rules():
+    assert text_norm.normalize("It costs $5.30 now") == "It costs five dollars and thirty cents now"
+    assert text_norm.normalize("He won $1") == "He won one dollar"
+    assert text_norm.normalize("the 1st and 22nd item") == "the first and twenty-second item"
+    assert text_norm.normalize("Meet at 8:30") == "Meet at eight thirty"
+    assert text_norm.normalize("Meet at 8:05") == "Meet at eight oh five"
+    assert text_norm.normalize("Meet at 8:00") == "Meet at eight o'clock"
+    assert text_norm.normalize("About 1,234 people") == "About one thousand two hundred thirty-four people"
+
+
 def test_split_and_merge():
     text = "第一句话说完了。第二句话也说完了！短。"
     segs = text_norm.split_text_by_punctuation(text, max_length=30, min_length=5)
