@@ -153,9 +153,13 @@ def main():
     }))
 
     # flash batch: 4 utterances decode+vocode together (BASELINE config 4)
+    # headline engine (default fused single-dispatch path) — also used for
+    # the flash-batch metric, which serves through the same fused programs
+    engine_f = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen)
+
     def run_batch(rng):
         texts = [np.arange(text_len, dtype=np.int32) % 1000 for _ in range(4)]
-        return engine.synthesize_batch(
+        return engine_f.synthesize_batch(
             texts, inference_head_num=4,
             min_token_text_ratio=n_tokens / text_len,
             max_token_text_ratio=n_tokens / text_len, rng=rng,
@@ -173,9 +177,6 @@ def main():
         "tokens": best["tokens"],
         "llm_s": round(best["llm_time"], 4), "synth_s": round(best["synth_time"], 4),
     }))
-
-    # headline: default engine (fused single-dispatch path)
-    engine_f = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen)
 
     def run_f(rng):
         text = np.arange(text_len, dtype=np.int32) % 1000
