@@ -98,34 +98,44 @@ def main():
             "compile_s": round(compile_time, 1),
         }))
 
-    # weight-only int8 serving mode (Engine(quantize="int8"), ops/quant.py):
-    # same pipeline at heads=4 with the LLM weights streamed as int8
+    # weight-only int8 serving mode (Engine(quantize="int8"), ops/quant.py).
+    # Two measurements: a two-stage engine for a decode tok/s directly
+    # comparable to the bf16 sweep above (same llm_time denominator), and the
+    # default fused engine for the e2e RTF a server actually gets.
+    engine_q2 = Engine(cfg, llm_params, flow_params, hift_params,
+                       max_tokens=max_gen, quantize="int8", fused=False)
     engine_q = Engine(cfg, llm_params, flow_params, hift_params,
                       max_tokens=max_gen, quantize="int8")
 
-    def run_q(rng):
+    def run_q(eng, rng):
         text = np.arange(text_len, dtype=np.int32) % 1000
-        return engine_q.synthesize(
+        return eng.synthesize(
             text_tokens=text, tts_text_len=text_len, inference_head_num=4,
             min_token_text_ratio=n_tokens / text_len,
             max_token_text_ratio=n_tokens / text_len, rng=rng,
         )
 
-    run_q(jax.random.PRNGKey(41))  # compile
+    run_q(engine_q2, jax.random.PRNGKey(41))  # compile
+    best_tps_q = None
+    for i in range(3):
+        rq = run_q(engine_q2, jax.random.PRNGKey(310 + i))
+        if best_tps_q is None or rq.tps > best_tps_q.tps:
+            best_tps_q = rq
+    run_q(engine_q, jax.random.PRNGKey(41))  # compile
     best_q = None
     for i in range(3):
-        rq = run_q(jax.random.PRNGKey(300 + i))
+        rq = run_q(engine_q, jax.random.PRNGKey(300 + i))
         if best_q is None or rq.total_time < best_q.total_time:
             best_q = rq
     rtf_q = best_q.total_time / (len(best_q.audio) / cfg.sample_rate)
     print(json.dumps({
         "aux": True, "metric": "rtf_e2e_heads4_int8",
         "value": round(rtf_q, 5), "unit": "x_realtime",
-        "tokens_per_sec": round(best_q.tps, 1),
-        "llm_time_s": round(best_q.llm_time, 4),
+        "tokens_per_sec": round(best_tps_q.tps, 1),
+        "llm_time_s": round(best_tps_q.llm_time, 4),
         "note": "weight-only int8 LLM (--quantize int8); bf16 is the default/headline",
     }))
-    del engine_q
+    del engine_q, engine_q2
 
     # TTFT: time to the first streamed ~1 s chunk at heads=4
     synth = engine.streaming()

@@ -66,7 +66,6 @@ class HydraVox:
         from .models import llm as llm_model
         from .convert import torch_import
         from .runtime.engine import Engine
-        from .runtime.streaming import StreamingSynthesizer
 
         cfg = tiny_config() if tiny else HydraVoxConfig()
         self.cfg = cfg
@@ -99,7 +98,8 @@ class HydraVox:
                 "default", SpeakerInfo(embedding=np.zeros(192, np.float32))
             )
         self.sample_rate = cfg.sample_rate
-        self._streamer = StreamingSynthesizer(self.engine)
+        # the engine-owned streamer, so prewarm=True warms the same jit caches
+        self._streamer = self.engine.streaming()
         if prewarm:
             self.engine.prewarm()
 
@@ -120,33 +120,44 @@ class HydraVox:
 
     # -- inference generators (cli/cosyvoice.py:77-238) ----------------------
 
+    def _segments(self, tts_text: str, text_frontend: bool = True):
+        """Reference `text_frontend=False` skips TN/splitting
+        (cli/frontend.py:124-131)."""
+        if not text_frontend:
+            return [tts_text]
+        return self.frontend.text_normalize(tts_text, split=True)
+
     def inference_sft(self, tts_text: str, spk_id: str, stream: bool = False,
-                      speed: float = 1.0, **kw) -> Generator[dict, None, None]:
-        segments = self.frontend.text_normalize(tts_text, split=True)
-        for seg in segments:
+                      speed: float = 1.0, text_frontend: bool = True,
+                      **kw) -> Generator[dict, None, None]:
+        for seg in self._segments(tts_text, text_frontend):
             feats = self.frontend.frontend_sft(seg, spk_id)
             yield from self._run(feats, stream=stream, speed=speed, **kw)
 
     def inference_zero_shot(self, tts_text: str, prompt_text: str,
                             prompt_wav: np.ndarray, sample_rate: int,
                             zero_shot_spk_id: str = "", stream: bool = False,
-                            speed: float = 1.0, **kw) -> Generator[dict, None, None]:
+                            speed: float = 1.0, text_frontend: bool = True,
+                            **kw) -> Generator[dict, None, None]:
         if zero_shot_spk_id:
-            # registered zero-shot speaker: reuse stored prompt features
-            for seg in self.frontend.text_normalize(tts_text, split=True):
-                feats = self.frontend.frontend_sft(seg, zero_shot_spk_id)
-                yield from self._run(feats, stream=stream, speed=speed, **kw)
+            # registered zero-shot speaker: stored prompt text + speech
+            # features, same sampling as the unregistered path
+            for seg in self._segments(tts_text, text_frontend):
+                feats = self.frontend.frontend_zero_shot_registered(seg, zero_shot_spk_id)
+                yield from self._run(feats, stream=stream, speed=speed,
+                                     sampling=self.cfg.zero_shot_sampling, **kw)
             return
         norm_prompt = self.frontend.text_normalize(prompt_text, split=False)[0]
-        for seg in self.frontend.text_normalize(tts_text, split=True):
+        for seg in self._segments(tts_text, text_frontend):
             feats = self.frontend.frontend_zero_shot(seg, norm_prompt, prompt_wav, sample_rate)
             yield from self._run(feats, stream=stream, speed=speed,
                                  sampling=self.cfg.zero_shot_sampling, **kw)
 
     def inference_cross_lingual(self, tts_text: str, prompt_wav: np.ndarray,
                                 sample_rate: int, stream: bool = False,
-                                speed: float = 1.0, **kw) -> Generator[dict, None, None]:
-        for seg in self.frontend.text_normalize(tts_text, split=True):
+                                speed: float = 1.0, text_frontend: bool = True,
+                                **kw) -> Generator[dict, None, None]:
+        for seg in self._segments(tts_text, text_frontend):
             feats = self.frontend.frontend_cross_lingual(seg, prompt_wav, sample_rate)
             yield from self._run(feats, stream=stream, speed=speed,
                                  sampling=self.cfg.zero_shot_sampling, **kw)
@@ -154,16 +165,18 @@ class HydraVox:
     def inference_instruct2(self, tts_text: str, instruct_text: str,
                             prompt_wav: np.ndarray, sample_rate: int,
                             stream: bool = False, speed: float = 1.0,
+                            text_frontend: bool = True,
                             **kw) -> Generator[dict, None, None]:
-        for seg in self.frontend.text_normalize(tts_text, split=True):
+        for seg in self._segments(tts_text, text_frontend):
             feats = self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, sample_rate)
             yield from self._run(feats, stream=stream, speed=speed,
                                  sampling=self.cfg.zero_shot_sampling, **kw)
 
     def inference_instruct(self, tts_text: str, spk_id: str, instruct_text: str,
                            stream: bool = False, speed: float = 1.0,
+                           text_frontend: bool = True,
                            **kw) -> Generator[dict, None, None]:
-        for seg in self.frontend.text_normalize(tts_text, split=True):
+        for seg in self._segments(tts_text, text_frontend):
             feats = self.frontend.frontend_instruct(seg, spk_id, instruct_text)
             yield from self._run(feats, stream=stream, speed=speed, **kw)
 

@@ -230,6 +230,19 @@ class Frontend:
             spk_embedding=info.embedding,
         )
 
+    def frontend_zero_shot_registered(self, tts_text: str, spk_id: str) -> dict:
+        """Zero-shot via a registered speaker id (reference frontend_zero_shot
+        with zero_shot_spk_id, cli/frontend.py:163-170): reuses the stored
+        prompt text tokens, speech tokens, mel and embedding so the LLM sees
+        the same text/speech prompt pairing as the unregistered path."""
+        feats = self.frontend_sft(tts_text, spk_id)
+        info = self.spk2info[spk_id]
+        if info.prompt_text is not None and len(info.prompt_text) > 0:
+            feats["text_tokens"] = np.concatenate(
+                [np.asarray(info.prompt_text, np.int32), feats["text_tokens"]]
+            )
+        return feats
+
     # -- speaker registry ---------------------------------------------------
 
     def add_speaker(self, spk_id: str, info: SpeakerInfo):

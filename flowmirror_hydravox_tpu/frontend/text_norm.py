@@ -124,12 +124,14 @@ def num_to_ordinal_en(n: int) -> str:
         return _EN_ORDINAL_IRREG[n]
     if n < 20:
         return num_to_words_en(n) + "th"
-    if n % 10 == 0 and n < 100:
-        return num_to_words_en(n)[:-1] + "ieth"
-    if n % 100 == 0 or n % 10 == 0:
+    last2 = n % 100
+    if last2 == 0:  # hundred/thousand/…th and twenty->twentieth style tens
         return num_to_words_en(n) + "th"
-    tens, ones = n - n % 10, n % 10
-    return num_to_words_en(tens) + "-" + num_to_ordinal_en(ones)
+    if n >= 100 and last2 < 20:  # 101st..119th, 1013th: head + small ordinal
+        return num_to_words_en(n - last2) + " " + num_to_ordinal_en(last2)
+    if n % 10 == 0:  # 20th, 130th: ...ty -> ...tieth
+        return num_to_words_en(n)[:-1] + "ieth"
+    return num_to_words_en(n - n % 10) + "-" + num_to_ordinal_en(n % 10)
 
 
 def _en_time(h: int, m: int) -> str:

@@ -51,6 +51,14 @@ def pallas_decode_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pallas_decode_forced() -> bool:
+    """True when the kernel is explicitly forced on (programmatic override or
+    HYDRAVOX_PALLAS_ATTN=1) — bypasses the size-aware routing."""
+    if _PALLAS_DECODE is True:
+        return True
+    return os.environ.get("HYDRAVOX_PALLAS_ATTN", "auto").lower() in ("1", "true", "on")
+
+
 # below this static cache length the XLA decode path is faster than the
 # Pallas kernel (see decode_attention_dispatch docstring for measurements);
 # an explicit set_pallas_decode(True) override still forces the kernel.
@@ -139,7 +147,7 @@ def decode_attention_dispatch(
     s_max = k_cache.shape[1]
     blk = _pick_block(s_max)
     if pallas_decode_enabled() and b == 1 and blk is not None and (
-        s_max >= _PALLAS_MIN_SMAX or _PALLAS_DECODE is True
+        s_max >= _PALLAS_MIN_SMAX or _pallas_decode_forced()
     ):
         from .pallas_attention import pallas_decode_attention
 

@@ -106,6 +106,13 @@ class Engine:
         self.quantize = quantize
         self.fused = fused
         self.fused_est_ratio = fused_est_ratio
+        # dtype policy for hot-reloaded LLM weights (set_llm_params): follow
+        # whatever the engine was constructed with (bf16 in serving, f32 in
+        # CPU tests), captured before any quantization rewrites the tree
+        try:
+            self._llm_dtype = llm_params["backbone"]["embed_tokens"].dtype
+        except (KeyError, TypeError, AttributeError):
+            self._llm_dtype = jnp.bfloat16
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -139,7 +146,7 @@ class Engine:
     def set_llm_params(self, params):
         """Hot-reload entry (POST /load_pt): re-applies dtype/quantize policy.
         Jitted programs close over nothing — next calls pick up the new tree."""
-        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        params = jax.tree.map(lambda a: jnp.asarray(a, self._llm_dtype), params)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -818,11 +825,9 @@ class Engine:
             llm_time = time.time() - t0
 
         # ---- stage 2: fused flow + hift (tokens stay on device) ----
+        # skipped entirely when the fused program already produced `wav`
         t0 = time.time()
-        if wav is not None and speed == 1.0:
-            mel_dev = None  # fused path already produced the waveform
-            wav_dev = None
-        else:
+        if wav is None:
             n_all = flp + n_tok
             tok_bkt = _bucket(max(n_all, 1), self.token_buckets)
             synth = self._synth_fn(tok_bkt, pm_bucket, fsbkt)
@@ -831,28 +836,25 @@ class Engine:
                 jnp.asarray(fsp_pad), jnp.int32(flp), jnp.asarray(pm), jnp.int32(pm_len),
                 jnp.asarray(spk_embedding, jnp.float32)[None], rng,
             )
-
-        if wav is not None:
-            pass  # fused path already unpacked the waveform
-        elif speed != 1.0:
-            # slow path: resample mel on host then re-vocode (rare;
-            # infer_speech_model.py:586-587)
-            mel = np.asarray(mel_dev)[:, :, : n_tok * ratio]
-            new_t = max(1, int(mel.shape[2] / speed))
-            src = np.linspace(0, mel.shape[2] - 1, new_t)
-            lo = np.floor(src).astype(int)
-            hi = np.minimum(lo + 1, mel.shape[2] - 1)
-            w = (src - lo).astype(np.float32)
-            mel = (mel[:, :, lo] * (1 - w) + mel[:, :, hi] * w).astype(np.float32)
-            mbkt = _bucket(mel.shape[2], self.mel_buckets)
-            mel_pad = np.concatenate(
-                [mel, np.repeat(mel[:, :, -1:], mbkt - mel.shape[2], axis=2)], axis=2
-            )
-            wav = np.asarray(
-                self._hift_only_fn()(self.hift_params, jnp.asarray(mel_pad), rng)
-            )[0, : mel.shape[2] * up]
-        else:
-            wav = np.asarray(wav_dev)[0, : n_tok * ratio * up].astype(np.float32) / 32767.0
+            if speed != 1.0:
+                # slow path: resample mel on host then re-vocode (rare;
+                # infer_speech_model.py:586-587)
+                mel = np.asarray(mel_dev)[:, :, : n_tok * ratio]
+                new_t = max(1, int(mel.shape[2] / speed))
+                src = np.linspace(0, mel.shape[2] - 1, new_t)
+                lo = np.floor(src).astype(int)
+                hi = np.minimum(lo + 1, mel.shape[2] - 1)
+                w = (src - lo).astype(np.float32)
+                mel = (mel[:, :, lo] * (1 - w) + mel[:, :, hi] * w).astype(np.float32)
+                mbkt = _bucket(mel.shape[2], self.mel_buckets)
+                mel_pad = np.concatenate(
+                    [mel, np.repeat(mel[:, :, -1:], mbkt - mel.shape[2], axis=2)], axis=2
+                )
+                wav = np.asarray(
+                    self._hift_only_fn()(self.hift_params, jnp.asarray(mel_pad), rng)
+                )[0, : mel.shape[2] * up]
+            else:
+                wav = np.asarray(wav_dev)[0, : n_tok * ratio * up].astype(np.float32) / 32767.0
         synth_time = time.time() - t0
 
         tokens = meta[: self.max_tokens][:n_tok]

@@ -40,3 +40,18 @@ def test_inference_zero_shot_registered_spk(hv):
     outs = list(hv.inference_zero_shot("short test", "", None, 16000,
                                        zero_shot_spk_id="alice"))
     assert len(outs) == 1 and len(outs[0]["tts_speech"]) > 0
+
+
+def test_registered_zero_shot_keeps_prompt_text(hv):
+    """frontend_zero_shot_registered must prepend the stored prompt text
+    tokens (reference cli/frontend.py:163-170), unlike plain sft."""
+    feats = hv.frontend.frontend_zero_shot_registered("hi there", "alice")
+    assert len(feats["text_tokens"]) > feats["tts_text_len"]
+    sft = hv.frontend.frontend_sft("hi there", "alice")
+    assert len(sft["text_tokens"]) == sft["tts_text_len"]
+
+
+def test_text_frontend_false_skips_normalization(hv):
+    """Reference API kwarg text_frontend=False must be accepted and skip TN."""
+    outs = list(hv.inference_sft("raw 42 text", "default", text_frontend=False))
+    assert len(outs) == 1 and len(outs[0]["tts_speech"]) > 0
