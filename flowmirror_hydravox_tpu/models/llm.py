@@ -100,10 +100,18 @@ def mtp_logits(params: dict, cfg: LLMConfig, hidden: jnp.ndarray, num_heads: int
     """Apply heads 0..num_heads-1 and the shared decoder.
 
     hidden: (..., H) -> logits (num_heads, ..., vocab).
-    """
+
+    Unrolled per-head loop with static indexing, NOT `vmap(heads[:k])`: the
+    sliced-stack vmap form made XLA materialize a copy of the (5, 22016, 896)
+    head weight stacks INSIDE the decode while-loop — ~23% of the int8 decode
+    step went to s8 copy-start/copy-done ops (xplane profile, v5e, 2026-08).
+    Static `a[k]` reads fuse into each head's matmuls with no copy."""
     eps = cfg.backbone.rms_norm_eps
-    heads = jax.tree.map(lambda a: a[:num_heads], params["mtp_block"])
-    out = jax.vmap(lambda head: _mtp_head_apply(head, hidden, eps))(heads)
+    outs = [
+        _mtp_head_apply(jax.tree.map(lambda a: a[k], params["mtp_block"]), hidden, eps)
+        for k in range(num_heads)
+    ]
+    out = jnp.stack(outs)
     return matmul_q(out, params, "llm_decoder").astype(jnp.float32)
 
 
@@ -329,6 +337,11 @@ def generate_until(
     head_k = max(1, min(int(inference_head_num), cfg.head_num))
     bb = cfg.backbone
     emb_dtype = params["speech_embedding"].dtype
+    # slice the head stack to the active heads once, outside the loop —
+    # otherwise every step streams the unused heads' weights from HBM too
+    params = dict(
+        params, mtp_block=jax.tree.map(lambda a: a[:head_k], params["mtp_block"])
+    )
 
     def cond(s):
         return (~s["finished"]) & (s["num"] < target_num)
@@ -401,6 +414,10 @@ def generate_batched(
         cache_len_cap = t_prompt + max_tokens + head_k
     cache_len_cap = -(-cache_len_cap // 256) * 256
     bb = cfg.backbone
+    # stream only the active heads' weights per step (see generate_until)
+    params = dict(
+        params, mtp_block=jax.tree.map(lambda a: a[:head_k], params["mtp_block"])
+    )
 
     cache = qwen2.init_kv_cache(bb, b, cache_len_cap, dtype=prompt_embeds.dtype)
     hidden, cache = qwen2.forward_block_with_cache(
