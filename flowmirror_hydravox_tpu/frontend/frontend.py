@@ -12,6 +12,7 @@ Responsibilities:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -20,6 +21,8 @@ import numpy as np
 
 from ..config import HydraVoxConfig
 from ..utils import audio
+
+logger = logging.getLogger("hydravox.frontend")
 from . import speech_tokenizer as st
 from .text_norm import normalize, split_text_by_punctuation
 from .tokenizer import get_tokenizer
@@ -78,6 +81,27 @@ class Frontend:
             if speaker_params is not None
             else st.init_speaker_params(k2, self.spk_cfg)
         )
+        # trained native weights (train/train_frontend.py output) hot-plug via
+        # env, same spirit as the ONNX adapters below
+        import os as _os
+
+        tok_npz = _os.environ.get("HYDRAVOX_TOKENIZER_NPZ")
+        spk_npz = _os.environ.get("HYDRAVOX_SPEAKER_NPZ")
+        for env_path, attr, name in (
+            (tok_npz, "tokenizer_params", "tokenizer"),
+            (spk_npz, "speaker_params", "speaker"),
+        ):
+            explicit = tokenizer_params if name == "tokenizer" else speaker_params
+            if explicit is not None or not env_path or not _os.path.exists(env_path):
+                continue
+            try:
+                from ..train.checkpoint import load_params_npz
+
+                setattr(self, attr, load_params_npz(env_path, getattr(self, attr)))
+                logger.info("loaded trained %s weights from %s", name, env_path)
+            except Exception as e:
+                logger.warning("could not load %s weights %s (%s); keeping "
+                               "random init", name, env_path, e)
         self.spk2info: Dict[str, SpeakerInfo] = {}
         self._tokenize_jit = jax.jit(
             lambda p, w: st.tokenize_waveform(p, self.st_cfg, w)

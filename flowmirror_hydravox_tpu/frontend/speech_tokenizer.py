@@ -125,6 +125,55 @@ def fsq_encode(z: jnp.ndarray, levels: Tuple[int, ...]) -> jnp.ndarray:
 
 def tokenize_mel(params: dict, cfg: SpeechTokenizerConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel: (B, 128, T) whisper log-mel (100 Hz) -> (B, T//4) tokens (25 Hz)."""
+    return fsq_encode(encode_fsq_values(params, cfg, mel), cfg.fsq_levels)
+
+
+def tokenize_waveform(
+    params: dict, cfg: SpeechTokenizerConfig, wav_16k: jnp.ndarray
+) -> jnp.ndarray:
+    """wav_16k: (B, T) -> (B, n_tokens) at 25 Hz (frontend.py:92-104 path)."""
+    mel = whisper_log_mel(wav_16k, n_mels=cfg.n_mels)
+    return tokenize_mel(params, cfg, mel)
+
+
+def fsq_quantize_ste(z: jnp.ndarray, levels: Tuple[int, ...]) -> jnp.ndarray:
+    """FSQ forward with a straight-through estimator (training path).
+
+    Returns the quantized lattice values in [-1, 1] per dim; gradients flow
+    through the bounded tanh as if rounding were identity.  FSQ needs no
+    codebook/commitment losses (its selling point vs VQ-VAE) — the trainer
+    is a plain autoencoder through this bottleneck."""
+    lv = jnp.asarray(levels, jnp.float32)
+    half = (lv - 1.0) / 2.0
+    bounded = jnp.tanh(z.astype(jnp.float32))
+    quant = jnp.round(bounded * half) / half
+    return (bounded + jax.lax.stop_gradient(quant - bounded)).astype(z.dtype)
+
+
+def init_decoder_params(rng: jax.Array, cfg: SpeechTokenizerConfig, dtype=jnp.float32) -> dict:
+    """Mel decoder for self-supervised tokenizer training: FSQ lattice values
+    (25 Hz) -> transformer -> 4x nearest upsample + convs -> 128-mel (100 Hz).
+    Only used by train/train_frontend.py; inference needs just the encoder."""
+    keys = iter(jax.random.split(rng, cfg.num_layers + 5))
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    d = cfg.dim
+    layers = [_layer_init(next(keys), d, cfg.num_heads, dtype) for _ in range(cfg.num_layers)]
+    return {
+        "in_proj": w(next(keys), len(cfg.fsq_levels), d),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "ln_f": jnp.ones((d,), dtype),
+        "conv1": {"w": w(next(keys), d, d, 3), "b": jnp.zeros((d,), dtype)},
+        "conv2": {"w": w(next(keys), d, d, 3), "b": jnp.zeros((d,), dtype)},
+        "out_proj": w(next(keys), d, cfg.n_mels),
+    }
+
+
+def encode_fsq_values(params: dict, cfg: SpeechTokenizerConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """Encoder trunk up to the FSQ projection (shared with tokenize_mel).
+    mel: (B, 128, T) -> z (B, T//4, n_fsq_dims) pre-quantization."""
 
     def conv(p, x, stride):
         return jax.lax.conv_general_dilated(
@@ -134,22 +183,80 @@ def tokenize_mel(params: dict, cfg: SpeechTokenizerConfig, mel: jnp.ndarray) -> 
 
     h = jax.nn.gelu(conv(params["conv1"], mel, 2))
     h = jax.nn.gelu(conv(params["conv2"], h, 2))
-    h = jnp.swapaxes(h, 1, 2)  # (B, T/4, D)
+    h = jnp.swapaxes(h, 1, 2)
 
     def body(x, layer):
         return _encoder_block(layer, x, cfg.num_heads), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
-    z = _rms(h, params["ln_f"]) @ params["fsq_proj"]
-    return fsq_encode(z, cfg.fsq_levels)
+    return _rms(h, params["ln_f"]) @ params["fsq_proj"]
 
 
-def tokenize_waveform(
-    params: dict, cfg: SpeechTokenizerConfig, wav_16k: jnp.ndarray
+def reconstruct_mel(
+    enc_params: dict, dec_params: dict, cfg: SpeechTokenizerConfig, mel: jnp.ndarray
 ) -> jnp.ndarray:
-    """wav_16k: (B, T) -> (B, n_tokens) at 25 Hz (frontend.py:92-104 path)."""
-    mel = whisper_log_mel(wav_16k, n_mels=cfg.n_mels)
-    return tokenize_mel(params, cfg, mel)
+    """Autoencode mel through the FSQ bottleneck. mel (B, 128, T) -> (B, 128, T')
+    with T' = (T//4)*4 (the subsampled grid)."""
+    z = encode_fsq_values(enc_params, cfg, mel)
+    q = fsq_quantize_ste(z, cfg.fsq_levels)
+    h = q @ dec_params["in_proj"]
+
+    def body(x, layer):
+        return _encoder_block(layer, x, cfg.num_heads), None
+
+    h, _ = jax.lax.scan(body, h, dec_params["layers"])
+    h = _rms(h, dec_params["ln_f"])
+    h = jnp.swapaxes(h, 1, 2)  # (B, D, T/4)
+
+    def conv(p, x):
+        return jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(1,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ) + p["b"][None, :, None]
+
+    h = jnp.repeat(h, 2, axis=-1)
+    h = jax.nn.gelu(conv(dec_params["conv1"], h))
+    h = jnp.repeat(h, 2, axis=-1)
+    h = jax.nn.gelu(conv(dec_params["conv2"], h))
+    return jnp.swapaxes(jnp.swapaxes(h, 1, 2) @ dec_params["out_proj"], 1, 2)
+
+
+def tokenizer_recon_loss(
+    enc_params: dict, dec_params: dict, cfg: SpeechTokenizerConfig,
+    mel: jnp.ndarray, mel_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked MSE reconstruction loss (self-supervised tokenizer training)."""
+    t4 = (mel.shape[2] // 4) * 4
+    target = mel[:, :, :t4]
+    pred = reconstruct_mel(enc_params, dec_params, cfg, mel)[:, :, :t4]
+    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    if mel_len is not None:
+        mask = (jnp.arange(t4)[None, :] < mel_len[:, None]).astype(jnp.float32)
+        return jnp.sum(err * mask[:, None, :]) / jnp.maximum(
+            jnp.sum(mask) * mel.shape[1], 1.0
+        )
+    return jnp.mean(err)
+
+
+def aam_softmax_loss(
+    embeddings: jnp.ndarray,  # (B, 192)
+    classifier: jnp.ndarray,  # (n_spk, 192)
+    labels: jnp.ndarray,  # (B,) int32
+    margin: float = 0.2,
+    scale: float = 30.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Additive-angular-margin softmax (the CAM++/speaker-verification
+    training objective). Returns (loss, accuracy)."""
+    e = embeddings / (jnp.linalg.norm(embeddings, axis=-1, keepdims=True) + 1e-8)
+    w = classifier / (jnp.linalg.norm(classifier, axis=-1, keepdims=True) + 1e-8)
+    cos = e @ w.T  # (B, n_spk)
+    theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
+    onehot = jax.nn.one_hot(labels, classifier.shape[0])
+    logits = scale * jnp.where(onehot > 0, jnp.cos(theta + margin), cos)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    loss = -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+    acc = jnp.mean((jnp.argmax(cos, axis=-1) == labels).astype(jnp.float32))
+    return loss, acc
 
 
 # ---------------------------------------------------------------------------
