@@ -118,6 +118,61 @@ class LLMCollator:
 
 
 @dataclasses.dataclass
+class DPOCollator:
+    """Rows -> padded DPO batch {text_token, text_len, chosen_token,
+    chosen_len, rejected_token, rejected_len}.
+
+    Chosen tokens come from "speech_token", rejected from
+    "reject_speech_token" (reference dataset/processor.py:432-438 padding
+    for dpo=True batches)."""
+
+    tokenizer: Any
+    text_buckets: tuple = TEXT_BUCKETS
+    speech_buckets: tuple = SPEECH_BUCKETS
+    normalize_text: bool = True
+
+    def __call__(self, rows: List[Dict]) -> Dict[str, np.ndarray]:
+        from ..frontend.text_norm import normalize
+
+        text_tokens, chosen, rejected = [], [], []
+        for row in rows:
+            if "text_token" in row:
+                tt = np.asarray(row["text_token"], np.int32)
+            else:
+                text = row["text"]
+                if self.normalize_text:
+                    text = normalize(text)
+                tt = np.asarray(self.tokenizer.encode(text), np.int32)
+            text_tokens.append(tt)
+            chosen.append(np.asarray(row["speech_token"], np.int32))
+            rejected.append(np.asarray(row["reject_speech_token"], np.int32))
+
+        lt = _bucket(max(len(t) for t in text_tokens), self.text_buckets)
+        ls = _bucket(
+            max(max(len(t) for t in chosen), max(len(t) for t in rejected)),
+            self.speech_buckets,
+        )
+        b = len(rows)
+        batch = {
+            "text_token": np.zeros((b, lt), np.int32),
+            "text_len": np.zeros((b,), np.int32),
+            "chosen_token": np.zeros((b, ls), np.int32),
+            "chosen_len": np.zeros((b,), np.int32),
+            "rejected_token": np.zeros((b, ls), np.int32),
+            "rejected_len": np.zeros((b,), np.int32),
+        }
+        for i, (tt, ch, rj) in enumerate(zip(text_tokens, chosen, rejected)):
+            tt, ch, rj = tt[:lt], ch[:ls], rj[:ls]
+            batch["text_token"][i, : len(tt)] = tt
+            batch["text_len"][i] = len(tt)
+            batch["chosen_token"][i, : len(ch)] = ch
+            batch["chosen_len"][i] = len(ch)
+            batch["rejected_token"][i, : len(rj)] = rj
+            batch["rejected_len"][i] = len(rj)
+        return batch
+
+
+@dataclasses.dataclass
 class FlowCollator:
     """Rows -> padded flow batch {speech_token, token_len, speech_feat,
     feat_len, embedding} (train_speech_model.py:593-667).

@@ -129,6 +129,55 @@ def llm_train_step(
     return new_state, {"loss": loss, "acc": acc, "grad_norm": gnorm}
 
 
+def dpo_train_step(
+    state: TrainState,
+    ref_params: Any,
+    batch: dict,
+    cfg: LLMConfig,
+    optimizer: optax.GradientTransformation,
+    beta: float = 0.01,
+    label_smoothing: float = 0.0,
+    ipo: bool = False,
+) -> Tuple[TrainState, dict]:
+    """DPO step (reference bin/train.py:162-173 + train_utils.py:256-273):
+    total loss = preference loss (beta=0.01) + SFT CE on the chosen sequence;
+    the frozen ref model's logps are computed inside the same jitted step.
+
+    batch: text_token (B, Lt), text_len, chosen_token (B, Ls), chosen_len,
+    rejected_token (B, Lr), rejected_len."""
+    from ..models.llm_extras import dpo_loss as _dpo_loss, forward_dpo
+
+    args = (
+        batch["text_token"], batch["text_len"],
+        batch["chosen_token"], batch["chosen_len"],
+        batch["rejected_token"], batch["rejected_len"],
+    )
+    ref_out = forward_dpo(ref_params, cfg, *args)
+    ref_chosen = jax.lax.stop_gradient(ref_out["chosen_logps"])
+    ref_rejected = jax.lax.stop_gradient(ref_out["rejected_logps"])
+
+    def loss_fn(params):
+        out = forward_dpo(params, cfg, *args)
+        pref, chosen_r, rejected_r = _dpo_loss(
+            out["chosen_logps"], out["rejected_logps"], ref_chosen, ref_rejected,
+            beta=beta, label_smoothing=label_smoothing, ipo=ipo,
+        )
+        total = pref + out["loss"]
+        aux = {
+            "sft_loss": out["loss"],
+            "dpo_loss": pref,
+            "acc": out["acc"],
+            "dpo_acc": jnp.mean((chosen_r > rejected_r).astype(jnp.float32)),
+            "chosen_reward": jnp.mean(chosen_r),
+            "reject_reward": jnp.mean(rejected_r),
+        }
+        return total, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state, gnorm = _apply_grads(state, grads, optimizer)
+    return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
+
+
 def flow_train_step(
     state: TrainState,
     batch: dict,

@@ -86,6 +86,43 @@ def test_flow_cli_tp_zero_runs(flow_ds, tmp_path):
     assert np.isfinite(out["metrics"]["loss"])
 
 
+@pytest.fixture(scope="module")
+def dpo_ds(tmp_path_factory):
+    import datasets
+
+    rng = np.random.default_rng(1)
+    rows = [
+        {
+            "text": f"preference sample {i}",
+            "speech_token": rng.integers(0, 50, int(rng.integers(8, 20))).tolist(),
+            "reject_speech_token": rng.integers(0, 50, int(rng.integers(8, 20))).tolist(),
+        }
+        for i in range(16)
+    ]
+    path = str(tmp_path_factory.mktemp("dpo_ds"))
+    datasets.Dataset.from_list(rows).save_to_disk(path)
+    return path
+
+
+def test_dpo_cli_trains_and_logs_preference_metrics(dpo_ds, tmp_path):
+    """DPO trainer (reference bin/train.py:131-173): total loss = preference
+    + SFT CE; rewards/dpo_acc reported; step count advances."""
+    from flowmirror_hydravox_tpu.train import train_dpo
+
+    out = train_dpo.main([
+        "--train_data", dpo_ds, "--output_dir", str(tmp_path / "dpo"), "--tiny",
+        "--batch_size", "8", "--max_steps", "2", "--logging_steps", "1",
+        "--save_steps", "100", "--learning_rate", "1e-4", "--warmup_steps", "1",
+    ])
+    assert out["step"] == 2
+    m = out["metrics"]
+    for key in ("loss", "sft_loss", "dpo_loss", "dpo_acc",
+                "chosen_reward", "reject_reward"):
+        assert np.isfinite(m[key]), (key, m)
+    # with ref == policy-init and 2 updates, total = sft + dpo consistency
+    assert abs(m["loss"] - (m["sft_loss"] + m["dpo_loss"])) < 1e-4, m
+
+
 def test_llm_cli_resume_continues_step_count(llm_ds, tmp_path):
     """Checkpoint/resume (reference train_utils.py:195-214 + HF
     --resume_from_checkpoint): a killed run restarts from the saved state."""
