@@ -449,9 +449,12 @@ class Engine:
         max_token_text_ratio: float = 20.0,
         min_token_text_ratio: float = 2.0,
     ):
-        """Flash-batch synthesis: N same-speaker utterances (e.g. long-text
-        segments, infer_speech_model.py:357-455) decode and vocode together.
-        Returns (list of wavs, stats dict)."""
+        """Flash-batch synthesis: N utterances (e.g. long-text segments,
+        infer_speech_model.py:357-455, or coalesced concurrent requests)
+        decode and vocode together.  `spk_embedding` is (192,) shared across
+        rows or (B, 192) per row (cross-request batching of different
+        speakers); prompt tokens/mel are shared, so zero-shot prompts only
+        batch within one request.  Returns (list of wavs, stats dict)."""
         t_start = time.time()
         cfg = self.cfg
         sampling = sampling or cfg.tts_sampling
@@ -464,6 +467,12 @@ class Engine:
         )
         if spk_embedding is None:
             spk_embedding = np.zeros((192,), np.float32)
+        spk_embedding = np.asarray(spk_embedding, np.float32)
+        emb_rows = (
+            spk_embedding
+            if spk_embedding.ndim == 2
+            else spk_embedding[None]  # (1, 192): broadcast across rows
+        )
 
         bsz = len(text_tokens_list)
         lts = [len(t) for t in text_tokens_list]
@@ -522,7 +531,7 @@ class Engine:
                 jnp.asarray(sp_pad), jnp.int32(lp),
                 put_rows(min_lens), put_rows(max_lens), sp,
                 jnp.asarray(pm), jnp.int32(pm_len),
-                jnp.asarray(spk_embedding, jnp.float32)[None],
+                jnp.asarray(emb_rows),
             )
             buf = np.asarray(packed)  # the single transfer
             llm_time = time.time() - t0
@@ -558,7 +567,7 @@ class Engine:
             wav_dev = synth(
                 self.flow_params, self.hift_params, res.tokens, res.num_tokens,
                 jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
-                jnp.asarray(spk_embedding, jnp.float32)[None], rng,
+                jnp.asarray(emb_rows), rng,
             )
             wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
             wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]

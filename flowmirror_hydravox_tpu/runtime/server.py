@@ -48,12 +48,24 @@ class TTSService:
     Mirrors worker.py:54-102 semantics: per-task sampling params rebind,
     text normalization, error capture into the result payload."""
 
-    def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0):
+    def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0,
+                 batch_window: float = 0.03, max_batch: int = 8):
+        """`batch_window`/`max_batch`: cross-request dynamic batching — when
+        several plain SFT `/tts` requests are queued concurrently, the worker
+        coalesces them (up to `max_batch` requests arriving within
+        `batch_window` s) into ONE flash-batch program dispatch with per-row
+        speaker embeddings.  Decode is HBM-bound, so a batch of 4 costs about
+        the same wall-clock as 1 — the TPU-native upgrade over the
+        reference's one-request-per-GPU-worker pool (server/worker.py:25-31).
+        Set batch_window=0 to disable."""
         from .profiling import MetricsAggregator
 
         self.engine = engine
         self.frontend = frontend
         self.timeout = request_timeout
+        self.batch_window = batch_window
+        self.max_batch = max_batch
+        self.batched_requests = 0  # requests served through a coalesced batch
         self.metrics = MetricsAggregator()
         self.tasks: "queue.Queue" = queue.Queue()
         self.results: Dict[str, Any] = {}
@@ -68,14 +80,130 @@ class TTSService:
                 task = self.tasks.get(timeout=0.1)
             except queue.Empty:
                 continue
-            tid = task["task_id"]
+            group = [task]
+            if self.batch_window > 0 and self._batchable(task) is not None:
+                group += self._coalesce_more(task)
+            if len(group) > 1:
+                self._run_group(group)
+            else:
+                self._run_one(task)
+
+    def _run_one(self, task: dict):
+        tid = task["task_id"]
+        try:
+            result = self._process(task)
+        except Exception as e:  # error flows back through the result dict
+            logger.exception("task %s failed", tid)
+            result = {"error": str(e)}
+        with self.results_lock:
+            self.results[tid] = result
+
+    def _batchable(self, task: dict) -> Optional[tuple]:
+        """A task joins a cross-request batch iff it is a plain (non-stream,
+        speed=1, no rolling-prompt) SFT tts request whose speaker has no
+        zero-shot prompt (prompt tokens/mel are program-wide in the batched
+        path; per-row is only the speaker embedding).  Returns the coalesce
+        key (sampling, head_num) or None."""
+        if task.get("type") != "tts" or task.get("last_prompt"):
+            return None
+        extra = task.get("extra_params") or {}
+        if float(extra.get("speed", 1.0)) != 1.0:
+            return None
+        sampling = self._sampling(extra)
+        head_num = int(extra.get("inference_head_num", 2))
+        return (sampling, head_num)
+
+    def _coalesce_more(self, first: dict) -> list:
+        """Pull more same-key batchable tasks for up to batch_window s.
+        A non-matching task ends coalescing and is re-queued."""
+        key = self._batchable(first)
+        group = []
+        deadline = time.time() + self.batch_window
+        while len(group) + 1 < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
             try:
-                result = self._process(task)
-            except Exception as e:  # error flows back through the result dict
-                logger.exception("task %s failed", tid)
-                result = {"error": str(e)}
+                cand = self.tasks.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if self._batchable(cand) == key:
+                group.append(cand)
+            else:
+                self.tasks.put(cand)  # back for the next loop turn
+                break
+        return group
+
+    def _run_group(self, group: list):
+        """One flash-batch dispatch for N coalesced requests: rows = all
+        requests' text segments, per-row speaker embeddings; results split
+        back per request (with the reference's inter-segment pauses)."""
+        import random as _random
+
+        try:
+            extra = group[0].get("extra_params") or {}
+            sampling = self._sampling(extra)
+            head_num = int(extra.get("inference_head_num", 2))
+            sr = self.engine.cfg.sample_rate
+
+            token_lists, emb_rows, spans = [], [], []
+            fallback = []  # (task, reason) pairs that can't ride the batch
+            for task in group:
+                try:
+                    segments = self.frontend.text_normalize(task["text"], split=True)
+                    feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
+                except Exception as e:
+                    fallback.append((task, e))
+                    continue
+                pt = feats0.get("prompt_speech_tokens")
+                pm = feats0.get("prompt_mel")
+                if (pt is not None and len(pt) > 0) or (pm is not None and len(pm) > 0):
+                    fallback.append((task, None))  # zero-shot prompt: run solo
+                    continue
+                start = len(token_lists)
+                for seg in segments:
+                    token_lists.append(self.frontend.extract_text_tokens(seg))
+                    emb_rows.append(
+                        np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
+                    )
+                spans.append((task, start, len(token_lists)))
+
+            for task, err in fallback:
+                if err is not None:
+                    with self.results_lock:
+                        self.results[task["task_id"]] = {"error": str(err)}
+                else:
+                    self._run_one(task)
+
+            if not spans:
+                return
+            wavs, stats = self.engine.synthesize_batch(
+                token_lists, sampling=sampling, inference_head_num=head_num,
+                spk_embedding=np.stack(emb_rows),
+            )
+            self.batched_requests += len(spans)
+            logger.info(
+                "coalesced %d requests (%d rows) rtf=%.4f",
+                len(spans), len(token_lists), stats["rtf"],
+            )
+            for task, start, end in spans:
+                pieces = []
+                for i in range(start, end):
+                    pieces.append(wavs[i])
+                    if i < end - 1:
+                        pieces.append(
+                            np.zeros(int(_random.uniform(0.05, 0.15) * sr), np.float32)
+                        )
+                audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+                with self.results_lock:
+                    self.results[task["task_id"]] = {
+                        "output_audio": audio, "sample_rate": sr,
+                    }
+        except Exception as e:
+            logger.exception("coalesced batch failed")
             with self.results_lock:
-                self.results[tid] = result
+                for task in group:
+                    self.results.setdefault(task["task_id"], {"error": str(e)})
 
     def _sampling(self, extra: dict) -> SamplingConfig:
         return SamplingConfig(
@@ -297,7 +425,9 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send(404, _response(False, "unknown training", error=status.get("error")))
         elif self.path == "/api/v1/metrics":
-            self._send(200, _response(True, "ok", data=self.service.metrics.summary()))
+            data = self.service.metrics.summary()
+            data["batched_requests"] = self.service.batched_requests
+            self._send(200, _response(True, "ok", data=data))
         elif self.path.startswith("/api/v1/training/plot/"):
             from .training_manager import training_manager
             from .training_plots import generate_training_plot

@@ -143,6 +143,41 @@ def test_service_concurrent_requests(engine):
         service.shutdown()
 
 
+def test_service_coalesces_concurrent_requests(engine):
+    """Cross-request dynamic batching: concurrent plain SFT requests from
+    DIFFERENT speakers ride one flash-batch dispatch (per-row speaker
+    embeddings); a non-batchable request (speed!=1) runs solo."""
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker("a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    frontend.add_speaker("b", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0, batch_window=1.0)
+    try:
+        tids = []
+        for i, spk in enumerate(["a", "b", "a"]):
+            tids.append(service.submit({
+                "type": "tts", "text": f"hello sample {i}", "speaker_id": spk,
+                "extra_params": {"inference_head_num": 1},
+            }))
+        # speed != 1.0 -> not batchable, runs through the solo path
+        solo = service.submit({
+            "type": "tts", "text": "solo request", "speaker_id": "b",
+            "extra_params": {"inference_head_num": 1, "speed": 2.0},
+        })
+        outs = [service.wait(t) for t in tids]
+        solo_out = service.wait(solo)
+        for r in outs + [solo_out]:
+            assert "output_audio" in r and len(r["output_audio"]) > 0, r
+            assert np.isfinite(r["output_audio"]).all()
+        # the three batchable requests were coalesced (first is picked up
+        # immediately; the 1 s window collects the other two)
+        assert service.batched_requests >= 2, service.batched_requests
+    finally:
+        service.shutdown()
+
+
 def test_fused_matches_two_stage(engine):
     """The single-dispatch fused program must produce the same tokens and
     waveform as the two-stage (decode -> fetch -> synth) path."""
