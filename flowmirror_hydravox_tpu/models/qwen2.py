@@ -188,7 +188,8 @@ def forward_block_with_cache(
 
         return jax.vmap(one)(cache_layer, new_block, lengths)
 
-    def body(x, scanned):
+    def body(carry, scanned):
+        x = carry
         layer, k_cache_l, v_cache_l = scanned
         attn_in = _rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         q = (matmul_q(attn_in, layer, "q_proj_w") + layer["q_proj_b"]).reshape(
@@ -210,7 +211,17 @@ def forward_block_with_cache(
         x = x + _mlp_block(layer, mlp_in)
         return x, (k_cache_l, v_cache_l)
 
-    x, (new_k, new_v) = jax.lax.scan(body, inputs_embeds, (params["layers"], cache.k, cache.v))
+    # Fully-unrolled scan (unroll=num_layers): one body trace (fast host-side
+    # tracing, unlike a Python layer loop which traced 24 bodies in ~80 s),
+    # while XLA unrolls with constant layer indices — the per-iteration
+    # dynamic-slice of the stacked weights becomes static reads that fuse
+    # into the matmuls.  With a rolled scan those slices forced layout-fixup
+    # copies (4 "data formatting" copies/layer/step ~ 10% of decode device
+    # time; xplane, v5e, 2026-08 — same finding as mtp_logits' head stack).
+    x, (new_k, new_v) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], cache.k, cache.v),
+        unroll=cfg.num_layers,
+    )
     if advance is None:
         advance = jnp.full((b,), kblk, jnp.int32)
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + advance)
