@@ -253,6 +253,58 @@ def main():
         "step_ms": round(step_s * 1000, 3),
         "tokens_per_sec_per_chip": round(r2.tps / max(len(jax.devices()), 1), 1),
     }))
+    # training throughput: one DP train step (MTP multi-head CE) at a
+    # serving-scale batch; MFU vs v5e bf16 peak 197 TFLOP/s.  FLOPs model:
+    # 6 * params_matmul * tokens (fwd+bwd) for the backbone over the full
+    # padded sequence + the K heads applied per position.
+    from flowmirror_hydravox_tpu.train.steps import (
+        OptimConfig, init_state, llm_train_step, make_optimizer,
+    )
+
+    # NOTE: the donated train step invalidates llm_params' buffers — this
+    # section must stay LAST in the bench (the engines above are done).
+    b_tr, lt_tr, ls_tr = 8, 64, 256
+    optimizer = make_optimizer(OptimConfig(warmup_steps=10, total_steps=1000))
+    state = init_state(llm_params, optimizer)
+    batch = {
+        "text_token": jnp.zeros((b_tr, lt_tr), jnp.int32),
+        "text_len": jnp.full((b_tr,), lt_tr, jnp.int32),
+        "speech_token": jnp.asarray(
+            np.random.default_rng(0).integers(0, cfg.llm.speech_token_size,
+                                              (b_tr, ls_tr)).astype(np.int32)),
+        "speech_len": jnp.full((b_tr,), ls_tr, jnp.int32),
+    }
+    step_fn = jax.jit(lambda s, bt: llm_train_step(s, bt, cfg.llm, optimizer),
+                      donate_argnums=(0,))
+    state, m = step_fn(state, batch)
+    jax.block_until_ready(m["loss"])
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        state, m = step_fn(state, batch)
+        jax.block_until_ready(m["loss"])
+        times.append(time.time() - t0)
+    step_s_tr = min(times)
+    seq = 2 + lt_tr + ls_tr
+    tok_total = b_tr * seq
+
+    def tree_matmul_params(t):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(t) if p.ndim >= 2)
+
+    p_backbone = tree_matmul_params(llm_params["backbone"]["layers"])
+    p_heads = tree_matmul_params(llm_params["mtp_block"])  # all 5 heads train
+    p_dec = int(np.prod(llm_params["llm_decoder"].shape))
+    flops = 6 * tok_total * (p_backbone + p_heads + p_dec)
+    peak = 197e12  # v5e bf16
+    mfu = flops / step_s_tr / (peak * max(len(jax.devices()), 1)) * 100
+    print(json.dumps({
+        "aux": True, "metric": "train_step_llm",
+        "tokens_per_sec": round(tok_total / step_s_tr, 1),
+        "step_ms": round(step_s_tr * 1000, 1),
+        "mfu_pct": round(mfu, 1),
+        "batch": [b_tr, lt_tr, ls_tr],
+    }))
+
     print(json.dumps({
         "metric": "rtf_e2e_heads4", "value": round(rtf, 5), "unit": "x_realtime",
         "vs_baseline": round(target / rtf, 3),
