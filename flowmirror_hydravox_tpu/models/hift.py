@@ -149,14 +149,29 @@ def conv_transpose1d(p, x, stride, padding):
 # tiny STFT / ISTFT (n_fft=16, hop=4), torch.stft/istft center=True semantics
 
 
+def _frames_hop(x: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
+    """Overlapping frames (B, n_frames, n_fft) at stride `hop`, hop | n_fft.
+
+    Pure reshape + static slices: view x as rows of `hop`, frame f = rows
+    f..f+n_fft/hop-1 concatenated.  A gathered `x[:, idx]` here cost 3.3 ms
+    (VMEM-write-bound gather, 25% of the HiFT program; xplane v5e 2026-08)."""
+    b = x.shape[0]
+    r = n_fft // hop
+    m = n_frames + r - 1
+    need = m * hop
+    if x.shape[-1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+    y = x[:, :need].reshape(b, m, hop)
+    return jnp.concatenate([y[:, k : k + n_frames] for k in range(r)], axis=-1)
+
+
 def _stft_16(x: jnp.ndarray, n_fft: int, hop: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: (B, T) -> (real, imag) each (B, n_fft//2+1, T//hop + 1)."""
     window = jnp.asarray(hann_window(n_fft))
     t = x.shape[-1]
     x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     n_frames = t // hop + 1
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[:, idx] * window[None, None, :]
+    frames = _frames_hop(x, n_fft, hop, n_frames) * window[None, None, :]
     spec = jnp.fft.rfft(frames, axis=-1)  # (B, F_t, n_fft//2+1)
     spec = jnp.swapaxes(spec, 1, 2)
     return jnp.real(spec), jnp.imag(spec)
@@ -170,20 +185,23 @@ def _istft_16(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int) -> jnp
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, None, :]
     b, tt, _ = frames.shape
 
-    # overlap-add as a fractionally-strided conv with a flipped-identity
-    # kernel: channel c (frame tap c) lands at output offset c of its frame.
-    # out[t] = sum_{f,c: hop*f + c = t} frames[f, c]
-    eye = jnp.flip(jnp.eye(n_fft, dtype=frames.dtype), axis=-1).reshape(1, n_fft, n_fft)
+    # overlap-add via shifted adds (out[hop*f + c] += frames[f, c]): split the
+    # tap index c = hop*a + r, view the output as rows of `hop`, and each
+    # sub-window a lands on rows shifted by a — static pads + adds, no
+    # fractionally-strided conv (the dilated-conv OLA was VMEM-bound, 1.6 ms).
+    r = n_fft // hop
 
-    def ola(x):  # x: (B, n_fft, TT) -> (B, hop*(TT-1)+n_fft)
-        return jax.lax.conv_general_dilated(
-            x, eye, window_strides=(1,), padding=[(n_fft - 1, n_fft - 1)],
-            lhs_dilation=(hop,), dimension_numbers=("NCH", "OIH", "NCH"),
-        )[:, 0]
+    def ola(w):  # w: (B', TT, n_fft) -> (B', hop*(TT-1)+n_fft)
+        wr = w.reshape(-1, tt, r, hop)
+        rows = sum(
+            jnp.pad(wr[:, :, a], ((0, 0), (a, r - 1 - a), (0, 0)))
+            for a in range(r)
+        )  # (B', TT + r - 1, hop)
+        return rows.reshape(rows.shape[0], -1)
 
-    y = ola(jnp.swapaxes(frames, 1, 2))
+    y = ola(frames)
     # window-envelope normalization: sum_f window^2[t - hop*f]
-    env = ola(jnp.broadcast_to((window ** 2)[None, :, None], (1, n_fft, tt)).astype(frames.dtype))
+    env = ola(jnp.broadcast_to((window ** 2)[None, None, :], (1, tt, n_fft)).astype(frames.dtype))
     y = y / jnp.maximum(env, 1e-11)
     return y[:, n_fft // 2 : -(n_fft // 2)]
 
