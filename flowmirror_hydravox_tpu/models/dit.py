@@ -53,7 +53,23 @@ def linear(p, x):
 
 
 def conv1d(p, x, *, groups: int = 1, padding="VALID"):
-    """x: (B, C, T) torch layout; p['w']: (O, I/g, K)."""
+    """x: (B, C, T) torch layout; p['w']: (O, I/g, K).
+
+    Grouped VALID convs route through a tap-stacked batched einsum instead of
+    `conv_general_dilated`: the narrow per-group channel width (64 < the
+    128-lane VPU) left the grouped conv at ~5% efficiency (204 us/call in the
+    DiT conv-pos-embed, xplane v5e 2026-08); the einsum contracts
+    (taps*in) x out per group on the MXU."""
+    o, ig, kk = p["w"].shape
+    if groups > 1 and padding == "VALID" and o % groups == 0:
+        b, c, tpad = x.shape
+        t = tpad - kk + 1
+        og = o // groups
+        xg = x.reshape(b, groups, ig, tpad)
+        xs = jnp.stack([xg[..., k : k + t] for k in range(kk)])  # (K,B,G,I,T)
+        w = p["w"].reshape(groups, og, ig, kk)  # (G,O,I,K)
+        y = jnp.einsum("kbgit,goik->bgot", xs, w)  # (B,G,O,T)
+        return y.reshape(b, o, t) + p["b"][None, :, None]
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(1,), padding=padding,
         dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=groups,
