@@ -296,7 +296,9 @@ def main():
     p_dec = int(np.prod(llm_params["llm_decoder"].shape))
     flops = 6 * tok_total * (p_backbone + p_heads + p_dec)
     peak = 197e12  # v5e bf16
-    mfu = flops / step_s_tr / (peak * max(len(jax.devices()), 1)) * 100
+    # this step is unsharded (single chip): MFU is per-chip regardless of how
+    # many devices the host exposes
+    mfu = flops / step_s_tr / peak * 100
     print(json.dumps({
         "aux": True, "metric": "train_step_llm",
         "tokens_per_sec": round(tok_total / step_s_tr, 1),

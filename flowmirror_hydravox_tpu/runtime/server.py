@@ -80,13 +80,23 @@ class TTSService:
                 task = self.tasks.get(timeout=0.1)
             except queue.Empty:
                 continue
-            group = [task]
-            if self.batch_window > 0 and self._batchable(task) is not None:
-                group += self._coalesce_more(task)
+            try:
+                group, leftover = [task], None
+                if self.batch_window > 0 and self._batchable(task) is not None:
+                    more, leftover = self._coalesce_more(task)
+                    group += more
+            except Exception:  # never let the worker thread die
+                logger.exception("coalesce failed")
+                group, leftover = [task], None
             if len(group) > 1:
                 self._run_group(group)
             else:
                 self._run_one(task)
+            if leftover is not None:
+                # the non-matching task pulled during coalescing runs NOW, in
+                # arrival order — re-queuing it behind newer traffic would
+                # starve it under sustained batchable load
+                self._run_one(leftover)
 
     def _run_one(self, task: dict):
         tid = task["task_id"]
@@ -103,19 +113,26 @@ class TTSService:
         speed=1, no rolling-prompt) SFT tts request whose speaker has no
         zero-shot prompt (prompt tokens/mel are program-wide in the batched
         path; per-row is only the speaker embedding).  Returns the coalesce
-        key (sampling, head_num) or None."""
+        key (sampling, head_num), or None — including for malformed
+        extra_params, which then surface as a per-task error via _run_one
+        rather than killing the worker thread."""
         if task.get("type") != "tts" or task.get("last_prompt"):
             return None
         extra = task.get("extra_params") or {}
-        if float(extra.get("speed", 1.0)) != 1.0:
+        try:
+            if float(extra.get("speed", 1.0)) != 1.0:
+                return None
+            sampling = self._sampling(extra)
+            head_num = int(extra.get("inference_head_num", 2))
+        except (TypeError, ValueError):
             return None
-        sampling = self._sampling(extra)
-        head_num = int(extra.get("inference_head_num", 2))
         return (sampling, head_num)
 
-    def _coalesce_more(self, first: dict) -> list:
+    def _coalesce_more(self, first: dict) -> tuple:
         """Pull more same-key batchable tasks for up to batch_window s.
-        A non-matching task ends coalescing and is re-queued."""
+        Returns (group_tail, leftover): a non-matching task ends coalescing
+        and is handed back as `leftover` to run right after the group
+        (preserving arrival order instead of re-queuing it at the back)."""
         key = self._batchable(first)
         group = []
         deadline = time.time() + self.batch_window
@@ -130,9 +147,8 @@ class TTSService:
             if self._batchable(cand) == key:
                 group.append(cand)
             else:
-                self.tasks.put(cand)  # back for the next loop turn
-                break
-        return group
+                return group, cand
+        return group, None
 
     def _run_group(self, group: list):
         """One flash-batch dispatch for N coalesced requests: rows = all
@@ -140,13 +156,14 @@ class TTSService:
         back per request (with the reference's inter-segment pauses)."""
         import random as _random
 
+        spans = []
         try:
             extra = group[0].get("extra_params") or {}
             sampling = self._sampling(extra)
             head_num = int(extra.get("inference_head_num", 2))
             sr = self.engine.cfg.sample_rate
 
-            token_lists, emb_rows, spans = [], [], []
+            token_lists, emb_rows = [], []
             fallback = []  # (task, reason) pairs that can't ride the batch
             for task in group:
                 try:
@@ -161,11 +178,13 @@ class TTSService:
                     fallback.append((task, None))  # zero-shot prompt: run solo
                     continue
                 start = len(token_lists)
-                for seg in segments:
-                    token_lists.append(self.frontend.extract_text_tokens(seg))
-                    emb_rows.append(
-                        np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
-                    )
+                emb = np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
+                for j, seg in enumerate(segments):
+                    # segment 0's tokens already came out of frontend_sft
+                    tt = (feats0["text_tokens"] if j == 0 and "text_tokens" in feats0
+                          else self.frontend.extract_text_tokens(seg))
+                    token_lists.append(np.asarray(tt, np.int32).reshape(-1))
+                    emb_rows.append(emb)
                 spans.append((task, start, len(token_lists)))
 
             for task, err in fallback:
@@ -177,14 +196,22 @@ class TTSService:
 
             if not spans:
                 return
+            # pad the row count up to a power of two (max_batch-bounded) so
+            # coalesced dispatches reuse a small set of compiled program
+            # shapes instead of compiling one per realized batch size
+            n_real = len(token_lists)
+            n_pad = 1 << (n_real - 1).bit_length()
+            while len(token_lists) < n_pad:
+                token_lists.append(token_lists[-1])
+                emb_rows.append(emb_rows[-1])
             wavs, stats = self.engine.synthesize_batch(
                 token_lists, sampling=sampling, inference_head_num=head_num,
                 spk_embedding=np.stack(emb_rows),
             )
             self.batched_requests += len(spans)
             logger.info(
-                "coalesced %d requests (%d rows) rtf=%.4f",
-                len(spans), len(token_lists), stats["rtf"],
+                "coalesced %d requests (%d rows, padded %d) rtf=%.4f",
+                len(spans), n_real, n_pad, stats["rtf"],
             )
             for task, start, end in spans:
                 pieces = []
@@ -201,8 +228,10 @@ class TTSService:
                     }
         except Exception as e:
             logger.exception("coalesced batch failed")
+            # only span tasks still await a result here; fallback tasks were
+            # already answered above (setdefault on them would leak entries)
             with self.results_lock:
-                for task in group:
+                for task, _s, _e in spans:
                     self.results.setdefault(task["task_id"], {"error": str(e)})
 
     def _sampling(self, extra: dict) -> SamplingConfig:

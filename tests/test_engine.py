@@ -178,6 +178,31 @@ def test_service_coalesces_concurrent_requests(engine):
         service.shutdown()
 
 
+def test_service_survives_malformed_extra_params(engine):
+    """A request with non-numeric extra_params must come back as a per-task
+    error — not kill the worker thread (later requests still serve)."""
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    frontend.add_speaker("demo", SpeakerInfo(embedding=np.zeros(192, np.float32)))
+    service = TTSService(engine, frontend, request_timeout=300.0)
+    try:
+        bad = service.submit({
+            "type": "tts", "text": "x", "speaker_id": "demo",
+            "extra_params": {"speed": "fast", "top_p": None},
+        })
+        out = service.wait(bad)
+        assert "error" in out, out
+        good = service.submit({
+            "type": "tts", "text": "still alive", "speaker_id": "demo",
+            "extra_params": {"inference_head_num": 1},
+        })
+        out2 = service.wait(good)
+        assert "output_audio" in out2 and len(out2["output_audio"]) > 0, out2
+    finally:
+        service.shutdown()
+
+
 def test_fused_matches_two_stage(engine):
     """The single-dispatch fused program must produce the same tokens and
     waveform as the two-stage (decode -> fetch -> synth) path."""
