@@ -63,6 +63,13 @@ def main(argv=None):
                    choices=[None, "none", "bf16", "int8"],
                    help="weight-only LLM quantization for decode (int8: ~1.3x "
                         "faster steps on v5e; flow/hift stay bf16/f32)")
+    p.add_argument("--continuous-batching", type=int, default=0, metavar="SLOTS",
+                   help="continuous (in-flight) batching: N persistent decode "
+                        "slots; default-config SFT requests join a live batch "
+                        "at chunk boundaries (runtime/continuous.py, the "
+                        "vLLM-equivalent serving core). 0 = window coalescing")
+    p.add_argument("--continuous-heads", type=int, default=2,
+                   help="inference_head_num served by the continuous slots")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -147,7 +154,9 @@ def main(argv=None):
         logging.info("prewarming hot bucket programs (use --no-prewarm to skip)...")
         engine.prewarm()
 
-    serve(args.api_host, args.api_port, engine, frontend, with_ui=args.with_ui)
+    serve(args.api_host, args.api_port, engine, frontend, with_ui=args.with_ui,
+          continuous_slots=args.continuous_batching,
+          continuous_head_num=args.continuous_heads)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,391 @@
+"""Continuous (in-flight) batching for the multi-head LLM decode.
+
+The TPU-native equivalent of the reference's vLLM fast path
+(llm_multi_head_v3.py:476-504 + vllm/cosyvoice2.py): a fixed set of decode
+SLOTS share one persistent batched KV cache and one jitted chunked decode
+program.  New requests are admitted into free slots *between chunks* — they
+join a decode already in flight instead of waiting for the whole batch to
+drain (the window-coalescing mode in runtime/server.py) or for a dedicated
+replica (the reference's one-request-per-GPU-worker pool, server/worker.py).
+
+Everything is shape-static for XLA:
+  - the slot count, cache capacity, prompt buckets, and head count are fixed
+    at construction -> exactly one chunk program + one admit program per
+    prompt bucket, compiled once;
+  - a chunk runs `chunk_steps` base-LLM group-steps as a bounded while_loop
+    with per-slot active masking (finished/empty slots are no-ops);
+  - admission prefils a single row on a batch-1 cache and
+    dynamic-update-slices it into the slot's region of the big cache.
+
+Distribution parity: each slot carries its own PRNG chain, split exactly as
+the solo decode loop splits its key (models/llm.py generate_until), so a
+request admitted with rng R produces bit-identical tokens to
+`llm.generate(..., rng=R)` run solo (tests/test_continuous.py).
+
+Synthesis (flow+HiFT) of finished rows reuses the Engine's jitted synth
+programs; decode and synthesis interleave on the device stream.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llm as llm_model
+from ..models import qwen2
+from ..ops.sampling import SamplingParams, ras_sample_heads
+
+logger = logging.getLogger("hydravox.continuous")
+
+
+class _Request:
+    __slots__ = ("text_tokens", "spk_embedding", "min_len", "max_len", "rng",
+                 "sampling", "done", "wav", "stats", "error", "t_submit")
+
+    def __init__(self, text_tokens, spk_embedding, min_len, max_len, rng, sampling):
+        self.text_tokens = text_tokens
+        self.spk_embedding = spk_embedding
+        self.min_len = min_len
+        self.max_len = max_len
+        self.rng = rng
+        self.sampling = sampling
+        self.done = threading.Event()
+        self.wav = None
+        self.stats = None
+        self.error = None
+        self.t_submit = time.time()
+
+
+class ContinuousBatcher:
+    """Fixed-slot continuous decode on top of an Engine's params/programs."""
+
+    def __init__(
+        self,
+        engine,
+        slots: int = 4,
+        chunk_steps: int = 8,
+        head_num: int = 4,
+        prompt_buckets=None,
+        sampling: Optional[SamplingParams] = None,
+    ):
+        """One batcher serves ONE (head_num, sampling) configuration — the
+        chunk program shares the base step across slots, so requests with a
+        different head count or sampling params must go through the regular
+        Engine paths instead."""
+        self.engine = engine
+        self.cfg = engine.cfg.llm
+        self.sampling = sampling or SamplingParams.make()
+        self.slots = slots
+        self.chunk_steps = chunk_steps
+        self.head_k = max(1, min(int(head_num), self.cfg.head_num))
+        self.max_tokens = engine.max_tokens
+        self.prompt_buckets = tuple(prompt_buckets or engine.prompt_buckets[:2])
+        cap = 2 + self.prompt_buckets[-1] + self.max_tokens + self.head_k
+        self.cache_cap = -(-cap // 256) * 256
+
+        self._admit_cache = {}
+        self._chunk_jit = None
+        self._state = None
+        self._slot_req: list = [None] * slots
+        self._slot_steps = [0] * slots
+        self._backlog: list = []
+        self._pending: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._started = False
+        self._lock = threading.Lock()
+
+    # -- device programs -----------------------------------------------------
+
+    def _init_state(self):
+        bb = self.cfg.backbone
+        dtype = self.engine.llm_params["speech_embedding"].dtype
+        s, k = self.slots, self.head_k
+        key0 = jax.random.PRNGKey(0)
+        return dict(
+            cache=qwen2.init_kv_cache(bb, s, self.cache_cap, dtype=dtype),
+            last_hidden=jnp.zeros((s, bb.hidden_size), dtype),
+            tokens=jnp.full((s, self.max_tokens + k), -1, jnp.int32),
+            num=jnp.zeros((s,), jnp.int32),
+            steps=jnp.zeros((s,), jnp.int32),
+            min_len=jnp.zeros((s,), jnp.int32),
+            max_len=jnp.zeros((s,), jnp.int32),
+            rngs=jnp.tile(key0[None], (s, 1)),
+            finished=jnp.ones((s,), bool),
+        )
+
+    def _admit_fn(self, bucket: int):
+        """Jitted: prefill one request into slot `i` of the shared state."""
+        if bucket in self._admit_cache:
+            return self._admit_cache[bucket]
+        cfg, bb = self.cfg, self.cfg.backbone
+
+        def fn(params, state, slot, text_tokens, text_len, min_len, max_len, rng):
+            emb, plen = llm_model.build_inference_prompt(
+                params, cfg, text_tokens, text_len,
+                jnp.zeros((0,), jnp.int32), jnp.int32(0),
+            )
+            emb = emb.astype(state["last_hidden"].dtype)
+            small = qwen2.init_kv_cache(bb, 1, self.cache_cap, dtype=emb.dtype)
+            hidden, small = qwen2.forward_block_with_cache(
+                params["backbone"], bb, emb[None], small, advance=plen[None]
+            )
+
+            def put(big, one):
+                # big: (L, S, cap, Hkv, D); one: (L, 1, cap, Hkv, D)
+                start = (0, slot) + (0,) * (big.ndim - 2)
+                return jax.lax.dynamic_update_slice(big, one, start)
+
+            cache = state["cache"]._replace(
+                k=put(state["cache"].k, small.k),
+                v=put(state["cache"].v, small.v),
+                length=state["cache"].length.at[slot].set(plen),
+            )
+            k = self.head_k
+            return dict(
+                cache=cache,
+                last_hidden=state["last_hidden"].at[slot].set(hidden[0, plen - 1]),
+                tokens=state["tokens"].at[slot].set(
+                    jnp.full((self.max_tokens + k,), -1, jnp.int32)),
+                num=state["num"].at[slot].set(0),
+                steps=state["steps"].at[slot].set(0),
+                min_len=state["min_len"].at[slot].set(min_len),
+                max_len=state["max_len"].at[slot].set(max_len),
+                rngs=state["rngs"].at[slot].set(rng),
+                finished=state["finished"].at[slot].set(False),
+            )
+
+        self._admit_cache[bucket] = jax.jit(fn, donate_argnums=(1,))
+        return self._admit_cache[bucket]
+
+    def _chunk_fn(self):
+        """Jitted: run up to chunk_steps group-decode steps over all slots."""
+        if self._chunk_jit is not None:
+            return self._chunk_jit
+        cfg, bb = self.cfg, self.cfg.backbone
+        k = self.head_k
+
+        def fn(params, state, sampling: SamplingParams):
+            params = dict(
+                params, mtp_block=jax.tree.map(lambda a: a[:k], params["mtp_block"])
+            )
+            emb_dtype = params["speech_embedding"].dtype
+
+            def cond(carry):
+                it, s = carry
+                return (it < self.chunk_steps) & ~jnp.all(s["finished"])
+
+            def body(carry):
+                it, s = carry
+                split = jax.vmap(jax.random.split)(s["rngs"])  # (S, 2, key)
+                new_rngs = jnp.where(s["finished"][:, None], s["rngs"], split[:, 0])
+                step_rngs = split[:, 1]
+                logits = llm_model.mtp_logits(params, cfg, s["last_hidden"], k)
+                sampled = jax.vmap(
+                    lambda r, lg, hist, n, mn: ras_sample_heads(
+                        r, lg, hist, n, sampling, mn, cfg.speech_token_size
+                    ),
+                    in_axes=(0, 1, 0, 0, 0),
+                )(step_rngs, logits, s["tokens"], s["num"], s["min_len"])  # (S, K)
+
+                is_stop = sampled >= cfg.speech_token_size
+                before_stop = jnp.cumsum(is_stop, axis=1) == 0
+                n_ok = jnp.sum(before_stop, axis=1).astype(jnp.int32)
+                budget = jnp.maximum(s["max_len"] - s["num"], 0)
+                n_accept = jnp.where(s["finished"], 0, jnp.minimum(n_ok, budget))
+
+                write_pos = s["num"][:, None] + jnp.arange(k)[None, :]
+                accept = jnp.arange(k)[None, :] < n_accept[:, None]
+                cur = jnp.take_along_axis(s["tokens"], write_pos, axis=1)
+                tokens = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+                    s["tokens"], write_pos, jnp.where(accept, sampled, cur)
+                )
+                num = s["num"] + n_accept
+                finished = (
+                    s["finished"] | jnp.any(is_stop, axis=1)
+                    | (num >= s["max_len"]) | (n_accept == 0)
+                )
+
+                emb = jnp.take(params["speech_embedding"], sampled, axis=0).astype(emb_dtype)
+                hidden, cache = qwen2.forward_block_with_cache(
+                    params["backbone"], bb, emb, s["cache"],
+                    advance=jnp.where(finished, 0, k).astype(jnp.int32),
+                )
+                last_hidden = jnp.where(
+                    finished[:, None], s["last_hidden"], hidden[:, k - 1]
+                )
+                steps = s["steps"] + jnp.where(s["finished"], 0, 1)
+                return it + 1, dict(
+                    cache=cache, last_hidden=last_hidden, tokens=tokens, num=num,
+                    steps=steps, min_len=s["min_len"], max_len=s["max_len"],
+                    rngs=new_rngs, finished=finished,
+                )
+
+            _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+            meta = jnp.concatenate(
+                [
+                    final["tokens"],
+                    final["num"][:, None],
+                    final["steps"][:, None],
+                    final["finished"].astype(jnp.int32)[:, None],
+                ],
+                axis=1,
+            )
+            return final, meta
+
+        self._chunk_jit = jax.jit(fn, donate_argnums=(1,))
+        return self._chunk_jit
+
+    # -- host loop -----------------------------------------------------------
+
+    def submit(
+        self,
+        text_tokens: np.ndarray,
+        spk_embedding: Optional[np.ndarray] = None,
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+        rng: Optional[jax.Array] = None,
+    ) -> _Request:
+        n = len(text_tokens)
+        req = _Request(
+            np.asarray(text_tokens, np.int32),
+            spk_embedding,
+            int(n * min_token_text_ratio),
+            min(int(n * max_token_text_ratio), self.max_tokens),
+            rng if rng is not None else self.engine.next_rng(),
+            self.sampling,
+        )
+        with self._lock:
+            if not self._started:
+                self._started = True
+                self._state = self._init_state()
+                self._thread.start()
+        self._pending.put(req)
+        return req
+
+    def result(self, req: _Request, timeout: float = 600.0):
+        if not req.done.wait(timeout):
+            raise TimeoutError("continuous decode timeout")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.wav, req.stats
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        return self.prompt_buckets[-1]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                self._tick()
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("continuous batcher tick failed")
+                with self._lock:
+                    for i, req in enumerate(self._slot_req):
+                        if req is not None:
+                            req.error = str(e)
+                            req.done.set()
+                            self._slot_req[i] = None
+                    # donated buffers may be gone after a failed dispatch
+                    self._state = self._init_state()
+                time.sleep(0.1)
+
+    def _tick(self):
+        # move arrivals into the FIFO backlog, then admit into free slots
+        while True:
+            try:
+                self._backlog.append(self._pending.get_nowait())
+            except queue.Empty:
+                break
+        for i in range(self.slots):
+            if self._slot_req[i] is not None or not self._backlog:
+                continue
+            req = self._backlog.pop(0)
+            bucket = self._bucket(len(req.text_tokens))
+            text = np.zeros((bucket,), np.int32)
+            text[: len(req.text_tokens)] = req.text_tokens[:bucket]
+            admit = self._admit_fn(bucket)
+            self._state = admit(
+                self.engine.llm_params, self._state, jnp.int32(i),
+                jnp.asarray(text), jnp.int32(min(len(req.text_tokens), bucket)),
+                jnp.int32(req.min_len), jnp.int32(req.max_len), req.rng,
+            )
+            self._slot_req[i] = req
+            self._slot_steps[i] = 0
+
+        if all(r is None for r in self._slot_req):
+            # idle: block briefly for the next arrival
+            try:
+                self._backlog.append(self._pending.get(timeout=0.05))
+            except queue.Empty:
+                pass
+            return
+
+        # one decode chunk over all active slots
+        t0 = time.time()
+        self._state, meta = self._chunk_fn()(
+            self.engine.llm_params, self._state, self.sampling
+        )
+        meta = np.asarray(meta)  # (S, max_tokens+k+3) — the chunk's one transfer
+        chunk_time = time.time() - t0
+
+        k = self.head_k
+        for i in range(self.slots):
+            req = self._slot_req[i]
+            if req is None:
+                continue
+            self._slot_steps[i] += 1
+            if int(meta[i, -1]):  # finished
+                num = int(meta[i, -3])
+                steps = int(meta[i, -2])
+                tokens = meta[i, : self.max_tokens + k][:num]
+                try:
+                    wav, synth_time = self._synthesize(req, tokens)
+                    req.wav = wav
+                    req.stats = dict(
+                        tokens=tokens.tolist(), steps=steps,
+                        latency=time.time() - req.t_submit,
+                        synth_time=synth_time, chunk_time=chunk_time,
+                    )
+                except Exception as e:
+                    req.error = str(e)
+                logger.info(
+                    "slot %d done: %d tokens in %d steps (%.2fs since submit)",
+                    i, num, steps, time.time() - req.t_submit,
+                )
+                req.done.set()
+                self._slot_req[i] = None
+
+    def _synthesize(self, req: _Request, tokens: np.ndarray):
+        eng = self.engine
+        t0 = time.time()
+        tok_bkt = eng._bucket_token(max(len(tokens), 1))
+        buf = np.full((eng.max_tokens + self.head_k,), -1, np.int32)
+        buf[: len(tokens)] = tokens
+        emb = (np.zeros((192,), np.float32) if req.spk_embedding is None
+               else np.asarray(req.spk_embedding, np.float32).reshape(-1)[:192])
+        synth = eng._synth_fn(tok_bkt, 0, 0)
+        wav_i16, _mel = synth(
+            eng.flow_params, eng.hift_params, jnp.asarray(buf),
+            jnp.int32(len(tokens)), jnp.zeros((0,), jnp.int32), jnp.int32(0),
+            jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32), jnp.int32(0),
+            jnp.asarray(emb)[None], req.rng,
+        )
+        ratio = eng.cfg.flow.token_mel_ratio
+        up = eng.cfg.hift.upsample_scale
+        wav = np.asarray(wav_i16)[0, : len(tokens) * ratio * up].astype(np.float32) / 32767.0
+        return wav, time.time() - t0
+
+    def shutdown(self):
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=5.0)

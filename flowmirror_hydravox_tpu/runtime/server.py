@@ -49,7 +49,8 @@ class TTSService:
     text normalization, error capture into the result payload."""
 
     def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0,
-                 batch_window: float = 0.03, max_batch: int = 8):
+                 batch_window: float = 0.03, max_batch: int = 8,
+                 continuous_slots: int = 0, continuous_head_num: int = 2):
         """`batch_window`/`max_batch`: cross-request dynamic batching — when
         several plain SFT `/tts` requests are queued concurrently, the worker
         coalesces them (up to `max_batch` requests arriving within
@@ -57,7 +58,15 @@ class TTSService:
         speaker embeddings.  Decode is HBM-bound, so a batch of 4 costs about
         the same wall-clock as 1 — the TPU-native upgrade over the
         reference's one-request-per-GPU-worker pool (server/worker.py:25-31).
-        Set batch_window=0 to disable."""
+        Set batch_window=0 to disable.
+
+        `continuous_slots` > 0 enables CONTINUOUS (in-flight) batching
+        (runtime/continuous.py, the vLLM-equivalent serving core): plain SFT
+        requests with the default sampling/head config bypass the worker
+        queue entirely and join a persistent fixed-slot decode — a new
+        request joins mid-flight at the next chunk boundary instead of
+        waiting for the running batch to drain.  Other requests (zero-shot,
+        streaming, custom sampling) still flow through the worker."""
         from .profiling import MetricsAggregator
 
         self.engine = engine
@@ -66,11 +75,26 @@ class TTSService:
         self.batch_window = batch_window
         self.max_batch = max_batch
         self.batched_requests = 0  # requests served through a coalesced batch
+        self.continuous_requests = 0  # requests served through continuous slots
         self.metrics = MetricsAggregator()
         self.tasks: "queue.Queue" = queue.Queue()
         self.results: Dict[str, Any] = {}
         self.results_lock = threading.Lock()
         self._stop = threading.Event()
+        self.batcher = None
+        self._continuous_key = None
+        if continuous_slots > 0:
+            from ..ops.sampling import SamplingParams
+            from .continuous import ContinuousBatcher
+
+            default = SamplingConfig(top_p=0.9, top_k=10, win_size=24, tau_r=0.2)
+            self._continuous_key = (default, int(continuous_head_num))
+            self.batcher = ContinuousBatcher(
+                engine, slots=continuous_slots, head_num=continuous_head_num,
+                sampling=SamplingParams.make(
+                    default.top_p, default.top_k, default.win_size, default.tau_r
+                ),
+            )
         self.worker = threading.Thread(target=self._worker_loop, daemon=True)
         self.worker.start()
 
@@ -405,8 +429,52 @@ class TTSService:
     def submit(self, task: dict) -> str:
         tid = str(uuid.uuid4())
         task["task_id"] = tid
-        self.tasks.put(task)
+        if self.batcher is not None and self._batchable(task) == self._continuous_key:
+            # continuous fast path: frontend + slot admission run on a
+            # per-request thread so concurrent requests join the shared
+            # decode instead of serializing behind the worker queue
+            threading.Thread(
+                target=self._run_continuous, args=(task,), daemon=True
+            ).start()
+        else:
+            self.tasks.put(task)
         return tid
+
+    def _run_continuous(self, task: dict):
+        import random as _random
+
+        tid = task["task_id"]
+        try:
+            segments = self.frontend.text_normalize(task["text"], split=True)
+            feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
+            pt = feats0.get("prompt_speech_tokens")
+            pm = feats0.get("prompt_mel")
+            if (pt is not None and len(pt) > 0) or (pm is not None and len(pm) > 0):
+                self.tasks.put(task)  # zero-shot prompt: regular path
+                return
+            emb = np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
+            reqs = []
+            for j, seg in enumerate(segments):
+                tt = (feats0["text_tokens"] if j == 0 and "text_tokens" in feats0
+                      else self.frontend.extract_text_tokens(seg))
+                reqs.append(self.batcher.submit(np.asarray(tt, np.int32), emb))
+            sr = self.engine.cfg.sample_rate
+            pieces = []
+            for j, req in enumerate(reqs):
+                wav, _stats = self.batcher.result(req, timeout=self.timeout)
+                pieces.append(wav)
+                if j < len(reqs) - 1:
+                    pieces.append(np.zeros(int(_random.uniform(0.05, 0.15) * sr), np.float32))
+            self.continuous_requests += 1
+            result = {
+                "output_audio": np.concatenate(pieces) if pieces else np.zeros(0, np.float32),
+                "sample_rate": sr,
+            }
+        except Exception as e:
+            logger.exception("continuous task %s failed", tid)
+            result = {"error": str(e)}
+        with self.results_lock:
+            self.results[tid] = result
 
     def wait(self, tid: str) -> dict:
         """Poll the result dict (router.py:248-295: 50 ms poll, 60 s timeout)."""
@@ -420,6 +488,8 @@ class TTSService:
 
     def shutdown(self):
         self._stop.set()
+        if self.batcher is not None:
+            self.batcher.shutdown()
 
 
 def _response(success: bool, message: str, data=None, error=None) -> dict:
@@ -456,6 +526,7 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/api/v1/metrics":
             data = self.service.metrics.summary()
             data["batched_requests"] = self.service.batched_requests
+            data["continuous_requests"] = self.service.continuous_requests
             self._send(200, _response(True, "ok", data=data))
         elif self.path.startswith("/api/v1/training/plot/"):
             from .training_manager import training_manager
@@ -747,15 +818,21 @@ def _cast_like(new_params, old_params):
 
 
 def make_server(
-    host: str, port: int, engine: Engine, frontend, with_ui: bool = False
+    host: str, port: int, engine: Engine, frontend, with_ui: bool = False,
+    continuous_slots: int = 0, continuous_head_num: int = 2,
 ) -> ThreadingHTTPServer:
-    service = TTSService(engine, frontend)
+    service = TTSService(engine, frontend, continuous_slots=continuous_slots,
+                         continuous_head_num=continuous_head_num)
     service.serve_ui = with_ui
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve(host: str, port: int, engine: Engine, frontend, with_ui: bool = False):
-    server = make_server(host, port, engine, frontend, with_ui=with_ui)
-    logger.info("serving on %s:%d (ui=%s)", host, port, with_ui)
+def serve(host: str, port: int, engine: Engine, frontend, with_ui: bool = False,
+          continuous_slots: int = 0, continuous_head_num: int = 2):
+    server = make_server(host, port, engine, frontend, with_ui=with_ui,
+                         continuous_slots=continuous_slots,
+                         continuous_head_num=continuous_head_num)
+    logger.info("serving on %s:%d (ui=%s, continuous_slots=%d)",
+                host, port, with_ui, continuous_slots)
     server.serve_forever()

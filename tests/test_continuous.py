@@ -1,0 +1,166 @@
+"""Continuous (in-flight) batching: exact token parity vs solo decode,
+mid-flight admission, and concurrent completion.
+
+The TPU-native vLLM-equivalent serving core (runtime/continuous.py): fixed
+decode slots over one persistent batched KV cache; per-slot PRNG chains are
+split exactly like the solo loop's, so tokens must match `llm.generate`
+bit-for-bit for the same rng.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flowmirror_hydravox_tpu.config import tiny_config
+from flowmirror_hydravox_tpu.models import flow, hift, llm
+from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
+from flowmirror_hydravox_tpu.runtime.continuous import ContinuousBatcher
+from flowmirror_hydravox_tpu.runtime.engine import Engine
+
+pytestmark = pytest.mark.quick
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return Engine(
+        cfg,
+        llm.init_params(k1, cfg.llm, jnp.float32),
+        flow.init_params(k2, cfg.flow, jnp.float32),
+        hift.init_params(k3, cfg.hift, jnp.float32),
+        max_tokens=64,
+        prompt_buckets=(32, 64),
+        token_buckets=(64, 128),
+        mel_buckets=(128, 256),
+    )
+
+
+def _solo_tokens(engine, text, rng, head_num, min_ratio=2.0, max_ratio=8.0):
+    cfg = engine.cfg.llm
+    bucket = 32 if len(text) <= 32 else 64
+    padded = np.zeros((bucket,), np.int32)
+    padded[: len(text)] = text
+    emb, plen = llm.build_inference_prompt(
+        engine.llm_params, cfg, jnp.asarray(padded), jnp.int32(len(text)),
+        jnp.zeros((0,), jnp.int32), jnp.int32(0),
+    )
+    res = llm.generate(
+        engine.llm_params, cfg, rng, emb, plen,
+        jnp.int32(int(len(text) * min_ratio)),
+        jnp.int32(min(int(len(text) * max_ratio), 64)),
+        SamplingParams.make(),
+        inference_head_num=head_num, max_tokens=64,
+        cache_len_cap=ContinuousBatcher(engine, slots=1).cache_cap,
+    )
+    n = int(res.num_tokens)
+    return np.asarray(res.tokens)[:n]
+
+
+def test_continuous_matches_solo_decode(engine):
+    """A request admitted into a slot produces the same tokens as the solo
+    KV-cached decode loop with the same rng (per-slot rng chains replicate
+    generate_until's split order)."""
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=2)
+    try:
+        texts = [np.arange(6, dtype=np.int32), np.arange(9, dtype=np.int32) % 7]
+        rngs = [jax.random.PRNGKey(11), jax.random.PRNGKey(22)]
+        reqs = [
+            batcher.submit(t, rng=r, min_token_text_ratio=2.0, max_token_text_ratio=8.0)
+            for t, r in zip(texts, rngs)
+        ]
+        outs = [batcher.result(r, timeout=600.0) for r in reqs]
+        for (wav, stats), text, rng in zip(outs, texts, rngs):
+            solo = _solo_tokens(engine, text, rng, head_num=2)
+            assert stats["tokens"] == solo.tolist(), (stats["tokens"], solo)
+            assert wav.dtype == np.float32 and len(wav) > 0
+            assert np.isfinite(wav).all()
+    finally:
+        batcher.shutdown()
+
+
+def test_continuous_admits_mid_flight(engine):
+    """A request submitted while another is decoding joins a live batch (more
+    slots than sequential drains would use) and still matches solo tokens."""
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=2, head_num=2)
+    try:
+        t1 = np.arange(12, dtype=np.int32)  # longer: stays in flight
+        r1 = batcher.submit(t1, rng=jax.random.PRNGKey(5),
+                            min_token_text_ratio=4.0, max_token_text_ratio=5.0)
+        # wait until the first decode chunk is underway, then submit another
+        import time
+
+        deadline = time.time() + 120
+        while batcher._slot_req[0] is None and time.time() < deadline:
+            time.sleep(0.01)
+        t2 = np.arange(5, dtype=np.int32)
+        r2 = batcher.submit(t2, rng=jax.random.PRNGKey(6),
+                            min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+        wav1, stats1 = batcher.result(r1, timeout=600.0)
+        wav2, stats2 = batcher.result(r2, timeout=600.0)
+        assert stats1["tokens"] == _solo_tokens(
+            engine, t1, jax.random.PRNGKey(5), 2, 4.0, 5.0).tolist()
+        assert stats2["tokens"] == _solo_tokens(
+            engine, t2, jax.random.PRNGKey(6), 2, 2.0, 4.0).tolist()
+        assert len(wav1) > 0 and len(wav2) > 0
+    finally:
+        batcher.shutdown()
+
+
+def test_service_continuous_mode(engine):
+    """TTSService(continuous_slots=2): default-config SFT requests bypass the
+    worker queue and ride the shared decode slots; a non-default request
+    still flows through the regular worker path."""
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker("a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         continuous_slots=2, continuous_head_num=2)
+    try:
+        tids = [service.submit({
+            "type": "tts", "text": f"slot test {i}", "speaker_id": "a",
+        }) for i in range(3)]
+        # custom sampling -> regular worker path
+        solo = service.submit({
+            "type": "tts", "text": "regular path", "speaker_id": "a",
+            "extra_params": {"top_p": 0.5, "inference_head_num": 1},
+        })
+        outs = [service.wait(t) for t in tids] + [service.wait(solo)]
+        for r in outs:
+            assert "output_audio" in r and len(r["output_audio"]) > 0, r
+        assert service.continuous_requests == 3, service.continuous_requests
+    finally:
+        service.shutdown()
+
+
+def test_continuous_many_concurrent(engine):
+    """More requests than slots: all complete, slots recycle."""
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=2)
+    try:
+        results = {}
+
+        def one(i):
+            req = batcher.submit(
+                np.arange(4 + i, dtype=np.int32),
+                rng=jax.random.PRNGKey(100 + i),
+                max_token_text_ratio=4.0,
+            )
+            results[i] = batcher.result(req, timeout=600.0)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(results) == 5
+        for wav, stats in results.values():
+            assert len(wav) > 0 and stats["steps"] > 0
+    finally:
+        batcher.shutdown()
