@@ -97,8 +97,12 @@ class ContinuousBatcher:
         self._slot_steps = [0] * slots
         self._backlog: list = []
         self._pending: "queue.Queue[_Request]" = queue.Queue()
+        # finished rows synthesize on their own thread so the decode loop can
+        # admit + dispatch the next chunk while wavs transfer to the host
+        self._synth_q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._synth_thread = threading.Thread(target=self._synth_loop, daemon=True)
         self._started = False
         self._lock = threading.Lock()
 
@@ -267,6 +271,7 @@ class ContinuousBatcher:
                 self._started = True
                 self._state = self._init_state()
                 self._thread.start()
+                self._synth_thread.start()
         self._pending.put(req)
         return req
 
@@ -344,26 +349,36 @@ class ContinuousBatcher:
             if req is None:
                 continue
             self._slot_steps[i] += 1
-            if int(meta[i, -1]):  # finished
+            if int(meta[i, -1]):  # finished: hand off to the synth thread
                 num = int(meta[i, -3])
                 steps = int(meta[i, -2])
                 tokens = meta[i, : self.max_tokens + k][:num]
-                try:
-                    wav, synth_time = self._synthesize(req, tokens)
-                    req.wav = wav
-                    req.stats = dict(
-                        tokens=tokens.tolist(), steps=steps,
-                        latency=time.time() - req.t_submit,
-                        synth_time=synth_time, chunk_time=chunk_time,
-                    )
-                except Exception as e:
-                    req.error = str(e)
                 logger.info(
-                    "slot %d done: %d tokens in %d steps (%.2fs since submit)",
-                    i, num, steps, time.time() - req.t_submit,
+                    "slot %d decode done: %d tokens in %d steps "
+                    "(%.2fs since submit)", i, num, steps,
+                    time.time() - req.t_submit,
                 )
-                req.done.set()
+                self._synth_q.put((req, tokens, steps, chunk_time))
                 self._slot_req[i] = None
+
+    def _synth_loop(self):
+        while not self._stop.is_set():
+            try:
+                req, tokens, steps, chunk_time = self._synth_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                wav, synth_time = self._synthesize(req, tokens)
+                req.wav = wav
+                req.stats = dict(
+                    tokens=tokens.tolist(), steps=steps,
+                    latency=time.time() - req.t_submit,
+                    synth_time=synth_time, chunk_time=chunk_time,
+                )
+            except Exception as e:
+                logger.exception("continuous synth failed")
+                req.error = str(e)
+            req.done.set()
 
     def _synthesize(self, req: _Request, tokens: np.ndarray):
         eng = self.engine
@@ -389,3 +404,4 @@ class ContinuousBatcher:
         self._stop.set()
         if self._started:
             self._thread.join(timeout=5.0)
+            self._synth_thread.join(timeout=5.0)
