@@ -258,6 +258,13 @@ class ContinuousBatcher:
         rng: Optional[jax.Array] = None,
     ) -> _Request:
         n = len(text_tokens)
+        if n > self.prompt_buckets[-1]:
+            # silent truncation would garble audio — callers must route long
+            # prompts through the regular Engine paths (full bucket ladder)
+            raise ValueError(
+                f"prompt of {n} tokens exceeds the continuous slots' largest "
+                f"bucket {self.prompt_buckets[-1]}; use Engine.synthesize"
+            )
         req = _Request(
             np.asarray(text_tokens, np.int32),
             spk_embedding,
@@ -283,10 +290,9 @@ class ContinuousBatcher:
         return req.wav, req.stats
 
     def _bucket(self, n: int) -> int:
-        for b in self.prompt_buckets:
-            if n <= b:
-                return b
-        return self.prompt_buckets[-1]
+        from .engine import _bucket
+
+        return _bucket(n, self.prompt_buckets)
 
     def _loop(self):
         while not self._stop.is_set():
@@ -315,15 +321,23 @@ class ContinuousBatcher:
             if self._slot_req[i] is not None or not self._backlog:
                 continue
             req = self._backlog.pop(0)
-            bucket = self._bucket(len(req.text_tokens))
-            text = np.zeros((bucket,), np.int32)
-            text[: len(req.text_tokens)] = req.text_tokens[:bucket]
-            admit = self._admit_fn(bucket)
-            self._state = admit(
-                self.engine.llm_params, self._state, jnp.int32(i),
-                jnp.asarray(text), jnp.int32(min(len(req.text_tokens), bucket)),
-                jnp.int32(req.min_len), jnp.int32(req.max_len), req.rng,
-            )
+            try:
+                bucket = self._bucket(len(req.text_tokens))
+                text = np.zeros((bucket,), np.int32)
+                text[: len(req.text_tokens)] = req.text_tokens[:bucket]
+                admit = self._admit_fn(bucket)
+                self._state = admit(
+                    self.engine.llm_params, self._state, jnp.int32(i),
+                    jnp.asarray(text), jnp.int32(min(len(req.text_tokens), bucket)),
+                    jnp.int32(req.min_len), jnp.int32(req.max_len), req.rng,
+                )
+            except Exception as e:
+                # fail THIS request (it is in neither backlog nor a slot at
+                # this point — without this its waiter would hang to timeout)
+                logger.exception("admit failed")
+                req.error = str(e)
+                req.done.set()
+                continue
             self._slot_req[i] = req
             self._slot_steps[i] = 0
 
@@ -405,3 +419,26 @@ class ContinuousBatcher:
         if self._started:
             self._thread.join(timeout=5.0)
             self._synth_thread.join(timeout=5.0)
+        # fail everything still queued or in flight so waiters unblock now
+        # instead of sitting out their full result() timeout
+        leftovers = list(self._backlog)
+        self._backlog = []
+        while True:
+            try:
+                leftovers.append(self._pending.get_nowait())
+            except queue.Empty:
+                break
+        while True:
+            try:
+                leftovers.append(self._synth_q.get_nowait()[0])
+            except queue.Empty:
+                break
+        with self._lock:
+            for i, req in enumerate(self._slot_req):
+                if req is not None:
+                    leftovers.append(req)
+                    self._slot_req[i] = None
+        for req in leftovers:
+            if not req.done.is_set():
+                req.error = "batcher shut down"
+                req.done.set()

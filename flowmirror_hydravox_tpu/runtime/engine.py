@@ -131,6 +131,9 @@ class Engine:
         self._synth_cache = {}
         self._streaming = None
         self._rng = jax.random.PRNGKey(int(time.time()))
+        import threading as _threading
+
+        self._rng_lock = _threading.Lock()
 
     # -- param policy --------------------------------------------------------
 
@@ -675,8 +678,11 @@ class Engine:
     # -- pipeline ------------------------------------------------------------
 
     def next_rng(self):
-        self._rng, out = jax.random.split(self._rng)
-        return out
+        # called from concurrent request threads (continuous fast path) —
+        # guard the read-modify-write so no two requests share a key
+        with self._rng_lock:
+            self._rng, out = jax.random.split(self._rng)
+            return out
 
     def voice_convert(
         self,

@@ -83,10 +83,18 @@ class TTSService:
         self._stop = threading.Event()
         self.batcher = None
         self._continuous_key = None
+        self._cont_pool = None
+        # the server's default extra_params; the HTTP handler merges these
+        # under client values, so the continuous head count must BE the
+        # default head count or no request would ever match the slots
+        self.default_extra = dict(DEFAULT_TTS_EXTRA)
         if continuous_slots > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
             from ..ops.sampling import SamplingParams
             from .continuous import ContinuousBatcher
 
+            self.default_extra["inference_head_num"] = int(continuous_head_num)
             default = SamplingConfig(top_p=0.9, top_k=10, win_size=24, tau_r=0.2)
             self._continuous_key = (default, int(continuous_head_num))
             self.batcher = ContinuousBatcher(
@@ -94,6 +102,12 @@ class TTSService:
                 sampling=SamplingParams.make(
                     default.top_p, default.top_k, default.win_size, default.tau_r
                 ),
+            )
+            # bounded frontend/wait threads for the continuous fast path (the
+            # batcher itself bounds decode concurrency by its slot count)
+            self._cont_pool = ThreadPoolExecutor(
+                max_workers=max(8, 2 * continuous_slots),
+                thread_name_prefix="continuous",
             )
         self.worker = threading.Thread(target=self._worker_loop, daemon=True)
         self.worker.start()
@@ -191,23 +205,16 @@ class TTSService:
             fallback = []  # (task, reason) pairs that can't ride the batch
             for task in group:
                 try:
-                    segments = self.frontend.text_normalize(task["text"], split=True)
-                    feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
+                    rows, emb, has_prompt = self._prepare_sft_rows(task)
                 except Exception as e:
                     fallback.append((task, e))
                     continue
-                pt = feats0.get("prompt_speech_tokens")
-                pm = feats0.get("prompt_mel")
-                if (pt is not None and len(pt) > 0) or (pm is not None and len(pm) > 0):
+                if has_prompt:
                     fallback.append((task, None))  # zero-shot prompt: run solo
                     continue
                 start = len(token_lists)
-                emb = np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
-                for j, seg in enumerate(segments):
-                    # segment 0's tokens already came out of frontend_sft
-                    tt = (feats0["text_tokens"] if j == 0 and "text_tokens" in feats0
-                          else self.frontend.extract_text_tokens(seg))
-                    token_lists.append(np.asarray(tt, np.int32).reshape(-1))
+                for tt in rows:
+                    token_lists.append(tt)
                     emb_rows.append(emb)
                 spans.append((task, start, len(token_lists)))
 
@@ -430,34 +437,46 @@ class TTSService:
         tid = str(uuid.uuid4())
         task["task_id"] = tid
         if self.batcher is not None and self._batchable(task) == self._continuous_key:
-            # continuous fast path: frontend + slot admission run on a
-            # per-request thread so concurrent requests join the shared
-            # decode instead of serializing behind the worker queue
-            threading.Thread(
-                target=self._run_continuous, args=(task,), daemon=True
-            ).start()
+            # continuous fast path: frontend + slot admission run on a bounded
+            # pool thread so concurrent requests join the shared decode
+            # instead of serializing behind the worker queue
+            self._cont_pool.submit(self._run_continuous, task)
         else:
             self.tasks.put(task)
         return tid
+
+    def _prepare_sft_rows(self, task: dict):
+        """Shared SFT featurization for the batched paths: returns
+        (token_lists, emb, has_prompt).  has_prompt=True means the speaker
+        carries a zero-shot prompt (prompt tokens/mel) and the task must run
+        through the regular per-task path instead."""
+        segments = self.frontend.text_normalize(task["text"], split=True)
+        feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
+        pt = feats0.get("prompt_speech_tokens")
+        pm = feats0.get("prompt_mel")
+        if (pt is not None and len(pt) > 0) or (pm is not None and len(pm) > 0):
+            return None, None, True
+        emb = np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
+        token_lists = []
+        for j, seg in enumerate(segments):
+            tt = (feats0["text_tokens"] if j == 0 and "text_tokens" in feats0
+                  else self.frontend.extract_text_tokens(seg))
+            token_lists.append(np.asarray(tt, np.int32).reshape(-1))
+        return token_lists, emb, False
 
     def _run_continuous(self, task: dict):
         import random as _random
 
         tid = task["task_id"]
         try:
-            segments = self.frontend.text_normalize(task["text"], split=True)
-            feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
-            pt = feats0.get("prompt_speech_tokens")
-            pm = feats0.get("prompt_mel")
-            if (pt is not None and len(pt) > 0) or (pm is not None and len(pm) > 0):
+            token_lists, emb, has_prompt = self._prepare_sft_rows(task)
+            if has_prompt:
                 self.tasks.put(task)  # zero-shot prompt: regular path
                 return
-            emb = np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
-            reqs = []
-            for j, seg in enumerate(segments):
-                tt = (feats0["text_tokens"] if j == 0 and "text_tokens" in feats0
-                      else self.frontend.extract_text_tokens(seg))
-                reqs.append(self.batcher.submit(np.asarray(tt, np.int32), emb))
+            if any(len(t) > self.batcher.prompt_buckets[-1] for t in token_lists):
+                self.tasks.put(task)  # too long for the slots' bucket ladder
+                return
+            reqs = [self.batcher.submit(tt, emb) for tt in token_lists]
             sr = self.engine.cfg.sample_rate
             pieces = []
             for j, req in enumerate(reqs):
@@ -465,11 +484,14 @@ class TTSService:
                 pieces.append(wav)
                 if j < len(reqs) - 1:
                     pieces.append(np.zeros(int(_random.uniform(0.05, 0.15) * sr), np.float32))
-            self.continuous_requests += 1
             result = {
                 "output_audio": np.concatenate(pieces) if pieces else np.zeros(0, np.float32),
                 "sample_rate": sr,
             }
+            with self.results_lock:
+                self.continuous_requests += 1
+                self.results[tid] = result
+            return
         except Exception as e:
             logger.exception("continuous task %s failed", tid)
             result = {"error": str(e)}
@@ -490,6 +512,8 @@ class TTSService:
         self._stop.set()
         if self.batcher is not None:
             self.batcher.shutdown()
+        if self._cont_pool is not None:
+            self._cont_pool.shutdown(wait=False)
 
 
 def _response(success: bool, message: str, data=None, error=None) -> dict:
@@ -698,7 +722,7 @@ class _Handler(BaseHTTPRequestHandler):
         ))
 
     def _handle_tts(self, body: dict):
-        extra = {**DEFAULT_TTS_EXTRA, **(body.get("extra_params") or {})}
+        extra = {**self.service.default_extra, **(body.get("extra_params") or {})}
         tid = self.service.submit({
             "type": "tts",
             "text": body.get("text", ""),
@@ -719,7 +743,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, _response(False, "missing fields",
                                       error="text + speaker_id required"))
             return
-        extra = {**DEFAULT_TTS_EXTRA, **(body.get("extra_params") or {})}
+        extra = {**self.service.default_extra, **(body.get("extra_params") or {})}
         chunk_q: "queue.Queue" = queue.Queue()
         self.service.submit({
             "type": "tts_stream",
