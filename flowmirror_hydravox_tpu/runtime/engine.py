@@ -478,10 +478,20 @@ class Engine:
         )
 
         bsz = len(text_tokens_list)
+        tbkt = _bucket(max(len(t) for t in text_tokens_list), self.prompt_buckets)
+        if any(len(t) > tbkt for t in text_tokens_list):
+            # degenerate unpunctuated input beyond the largest bucket:
+            # truncate with a warning instead of crashing (the reference has
+            # no shape caps and just runs the oversized prompt)
+            logger.warning(
+                "text rows longer than the largest prompt bucket %d truncated", tbkt
+            )
+            text_tokens_list = [t[:tbkt] for t in text_tokens_list]
         lts = [len(t) for t in text_tokens_list]
-        tbkt = _bucket(max(lts), self.prompt_buckets)
         lp = len(sp_tokens)
         sbkt = _bucket(lp, self.prompt_buckets) if lp else 0
+        if lp > sbkt:
+            sp_tokens, lp = sp_tokens[:sbkt], sbkt
         text_pad = np.zeros((bsz, tbkt), np.int32)
         for i, t in enumerate(text_tokens_list):
             text_pad[i, : len(t)] = t
@@ -762,7 +772,16 @@ class Engine:
         # ---- shared padding/bucketing ----
         lt, lp = len(text_tokens), len(sp_tokens)
         tbkt = _bucket(lt, self.prompt_buckets)
+        if lt > tbkt:
+            logger.warning(
+                "text of %d tokens exceeds the largest prompt bucket %d; truncating",
+                lt, tbkt,
+            )
+            text_tokens, lt = text_tokens[:tbkt], tbkt
+            tts_text_len = min(int(tts_text_len), tbkt)
         sbkt = _bucket(lp, self.prompt_buckets) if lp else 0
+        if lp > sbkt:
+            sp_tokens, lp = sp_tokens[:sbkt], sbkt
         text_pad = np.zeros((tbkt,), np.int32)
         text_pad[:lt] = text_tokens
         sp_pad = np.zeros((sbkt,), np.int32)

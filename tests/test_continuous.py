@@ -142,6 +142,53 @@ def test_service_continuous_mode(engine):
         service.shutdown()
 
 
+def test_service_continuous_long_text_falls_back(engine):
+    """A segment longer than the slots' largest prompt bucket must fall back
+    to the regular worker path (no silent truncation) and still synthesize."""
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    frontend.add_speaker("a", SpeakerInfo(embedding=np.zeros(192, np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         continuous_slots=2, continuous_head_num=2)
+    try:
+        # one unbroken segment that tokenizes past the (32, 64) bucket ladder
+        long_text = " ".join(f"word{i}" for i in range(60))
+        assert len(frontend.extract_text_tokens(long_text)) > 64
+        tid = service.submit({"type": "tts", "text": long_text, "speaker_id": "a"})
+        out = service.wait(tid)
+        assert "output_audio" in out and len(out["output_audio"]) > 0, out
+        assert service.continuous_requests == 0  # served by the regular path
+    finally:
+        service.shutdown()
+
+
+def test_batch_per_row_embeddings_differ(engine):
+    """synthesize_batch with (B, 192) embeddings conditions each row on its
+    own speaker: rows with different embeddings must produce different audio
+    for the same text/rng, and a row must match its solo-synthesis output."""
+    rng = np.random.default_rng(3)
+    text = np.arange(8, dtype=np.int32)
+    emb_a = rng.standard_normal(192).astype(np.float32)
+    emb_b = rng.standard_normal(192).astype(np.float32) * 2.0
+
+    def run(embs):
+        return engine.synthesize_batch(
+            [text, text], inference_head_num=1, rng=jax.random.PRNGKey(9),
+            spk_embedding=np.stack(embs),
+            min_token_text_ratio=2.0, max_token_text_ratio=3.0,
+        )
+
+    wavs1, stats1 = run([emb_a, emb_b])
+    wavs2, stats2 = run([emb_b, emb_a])
+    # same rng -> identical tokens either way; only the flow conditioning
+    # (per-row speaker embedding) changes, so row 0's audio must change
+    assert stats1["tokens"] == stats2["tokens"], (stats1, stats2)
+    assert len(wavs1[0]) == len(wavs2[0])
+    assert not np.allclose(wavs1[0], wavs2[0]), "row 0 ignored its embedding"
+
+
 def test_continuous_many_concurrent(engine):
     """More requests than slots: all complete, slots recycle."""
     batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=2)
