@@ -47,15 +47,19 @@ logger = logging.getLogger("hydravox.continuous")
 
 class _Request:
     __slots__ = ("text_tokens", "spk_embedding", "min_len", "max_len", "rng",
-                 "sampling", "done", "wav", "stats", "error", "t_submit")
+                 "sampling", "prompt_speech_tokens", "prompt_mel",
+                 "done", "wav", "stats", "error", "t_submit")
 
-    def __init__(self, text_tokens, spk_embedding, min_len, max_len, rng, sampling):
+    def __init__(self, text_tokens, spk_embedding, min_len, max_len, rng, sampling,
+                 prompt_speech_tokens=None, prompt_mel=None):
         self.text_tokens = text_tokens
         self.spk_embedding = spk_embedding
         self.min_len = min_len
         self.max_len = max_len
         self.rng = rng
         self.sampling = sampling
+        self.prompt_speech_tokens = prompt_speech_tokens
+        self.prompt_mel = prompt_mel
         self.done = threading.Event()
         self.wav = None
         self.stats = None
@@ -87,7 +91,10 @@ class ContinuousBatcher:
         self.head_k = max(1, min(int(head_num), self.cfg.head_num))
         self.max_tokens = engine.max_tokens
         self.prompt_buckets = tuple(prompt_buckets or engine.prompt_buckets[:2])
-        cap = 2 + self.prompt_buckets[-1] + self.max_tokens + self.head_k
+        # zero-shot prompt speech tokens bucket to the same ladder
+        self.sp_buckets = (0,) + self.prompt_buckets
+        cap = (2 + self.prompt_buckets[-1] + self.sp_buckets[-1]
+               + self.max_tokens + self.head_k)
         self.cache_cap = -(-cap // 256) * 256
 
         self._admit_cache = {}
@@ -125,16 +132,19 @@ class ContinuousBatcher:
             finished=jnp.ones((s,), bool),
         )
 
-    def _admit_fn(self, bucket: int):
-        """Jitted: prefill one request into slot `i` of the shared state."""
-        if bucket in self._admit_cache:
-            return self._admit_cache[bucket]
+    def _admit_fn(self, bucket: int, sp_bucket: int = 0):
+        """Jitted: prefill one request into slot `i` of the shared state.
+        `sp_bucket` > 0 carries zero-shot prompt speech tokens in the LM
+        prompt (llm_multi_head_v3.py:948-952)."""
+        key = (bucket, sp_bucket)
+        if key in self._admit_cache:
+            return self._admit_cache[key]
         cfg, bb = self.cfg, self.cfg.backbone
 
-        def fn(params, state, slot, text_tokens, text_len, min_len, max_len, rng):
+        def fn(params, state, slot, text_tokens, text_len, sp_tokens, sp_len,
+               min_len, max_len, rng):
             emb, plen = llm_model.build_inference_prompt(
-                params, cfg, text_tokens, text_len,
-                jnp.zeros((0,), jnp.int32), jnp.int32(0),
+                params, cfg, text_tokens, text_len, sp_tokens, sp_len,
             )
             emb = emb.astype(state["last_hidden"].dtype)
             small = qwen2.init_kv_cache(bb, 1, self.cache_cap, dtype=emb.dtype)
@@ -166,8 +176,8 @@ class ContinuousBatcher:
                 finished=state["finished"].at[slot].set(False),
             )
 
-        self._admit_cache[bucket] = jax.jit(fn, donate_argnums=(1,))
-        return self._admit_cache[bucket]
+        self._admit_cache[key] = jax.jit(fn, donate_argnums=(1,))
+        return self._admit_cache[key]
 
     def _chunk_fn(self):
         """Jitted: run up to chunk_steps group-decode steps over all slots."""
@@ -256,6 +266,8 @@ class ContinuousBatcher:
         min_token_text_ratio: float = 2.0,
         max_token_text_ratio: float = 20.0,
         rng: Optional[jax.Array] = None,
+        prompt_speech_tokens: Optional[np.ndarray] = None,
+        prompt_mel: Optional[np.ndarray] = None,
     ) -> _Request:
         n = len(text_tokens)
         if n > self.prompt_buckets[-1]:
@@ -265,6 +277,13 @@ class ContinuousBatcher:
                 f"prompt of {n} tokens exceeds the continuous slots' largest "
                 f"bucket {self.prompt_buckets[-1]}; use Engine.synthesize"
             )
+        sp = (np.zeros((0,), np.int32) if prompt_speech_tokens is None
+              else np.asarray(prompt_speech_tokens, np.int32))
+        if len(sp) > self.sp_buckets[-1]:
+            raise ValueError(
+                f"prompt speech of {len(sp)} tokens exceeds bucket "
+                f"{self.sp_buckets[-1]}; use Engine.synthesize"
+            )
         req = _Request(
             np.asarray(text_tokens, np.int32),
             spk_embedding,
@@ -272,6 +291,8 @@ class ContinuousBatcher:
             min(int(n * max_token_text_ratio), self.max_tokens),
             rng if rng is not None else self.engine.next_rng(),
             self.sampling,
+            prompt_speech_tokens=sp,
+            prompt_mel=prompt_mel,
         )
         with self._lock:
             if not self._started:
@@ -325,10 +346,18 @@ class ContinuousBatcher:
                 bucket = self._bucket(len(req.text_tokens))
                 text = np.zeros((bucket,), np.int32)
                 text[: len(req.text_tokens)] = req.text_tokens[:bucket]
-                admit = self._admit_fn(bucket)
+                sp = req.prompt_speech_tokens
+                lp = len(sp)
+                from .engine import _bucket as _bucket_of
+
+                sp_bucket = _bucket_of(lp, self.sp_buckets[1:]) if lp else 0
+                sp_pad = np.zeros((sp_bucket,), np.int32)
+                sp_pad[:lp] = sp
+                admit = self._admit_fn(bucket, sp_bucket)
                 self._state = admit(
                     self.engine.llm_params, self._state, jnp.int32(i),
                     jnp.asarray(text), jnp.int32(min(len(req.text_tokens), bucket)),
+                    jnp.asarray(sp_pad), jnp.int32(lp),
                     jnp.int32(req.min_len), jnp.int32(req.max_len), req.rng,
                 )
             except Exception as e:
@@ -397,16 +426,34 @@ class ContinuousBatcher:
     def _synthesize(self, req: _Request, tokens: np.ndarray):
         eng = self.engine
         t0 = time.time()
-        tok_bkt = eng._bucket_token(max(len(tokens), 1))
+        sp = req.prompt_speech_tokens
+        lp = 0 if sp is None else len(sp)
+        tok_bkt = eng._bucket_token(max(lp + len(tokens), 1))
         buf = np.full((eng.max_tokens + self.head_k,), -1, np.int32)
         buf[: len(tokens)] = tokens
         emb = (np.zeros((192,), np.float32) if req.spk_embedding is None
                else np.asarray(req.spk_embedding, np.float32).reshape(-1)[:192])
-        synth = eng._synth_fn(tok_bkt, 0, 0)
+        if lp:
+            sp_bkt = eng._bucket_prompt(lp)
+            sp_pad = np.zeros((sp_bkt,), np.int32)
+            sp_pad[:lp] = sp
+        else:
+            sp_bkt = 0
+            sp_pad = np.zeros((0,), np.int32)
+        pm = req.prompt_mel
+        if pm is not None and len(pm) > 0:
+            pm_bkt = eng._bucket_mel(len(pm))
+            pm_buf = np.zeros((1, pm_bkt, eng.cfg.flow.output_size), np.float32)
+            pm_buf[0, : len(pm)] = pm
+            pm_len = len(pm)
+        else:
+            pm_bkt, pm_len = 0, 0
+            pm_buf = np.zeros((1, 0, eng.cfg.flow.output_size), np.float32)
+        synth = eng._synth_fn(tok_bkt, pm_bkt, sp_bkt)
         wav_i16, _mel = synth(
             eng.flow_params, eng.hift_params, jnp.asarray(buf),
-            jnp.int32(len(tokens)), jnp.zeros((0,), jnp.int32), jnp.int32(0),
-            jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32), jnp.int32(0),
+            jnp.int32(len(tokens)), jnp.asarray(sp_pad), jnp.int32(lp),
+            jnp.asarray(pm_buf), jnp.int32(pm_len),
             jnp.asarray(emb)[None], req.rng,
         )
         ratio = eng.cfg.flow.token_mel_ratio

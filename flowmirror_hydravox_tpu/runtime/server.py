@@ -205,11 +205,11 @@ class TTSService:
             fallback = []  # (task, reason) pairs that can't ride the batch
             for task in group:
                 try:
-                    rows, emb, has_prompt = self._prepare_sft_rows(task)
+                    rows, emb, prompts = self._prepare_sft_rows(task)
                 except Exception as e:
                     fallback.append((task, e))
                     continue
-                if has_prompt:
+                if prompts is not None:
                     fallback.append((task, None))  # zero-shot prompt: run solo
                     continue
                 start = len(token_lists)
@@ -447,36 +447,42 @@ class TTSService:
 
     def _prepare_sft_rows(self, task: dict):
         """Shared SFT featurization for the batched paths: returns
-        (token_lists, emb, has_prompt).  has_prompt=True means the speaker
-        carries a zero-shot prompt (prompt tokens/mel) and the task must run
-        through the regular per-task path instead."""
+        (token_lists, emb, prompts) where prompts is None for plain SFT
+        speakers or {"prompt_speech_tokens", "prompt_mel"} for speakers
+        carrying a zero-shot prompt (the window-coalescing path runs those
+        per-task; the continuous path admits them with per-slot prompts)."""
         segments = self.frontend.text_normalize(task["text"], split=True)
         feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
         pt = feats0.get("prompt_speech_tokens")
         pm = feats0.get("prompt_mel")
+        prompts = None
         if (pt is not None and len(pt) > 0) or (pm is not None and len(pm) > 0):
-            return None, None, True
+            prompts = {"prompt_speech_tokens": pt, "prompt_mel": pm}
         emb = np.asarray(feats0["spk_embedding"], np.float32).reshape(-1)[:192]
         token_lists = []
         for j, seg in enumerate(segments):
             tt = (feats0["text_tokens"] if j == 0 and "text_tokens" in feats0
                   else self.frontend.extract_text_tokens(seg))
             token_lists.append(np.asarray(tt, np.int32).reshape(-1))
-        return token_lists, emb, False
+        return token_lists, emb, prompts
 
     def _run_continuous(self, task: dict):
         import random as _random
 
         tid = task["task_id"]
         try:
-            token_lists, emb, has_prompt = self._prepare_sft_rows(task)
-            if has_prompt:
-                self.tasks.put(task)  # zero-shot prompt: regular path
+            token_lists, emb, prompts = self._prepare_sft_rows(task)
+            sp = (prompts or {}).get("prompt_speech_tokens")
+            pm = (prompts or {}).get("prompt_mel")
+            if any(len(t) > self.batcher.prompt_buckets[-1] for t in token_lists) or (
+                sp is not None and len(sp) > self.batcher.sp_buckets[-1]
+            ):
+                self.tasks.put(task)  # too long for the slots' bucket ladders
                 return
-            if any(len(t) > self.batcher.prompt_buckets[-1] for t in token_lists):
-                self.tasks.put(task)  # too long for the slots' bucket ladder
-                return
-            reqs = [self.batcher.submit(tt, emb) for tt in token_lists]
+            reqs = [
+                self.batcher.submit(tt, emb, prompt_speech_tokens=sp, prompt_mel=pm)
+                for tt in token_lists
+            ]
             sr = self.engine.cfg.sample_rate
             pieces = []
             for j, req in enumerate(reqs):

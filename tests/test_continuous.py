@@ -142,6 +142,44 @@ def test_service_continuous_mode(engine):
         service.shutdown()
 
 
+def test_continuous_zero_shot_prompt_matches_solo(engine):
+    """A request with zero-shot prompt speech tokens rides a slot and
+    matches the solo decode with the same prompt+rng; prompt mel conditions
+    the synthesis."""
+    cfg = engine.cfg.llm
+    text = np.arange(7, dtype=np.int32)
+    sp = (np.arange(6, dtype=np.int32) * 3) % 50
+    pm = np.random.default_rng(1).standard_normal((12, 80)).astype(np.float32)
+    rng = jax.random.PRNGKey(33)
+
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=2)
+    try:
+        req = batcher.submit(text, prompt_speech_tokens=sp, prompt_mel=pm,
+                             rng=rng, min_token_text_ratio=2.0,
+                             max_token_text_ratio=6.0)
+        wav, stats = batcher.result(req, timeout=600.0)
+
+        padded = np.zeros((32,), np.int32)
+        padded[: len(text)] = text
+        sp_pad = np.zeros((32,), np.int32)
+        sp_pad[: len(sp)] = sp
+        emb, plen = llm.build_inference_prompt(
+            engine.llm_params, cfg, jnp.asarray(padded), jnp.int32(len(text)),
+            jnp.asarray(sp_pad), jnp.int32(len(sp)),
+        )
+        res = llm.generate(
+            engine.llm_params, cfg, rng, emb, plen,
+            jnp.int32(14), jnp.int32(42), SamplingParams.make(),
+            inference_head_num=2, max_tokens=64,
+            cache_len_cap=batcher.cache_cap,
+        )
+        solo = np.asarray(res.tokens)[: int(res.num_tokens)]
+        assert stats["tokens"] == solo.tolist(), (stats["tokens"], solo)
+        assert len(wav) > 0 and np.isfinite(wav).all()
+    finally:
+        batcher.shutdown()
+
+
 def test_service_continuous_long_text_falls_back(engine):
     """A segment longer than the slots' largest prompt bucket must fall back
     to the regular worker path (no silent truncation) and still synthesize."""

@@ -242,4 +242,7 @@ def test_fused_underestimate_falls_back(engine):
         engine._estimate_token_bucket = orig
     np.testing.assert_array_equal(res.speech_tokens, good.speech_tokens)
     assert res.audio.shape == good.audio.shape
-    np.testing.assert_allclose(res.audio, good.audio, atol=1e-6)
+    # tolerance = one int16 PCM step: the fused and two-stage programs may
+    # accumulate f32 in different orders, flipping samples on the rounding
+    # boundary by one LSB (1/32767)
+    np.testing.assert_allclose(res.audio, good.audio, atol=1.01 / 32767.0)
