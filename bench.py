@@ -253,6 +253,54 @@ def main():
         "step_ms": round(step_s * 1000, 3),
         "tokens_per_sec_per_chip": round(r2.tps / max(len(jax.devices()), 1), 1),
     }))
+    # loaded serving throughput: 8 concurrent /tts requests through the
+    # TTSService worker — exercises cross-request dynamic batching (requests
+    # coalesce into one flash-batch dispatch with per-row embeddings)
+    import threading
+
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    fe = Frontend(cfg)
+    for i in range(3):
+        fe.add_speaker(f"spk{i}", SpeakerInfo(
+            embedding=np.random.default_rng(i).standard_normal(192).astype(np.float32)))
+    service = TTSService(engine_f, fe, request_timeout=600.0, batch_window=0.05,
+                         cold_batch_fallback=False)
+    texts = [
+        "并发请求吞吐测试第%d句，新闻播报的速度通常是每分钟两百四十字左右。" % i
+        for i in range(8)
+    ]
+
+    def fire_all():
+        outs = [None] * 8
+        def one(i):
+            tid = service.submit({
+                "type": "tts", "text": texts[i], "speaker_id": f"spk{i % 3}",
+                "extra_params": {"inference_head_num": 4},
+            })
+            outs[i] = service.wait(tid)
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+        t0 = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return time.time() - t0, outs
+
+    fire_all()  # warmup/compile the coalesced batch shapes
+    wall, outs = min((fire_all() for _ in range(2)), key=lambda x: x[0])
+    audio_s = sum(len(o["output_audio"]) / cfg.sample_rate for o in outs
+                  if o and "output_audio" in o)
+    print(json.dumps({
+        "aux": True, "metric": "service_throughput_8way",
+        "wall_s": round(wall, 3),
+        "audio_s": round(audio_s, 2),
+        "rtf_effective": round(wall / max(audio_s, 1e-9), 5),
+        "batched_requests": service.batched_requests,
+    }))
+    service.shutdown()
+
     # training throughput: one DP train step (MTP multi-head CE) at a
     # serving-scale batch; MFU vs v5e bf16 peak 197 TFLOP/s.  FLOPs model:
     # 6 * params_matmul * tokens (fwd+bwd) for the backbone over the full

@@ -50,7 +50,8 @@ class TTSService:
 
     def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0,
                  batch_window: float = 0.03, max_batch: int = 8,
-                 continuous_slots: int = 0, continuous_head_num: int = 2):
+                 continuous_slots: int = 0, continuous_head_num: int = 2,
+                 cold_batch_fallback: bool = True):
         """`batch_window`/`max_batch`: cross-request dynamic batching — when
         several plain SFT `/tts` requests are queued concurrently, the worker
         coalesces them (up to `max_batch` requests arriving within
@@ -76,6 +77,12 @@ class TTSService:
         self.max_batch = max_batch
         self.batched_requests = 0  # requests served through a coalesced batch
         self.continuous_requests = 0  # requests served through continuous slots
+        # a cold server's first coalesced batch shape would compile for
+        # minutes while its clients block on the 60 s timeout: serve such a
+        # group per-task instead and compile the batch program on a
+        # background thread so the NEXT group rides it
+        self.cold_batch_fallback = cold_batch_fallback
+        self._warm_batches: set = set()
         self.metrics = MetricsAggregator()
         self.tasks: "queue.Queue" = queue.Queue()
         self.results: Dict[str, Any] = {}
@@ -235,6 +242,32 @@ class TTSService:
             while len(token_lists) < n_pad:
                 token_lists.append(token_lists[-1])
                 emb_rows.append(emb_rows[-1])
+
+            warm_key = (
+                n_pad,
+                self.engine._bucket_prompt(max(len(t) for t in token_lists)),
+                head_num,
+            )
+            if self.cold_batch_fallback and warm_key not in self._warm_batches:
+                self._warm_batches.add(warm_key)
+                rows = [np.array(t) for t in token_lists]
+                embs = np.stack(emb_rows)
+
+                def warm():
+                    try:
+                        self.engine.synthesize_batch(
+                            rows, sampling=sampling, inference_head_num=head_num,
+                            spk_embedding=embs,
+                        )
+                        logger.info("batch shape %s compiled", warm_key)
+                    except Exception:
+                        logger.exception("batch warmup failed")
+                        self._warm_batches.discard(warm_key)
+
+                threading.Thread(target=warm, daemon=True).start()
+                for task, _s, _e in spans:
+                    self._run_one(task)  # serve this cold group per-task
+                return
             wavs, stats = self.engine.synthesize_batch(
                 token_lists, sampling=sampling, inference_head_num=head_num,
                 spk_embedding=np.stack(emb_rows),

@@ -153,7 +153,8 @@ def test_service_coalesces_concurrent_requests(engine):
     rng = np.random.default_rng(0)
     frontend.add_speaker("a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
     frontend.add_speaker("b", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
-    service = TTSService(engine, frontend, request_timeout=600.0, batch_window=1.0)
+    service = TTSService(engine, frontend, request_timeout=600.0, batch_window=1.0,
+                         cold_batch_fallback=False)
     try:
         tids = []
         for i, spk in enumerate(["a", "b", "a"]):
@@ -174,6 +175,29 @@ def test_service_coalesces_concurrent_requests(engine):
         # the three batchable requests were coalesced (first is picked up
         # immediately; the 1 s window collects the other two)
         assert service.batched_requests >= 2, service.batched_requests
+    finally:
+        service.shutdown()
+
+
+def test_service_cold_batch_falls_back_per_task(engine):
+    """With cold_batch_fallback on (default), the first-ever coalesced batch
+    shape serves its group per-task (no client blocks on a batch compile)
+    while the batch program warms in the background."""
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    frontend.add_speaker("demo", SpeakerInfo(embedding=np.zeros(192, np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0, batch_window=1.0)
+    try:
+        tids = [service.submit({
+            "type": "tts", "text": f"cold group {i}", "speaker_id": "demo",
+            "extra_params": {"inference_head_num": 1},
+        }) for i in range(3)]
+        outs = [service.wait(t) for t in tids]
+        for r in outs:
+            assert "output_audio" in r and len(r["output_audio"]) > 0, r
+        assert service.batched_requests == 0  # cold shape -> per-task
+        assert service._warm_batches, "background warmup was not scheduled"
     finally:
         service.shutdown()
 
