@@ -290,6 +290,7 @@ def main():
 
     fire_all()  # warmup/compile the coalesced batch shapes
     wall, outs = min((fire_all() for _ in range(2)), key=lambda x: x[0])
+    n_err = sum(1 for o in outs if not (o and "output_audio" in o))
     audio_s = sum(len(o["output_audio"]) / cfg.sample_rate for o in outs
                   if o and "output_audio" in o)
     print(json.dumps({
@@ -297,6 +298,7 @@ def main():
         "wall_s": round(wall, 3),
         "audio_s": round(audio_s, 2),
         "rtf_effective": round(wall / max(audio_s, 1e-9), 5),
+        "errors": n_err,  # >0 invalidates rtf_effective
         "batched_requests": service.batched_requests,
     }))
     service.shutdown()

@@ -91,8 +91,17 @@ class ContinuousBatcher:
         self.head_k = max(1, min(int(head_num), self.cfg.head_num))
         self.max_tokens = engine.max_tokens
         self.prompt_buckets = tuple(prompt_buckets or engine.prompt_buckets[:2])
-        # zero-shot prompt speech tokens bucket to the same ladder
-        self.sp_buckets = (0,) + self.prompt_buckets
+        # zero-shot prompt speech runs at 25 Hz, so realistic cloned-speaker
+        # prompts are 75-250 tokens (3-10 s; frontend caps at 30 s): the sp
+        # ladder extends past the text ladder up to 256 so those prompts
+        # actually ride the slots
+        sp_max = max(self.prompt_buckets[-1],
+                     max((b for b in engine.prompt_buckets if b <= 256),
+                         default=self.prompt_buckets[-1]))
+        self.sp_buckets = (0,) + tuple(sorted({
+            b for b in (self.prompt_buckets + tuple(engine.prompt_buckets))
+            if b <= sp_max
+        }))
         cap = (2 + self.prompt_buckets[-1] + self.sp_buckets[-1]
                + self.max_tokens + self.head_k)
         self.cache_cap = -(-cap // 256) * 256
@@ -284,6 +293,8 @@ class ContinuousBatcher:
                 f"prompt speech of {len(sp)} tokens exceeds bucket "
                 f"{self.sp_buckets[-1]}; use Engine.synthesize"
             )
+        if self._stop.is_set():
+            raise RuntimeError("batcher shut down")
         req = _Request(
             np.asarray(text_tokens, np.int32),
             spk_embedding,
@@ -314,6 +325,11 @@ class ContinuousBatcher:
         from .engine import _bucket
 
         return _bucket(n, self.prompt_buckets)
+
+    def _sp_bucket(self, n: int) -> int:
+        from .engine import _bucket
+
+        return _bucket(n, self.sp_buckets[1:]) if n else 0
 
     def _loop(self):
         while not self._stop.is_set():
@@ -348,9 +364,7 @@ class ContinuousBatcher:
                 text[: len(req.text_tokens)] = req.text_tokens[:bucket]
                 sp = req.prompt_speech_tokens
                 lp = len(sp)
-                from .engine import _bucket as _bucket_of
-
-                sp_bucket = _bucket_of(lp, self.sp_buckets[1:]) if lp else 0
+                sp_bucket = self._sp_bucket(lp)
                 sp_pad = np.zeros((sp_bucket,), np.int32)
                 sp_pad[:lp] = sp
                 admit = self._admit_fn(bucket, sp_bucket)
@@ -366,6 +380,19 @@ class ContinuousBatcher:
                 logger.exception("admit failed")
                 req.error = str(e)
                 req.done.set()
+                # the admit donates the state: a device-side failure leaves
+                # its buffers deleted, which would spuriously fail every
+                # later request — detect and rebuild, failing active slots
+                leaves = jax.tree.leaves(self._state)
+                if leaves and getattr(leaves[0], "is_deleted", lambda: False)():
+                    logger.warning("state donated by failed admit; resetting")
+                    with self._lock:
+                        for j, other in enumerate(self._slot_req):
+                            if other is not None:
+                                other.error = str(e)
+                                other.done.set()
+                                self._slot_req[j] = None
+                        self._state = self._init_state()
                 continue
             self._slot_req[i] = req
             self._slot_steps[i] = 0

@@ -82,7 +82,8 @@ class TTSService:
         # group per-task instead and compile the batch program on a
         # background thread so the NEXT group rides it
         self.cold_batch_fallback = cold_batch_fallback
-        self._warm_batches: set = set()
+        self._warm_batches: set = set()  # shapes whose compile COMPLETED
+        self._warming_batches: set = set()  # shapes compiling in the background
         self.metrics = MetricsAggregator()
         self.tasks: "queue.Queue" = queue.Queue()
         self.results: Dict[str, Any] = {}
@@ -243,28 +244,41 @@ class TTSService:
                 token_lists.append(token_lists[-1])
                 emb_rows.append(emb_rows[-1])
 
+            # the warm key mirrors the engine's compile keys: padded batch,
+            # text bucket, AND the fused program's estimated token bucket
+            # (a longer-text group with the same prompt bucket still needs a
+            # fresh compile)
+            max_lt = max(len(t) for t in token_lists)
             warm_key = (
                 n_pad,
-                self.engine._bucket_prompt(max(len(t) for t in token_lists)),
+                self.engine._bucket_prompt(max_lt),
+                self.engine._estimate_token_bucket(
+                    max_lt, 2 * max_lt, min(20 * max_lt, self.engine.max_tokens), 0
+                ),
                 head_num,
             )
             if self.cold_batch_fallback and warm_key not in self._warm_batches:
-                self._warm_batches.add(warm_key)
-                rows = [np.array(t) for t in token_lists]
-                embs = np.stack(emb_rows)
+                if warm_key not in self._warming_batches:
+                    self._warming_batches.add(warm_key)
+                    rows = [np.array(t) for t in token_lists]
+                    embs = np.stack(emb_rows)
 
-                def warm():
-                    try:
-                        self.engine.synthesize_batch(
-                            rows, sampling=sampling, inference_head_num=head_num,
-                            spk_embedding=embs,
-                        )
-                        logger.info("batch shape %s compiled", warm_key)
-                    except Exception:
-                        logger.exception("batch warmup failed")
-                        self._warm_batches.discard(warm_key)
+                    def warm():
+                        try:
+                            self.engine.synthesize_batch(
+                                rows, sampling=sampling, inference_head_num=head_num,
+                                spk_embedding=embs,
+                            )
+                            # mark warm only once the compile COMPLETED —
+                            # groups arriving mid-compile keep falling back
+                            self._warm_batches.add(warm_key)
+                            logger.info("batch shape %s compiled", warm_key)
+                        except Exception:
+                            logger.exception("batch warmup failed")
+                        finally:
+                            self._warming_batches.discard(warm_key)
 
-                threading.Thread(target=warm, daemon=True).start()
+                    threading.Thread(target=warm, daemon=True).start()
                 for task, _s, _e in spans:
                     self._run_one(task)  # serve this cold group per-task
                 return
@@ -549,10 +563,12 @@ class TTSService:
 
     def shutdown(self):
         self._stop.set()
+        # cancel queued continuous tasks BEFORE killing the batcher so no
+        # pool thread submits into a dead batcher and blocks on its result
+        if self._cont_pool is not None:
+            self._cont_pool.shutdown(wait=False, cancel_futures=True)
         if self.batcher is not None:
             self.batcher.shutdown()
-        if self._cont_pool is not None:
-            self._cont_pool.shutdown(wait=False)
 
 
 def _response(success: bool, message: str, data=None, error=None) -> dict:
@@ -782,7 +798,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, _response(False, "missing fields",
                                       error="text + speaker_id required"))
             return
-        extra = {**self.service.default_extra, **(body.get("extra_params") or {})}
+        # streaming never rides the continuous slots, so it keeps the module
+        # default head count regardless of --continuous-heads
+        extra = {**DEFAULT_TTS_EXTRA, **(body.get("extra_params") or {})}
         chunk_q: "queue.Queue" = queue.Queue()
         self.service.submit({
             "type": "tts_stream",

@@ -66,9 +66,17 @@ def main(argv=None):
     lats, audio, errors = [], [], []
     lock = threading.Lock()
     stop_at = [0.0]
+    t0_box = [0.0]
+
+    def _open_window():
+        # barrier action: runs in exactly ONE thread before any are released,
+        # so every worker sees the deadline already set (no 0.0 race)
+        t0_box[0] = time.time()
+        stop_at[0] = t0_box[0] + args.duration
+
     # all workers finish their (untimed, compile-absorbing) warmup before the
-    # timed window opens; the barrier's main-thread slot sets the deadline
-    barrier = threading.Barrier(args.concurrency + 1)
+    # timed window opens
+    barrier = threading.Barrier(args.concurrency + 1, action=_open_window)
 
     def worker():
         for _ in range(args.warmup):
@@ -90,12 +98,10 @@ def main(argv=None):
     threads = [threading.Thread(target=worker) for _ in range(args.concurrency)]
     for t in threads:
         t.start()
-    barrier.wait()  # all warmed
-    t_start = time.time()
-    stop_at[0] = t_start + args.duration
+    barrier.wait()  # all warmed; _open_window set the deadline
     for t in threads:
         t.join()
-    wall = time.time() - t_start
+    wall = time.time() - t0_box[0]
 
     metrics = {}
     try:

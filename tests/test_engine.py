@@ -197,7 +197,8 @@ def test_service_cold_batch_falls_back_per_task(engine):
         for r in outs:
             assert "output_audio" in r and len(r["output_audio"]) > 0, r
         assert service.batched_requests == 0  # cold shape -> per-task
-        assert service._warm_batches, "background warmup was not scheduled"
+        # the compile may still be in flight; either set proves scheduling
+        assert service._warm_batches or service._warming_batches
     finally:
         service.shutdown()
 
