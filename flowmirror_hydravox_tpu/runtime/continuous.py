@@ -90,7 +90,10 @@ class ContinuousBatcher:
         self.chunk_steps = chunk_steps
         self.head_k = max(1, min(int(head_num), self.cfg.head_num))
         self.max_tokens = engine.max_tokens
-        self.prompt_buckets = tuple(prompt_buckets or engine.prompt_buckets[:2])
+        # default text ladder covers up to 128 tokens (ordinary sentences and
+        # the reference's ~80-token paragraph segments); longer segments fall
+        # back to the Engine's full bucket ladder at the server layer
+        self.prompt_buckets = tuple(prompt_buckets or engine.prompt_buckets[:3])
         # zero-shot prompt speech runs at 25 Hz, so realistic cloned-speaker
         # prompts are 75-250 tokens (3-10 s; frontend caps at 30 s): the sp
         # ladder extends past the text ladder up to 256 so those prompts
