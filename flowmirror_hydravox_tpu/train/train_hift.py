@@ -33,15 +33,25 @@ def main(argv=None):
                    help="random mel segment per sample (GAN training crops)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--shard_optimizer", action="store_true",
+                   help="ZeRO-2-style moment sharding over 'data' for both "
+                        "the generator and discriminator optimizers")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    import os
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..config import HydraVoxConfig, tiny_config
     from ..models import discriminator as disc_model
     from ..models import hift as hift_model
+    from ..parallel.mesh import host_local_batch_to_global, make_mesh
+    from ..parallel.sharding import zero_sharding
     from ..utils import audio as audio_utils
     from . import checkpoint as ckpt
     from .data import load_hf_dataset
@@ -65,8 +75,27 @@ def main(argv=None):
         learning_rate=args.learning_rate, warmup_steps=100, total_steps=args.max_steps,
         weight_decay=0.0, b1=0.8, b2=0.99,
     ))
+    # data-parallel over the mesh 'data' axis (the reference's DDP GAN path,
+    # utils/executor.py train_one_epoc_gan): params replicated, batch rows
+    # sharded, gradient psum inserted by XLA over ICI
+    mesh = make_mesh(model=1)
+    n_data = mesh.shape["data"]
+    assert args.batch_size % n_data == 0, (
+        f"batch_size {args.batch_size} not divisible by {n_data} data shards"
+    )
+    repl = NamedSharding(mesh, P())
+    gen_params = jax.device_put(gen_params, repl)
+    disc_params = jax.device_put(disc_params, repl)
     gen_state = init_state(gen_params, gen_opt)
     disc_state = init_state(disc_params, disc_opt)
+    if args.shard_optimizer:
+        gen_state = gen_state._replace(
+            opt_state=jax.device_put(gen_state.opt_state,
+                                     zero_sharding(gen_state.opt_state, mesh)))
+        disc_state = disc_state._replace(
+            opt_state=jax.device_put(disc_state.opt_state,
+                                     zero_sharding(disc_state.opt_state, mesh)))
+    logger.info("mesh %s  zero=%s", dict(mesh.shape), args.shard_optimizer)
 
     step_fn = jax.jit(
         lambda gs, ds, batch, r: gan_train_step(gs, ds, batch, r, cfg, gen_opt, disc_opt)
@@ -110,17 +139,17 @@ def main(argv=None):
 
     seg_rng = np.random.default_rng(args.seed)
     order = np.arange(len(train_ds))
-    nstep, t0 = 0, time.time()
+    nstep, t0, metrics = 0, time.time(), {}
     while nstep < args.max_steps:
         np.random.default_rng(args.seed + nstep).shuffle(order)
         for start in range(0, len(order) - args.batch_size + 1, args.batch_size):
             rows = [train_ds[int(i)] for i in order[start : start + args.batch_size]]
             mels, wavs, pitches = zip(*[featurize(r, seg_rng) for r in rows])
-            batch = {
-                "speech_feat": jnp.asarray(np.stack(mels)),
-                "speech": jnp.asarray(np.stack(wavs)),
-                "pitch_feat": jnp.asarray(np.stack(pitches)),
-            }
+            batch = host_local_batch_to_global(mesh, {
+                "speech_feat": np.stack(mels),
+                "speech": np.stack(wavs),
+                "pitch_feat": np.stack(pitches),
+            })
             rng, srng = jax.random.split(rng)
             gen_state, disc_state, metrics = step_fn(gen_state, disc_state, batch, srng)
             nstep = int(gen_state.step)
@@ -138,6 +167,8 @@ def main(argv=None):
                 break
 
     ckpt.save_params_npz(f"{args.output_dir}/hift_final.npz", gen_state.params)
+    return {"step": int(gen_state.step),
+            "metrics": {k: float(v) for k, v in metrics.items()}}
 
 
 if __name__ == "__main__":

@@ -86,6 +86,37 @@ def test_flow_cli_tp_zero_runs(flow_ds, tmp_path):
     assert np.isfinite(out["metrics"]["loss"])
 
 
+def test_hift_gan_cli_dp_zero_runs(tmp_path):
+    """GAN trainer CLI (reference executor.train_one_epoc_gan): DP over the
+    mesh + ZeRO moment sharding on both optimizers; finite losses."""
+    import datasets
+
+    from flowmirror_hydravox_tpu.train import train_hift
+
+    from flowmirror_hydravox_tpu.config import tiny_config
+
+    up = tiny_config().hift.upsample_scale
+    rng = np.random.default_rng(0)
+    rows = [
+        {
+            "speech": (rng.standard_normal(64 * up) * 0.1).astype(np.float32).tolist(),
+            "speech_feat": rng.standard_normal((64, 80)).astype(np.float32).tolist(),
+            "pitch_feat": np.abs(rng.standard_normal(64) * 100).astype(np.float32).tolist(),
+        }
+        for _ in range(8)
+    ]
+    ds = str(tmp_path / "gan_ds")
+    datasets.Dataset.from_list(rows).save_to_disk(ds)
+    out = train_hift.main([
+        "--train_data", ds, "--output_dir", str(tmp_path / "gan"), "--tiny",
+        "--batch_size", "8", "--max_steps", "2", "--logging_steps", "1",
+        "--save_steps", "100", "--segment_frames", "16", "--shard_optimizer",
+    ])
+    assert out["step"] == 2
+    assert np.isfinite(out["metrics"]["gen_loss"])
+    assert np.isfinite(out["metrics"]["disc_loss"])
+
+
 @pytest.fixture(scope="module")
 def dpo_ds(tmp_path_factory):
     import datasets
