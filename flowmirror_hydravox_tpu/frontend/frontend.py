@@ -69,39 +69,51 @@ class Frontend:
         self.tokenizer = tokenizer or get_tokenizer()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(rng)
-        self.st_cfg = st.SpeechTokenizerConfig()
-        self.spk_cfg = st.SpeakerEncoderConfig()
-        self.tokenizer_params = (
-            tokenizer_params
-            if tokenizer_params is not None
-            else st.init_tokenizer_params(k1, self.st_cfg)
-        )
-        self.speaker_params = (
-            speaker_params
-            if speaker_params is not None
-            else st.init_speaker_params(k2, self.spk_cfg)
-        )
-        # trained native weights (train/train_frontend.py output) hot-plug via
-        # env, same spirit as the ONNX adapters below
+        # Weight resolution order per extractor (trained > random):
+        #   1. explicit ctor params (caller owns the matching config)
+        #   2. HYDRAVOX_TOKENIZER_NPZ / HYDRAVOX_SPEAKER_NPZ env
+        #   3. committed default checkpoints (frontend/assets/ckpt/, trained by
+        #      train/train_frontend.py --preset shipped --synthetic_speech —
+        #      the in-repo replacement for the reference's frozen ONNX weights)
+        #   4. random init (keeps the pipeline executable, conditioning = noise)
+        # Paths 2-3 read a `<model>.json` sidecar for the architecture config.
         import os as _os
 
-        tok_npz = _os.environ.get("HYDRAVOX_TOKENIZER_NPZ")
-        spk_npz = _os.environ.get("HYDRAVOX_SPEAKER_NPZ")
-        for env_path, attr, name in (
-            (tok_npz, "tokenizer_params", "tokenizer"),
-            (spk_npz, "speaker_params", "speaker"),
+        asset_dir = _os.path.join(_os.path.dirname(__file__), "assets", "ckpt")
+        self.st_cfg = st.SpeechTokenizerConfig()
+        self.spk_cfg = st.SpeakerEncoderConfig()
+        self.tokenizer_params = tokenizer_params
+        self.speaker_params = speaker_params
+        for attr, name, explicit in (
+            ("tokenizer_params", "tokenizer", tokenizer_params),
+            ("speaker_params", "speaker", speaker_params),
         ):
-            explicit = tokenizer_params if name == "tokenizer" else speaker_params
-            if explicit is not None or not env_path or not _os.path.exists(env_path):
+            if explicit is not None:
+                continue
+            env_path = _os.environ.get(f"HYDRAVOX_{name.upper()}_NPZ")
+            path = (env_path if env_path and _os.path.exists(env_path)
+                    else _os.path.join(asset_dir, f"{name}.npz"))
+            if not _os.path.exists(path):
                 continue
             try:
+                loaded_cfg = self._load_extractor_cfg(path, name)
+                if name == "tokenizer":
+                    self.st_cfg = loaded_cfg or self.st_cfg
+                    template = st.init_tokenizer_params(k1, self.st_cfg)
+                else:
+                    self.spk_cfg = loaded_cfg or self.spk_cfg
+                    template = st.init_speaker_params(k2, self.spk_cfg)
                 from ..train.checkpoint import load_params_npz
 
-                setattr(self, attr, load_params_npz(env_path, getattr(self, attr)))
-                logger.info("loaded trained %s weights from %s", name, env_path)
+                setattr(self, attr, load_params_npz(path, template))
+                logger.info("loaded trained %s weights from %s", name, path)
             except Exception as e:
-                logger.warning("could not load %s weights %s (%s); keeping "
-                               "random init", name, env_path, e)
+                logger.warning("could not load %s weights %s (%s); falling "
+                               "back to random init", name, path, e)
+        if self.tokenizer_params is None:
+            self.tokenizer_params = st.init_tokenizer_params(k1, self.st_cfg)
+        if self.speaker_params is None:
+            self.speaker_params = st.init_speaker_params(k2, self.spk_cfg)
         self.spk2info: Dict[str, SpeakerInfo] = {}
         self._tokenize_jit = jax.jit(
             lambda p, w: st.tokenize_waveform(p, self.st_cfg, w)
@@ -115,6 +127,25 @@ class Frontend:
         # then the native random-weight architectures keep the pipeline
         # executable — zero-shot timbre transfer needs real weights either way
         self._onnx_tokenizer, self._onnx_speaker = st.maybe_onnx_extractors()
+
+    @staticmethod
+    def _load_extractor_cfg(npz_path: str, name: str):
+        """Read the `<model>.json` architecture sidecar next to a trained
+        extractor npz (written by train/train_frontend.py). None = no sidecar
+        (use the default config)."""
+        import json
+        import os as _os
+
+        sidecar = _os.path.join(_os.path.dirname(npz_path), f"{name}.json")
+        if not _os.path.exists(sidecar):
+            return None
+        with open(sidecar) as f:
+            d = json.load(f)
+        if name == "tokenizer":
+            if "fsq_levels" in d:
+                d["fsq_levels"] = tuple(d["fsq_levels"])
+            return st.SpeechTokenizerConfig(**d)
+        return st.SpeakerEncoderConfig(**d)
 
     # -- text ---------------------------------------------------------------
 

@@ -17,9 +17,10 @@ CV1/CV2 model generations (SURVEY §2.6):
     upsample conv -> 4 blocks) with static-chunk streaming masks.
   - InterpolateRegulator (length_regulator.py:21-70) for the CV1 flow.
 
-Dropout is omitted (inference path; training uses these encoders with
-dropout-free determinism — a documented delta, the reference's rates default
-to 0.1 at train time only).
+Dropout: rng-threaded through every block via `dropout_rng`/`drop_rng`
+(train path; the default `dropout_rng=None` is the deterministic inference
+path) — matching the reference's 0.1 train-time defaults
+(encoder_layer.py:151-170).
 """
 
 from __future__ import annotations

@@ -88,6 +88,14 @@ def build_synth(checkpoint=None, vocoder=None, tiny=False):
     if vocoder:
         voc_params = load_params_npz(vocoder, voc_params)
 
+    # vocoder bias denoiser (reference app.py uses cli.load_vocoder's
+    # Denoiser, cli.py:103); bias spectrum computed once at build time
+    from . import denoiser as dn
+
+    bias_spec = dn.make_bias_spec(
+        lambda m: hifigan.forward(voc_params, voc_cfg, m),
+        n_mels=voc_cfg.in_channels, mode="zeros")
+
     def synth(text: str, steps: int, temperature: float, speaking_rate: float):
         ids = matcha_text.intersperse(matcha_text.text_to_sequence(text))
         x = jnp.asarray(ids, jnp.int32)[None]
@@ -99,7 +107,8 @@ def build_synth(checkpoint=None, vocoder=None, tiny=False):
         )
         ml = int(out["mel_lengths"][0])
         mel = out["mel"][:, :, :ml]
-        wav = np.asarray(hifigan.forward(voc_params, voc_cfg, mel))[0]
+        wav_j = hifigan.forward(voc_params, voc_cfg, mel)
+        wav = np.asarray(dn.denoise(wav_j, bias_spec))[0]
         dt = time.time() - t0
         return wav, cfg.sample_rate, dt
 

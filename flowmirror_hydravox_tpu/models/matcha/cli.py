@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.667)
     p.add_argument("--speaking_rate", type=float, default=1.0)
     p.add_argument("--max_mel_len", type=int, default=1024)
+    p.add_argument("--denoiser_strength", type=float, default=0.00025,
+                   help="vocoder bias denoiser strength; 0 disables "
+                        "(reference cli.py:252-255)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -65,7 +68,15 @@ def main(argv=None):
     )
     ml = int(out["mel_lengths"][0])
     mel = out["mel"][:, :, :ml]
-    wav = np.asarray(hifigan.forward(voc_params, voc_cfg, mel))[0]
+    wav_j = hifigan.forward(voc_params, voc_cfg, mel)
+    if args.denoiser_strength > 0:
+        # reference cli.py:103,117-122: bias denoiser after the vocoder
+        from . import denoiser as dn
+
+        bias = dn.make_bias_spec(
+            lambda m: hifigan.forward(voc_params, voc_cfg, m), mode="zeros")
+        wav_j = dn.denoise(wav_j, bias, strength=args.denoiser_strength)
+    wav = np.asarray(wav_j)[0]
     t = time.time() - t0
     rtf = t * cfg.sample_rate / max(len(wav), 1)  # matcha_tts.py:138-139 definition
     logger.info("synthesised %.2f s in %.2f s (rtf %.3f)", len(wav) / cfg.sample_rate, t, rtf)

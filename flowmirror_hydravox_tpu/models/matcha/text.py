@@ -55,11 +55,33 @@ def english_cleaners_no_phonemizer(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+_default_g2p = None
+
+
+def default_phonemizer() -> Callable[[str], str]:
+    """Built-in rule/lexicon G2P (g2p.py) — IPA over the reference symbol
+    inventory; upgraded transparently by HYDRAVOX_CMU_LEXICON."""
+    global _default_g2p
+    if _default_g2p is None:
+        from .g2p import G2P
+
+        _default_g2p = G2P()
+    return _default_g2p
+
+
 def text_to_sequence(
-    text: str, phonemize_fn: Optional[Callable[[str], str]] = None
+    text: str, phonemize_fn: Optional[Callable[[str], str]] = None,
+    use_g2p: bool = True,
 ) -> List[int]:
-    """Text -> symbol-id sequence (matcha/text/__init__.py:1-53)."""
+    """Text -> symbol-id sequence (matcha/text/__init__.py:1-53).
+
+    Default path is phoneme-class like the reference's espeak cleaner
+    (cleaners.py:28): cleaner -> G2P -> IPA symbol ids.  Pass an external
+    `phonemize_fn` (e.g. a real espeak wrapper) to override the built-in,
+    or `use_g2p=False` for character-level symbols."""
     cleaned = english_cleaners_no_phonemizer(text)
+    if phonemize_fn is None and use_g2p:
+        phonemize_fn = default_phonemizer()
     if phonemize_fn is not None:
         cleaned = phonemize_fn(cleaned)
     return [_symbol_to_id[ch] for ch in cleaned if ch in _symbol_to_id]

@@ -132,6 +132,16 @@ def main(argv=None):
                    help="wav directory (speaker mode: one subdir per speaker)")
     p.add_argument("--synthetic", action="store_true",
                    help="random-audio smoke mode (no data needed)")
+    p.add_argument("--synthetic_speech", action="store_true",
+                   help="deterministic formant-synthesis corpus "
+                        "(train/synth_speech.py) — speech-like structure, no "
+                        "data needed; the shipped checkpoints' recipe")
+    p.add_argument("--corpus_utts", type=int, default=0,
+                   help="synthetic_speech: pre-generate this many cached "
+                        "utterances and sample crops (0 = stream fresh ones)")
+    p.add_argument("--preset", choices=["reference", "shipped"], default="reference",
+                   help="'shipped' = the committable mid-size config used for "
+                        "the in-repo default checkpoints (fp16 on disk)")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--seconds", type=float, default=4.0, help="crop length")
@@ -155,8 +165,12 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
 
     if args.model == "tokenizer":
-        cfg = (st.SpeechTokenizerConfig(dim=64, num_layers=2, num_heads=4)
-               if args.tiny else st.SpeechTokenizerConfig())
+        if args.tiny:
+            cfg = st.SpeechTokenizerConfig(dim=64, num_layers=2, num_heads=4)
+        elif args.preset == "shipped":
+            cfg = st.SpeechTokenizerConfig(dim=256, num_layers=4, num_heads=4)
+        else:
+            cfg = st.SpeechTokenizerConfig()
         k1, k2 = jax.random.split(rng)
         params = {
             "enc": st.init_tokenizer_params(k1, cfg),
@@ -168,11 +182,20 @@ def main(argv=None):
             loss = st.tokenizer_recon_loss(params["enc"], params["dec"], cfg, mel)
             return loss, {"loss": loss}
 
-        batches = (
-            _synthetic_batches(args.batch_size, args.seconds, args.n_speakers, args.seed)
-            if args.synthetic else
-            _wav_batches(args.wav_dir, args.batch_size, args.seconds, args.seed)
-        )
+        if args.synthetic_speech:
+            from .synth_speech import corpus_batches, synth_batches
+
+            if args.corpus_utts:
+                batches = corpus_batches(
+                    args.batch_size, args.seconds, args.n_speakers, args.seed,
+                    corpus_utts=args.corpus_utts)
+            else:
+                batches = synth_batches(
+                    args.batch_size, args.seconds, args.n_speakers, args.seed)
+        elif args.synthetic:
+            batches = _synthetic_batches(args.batch_size, args.seconds, args.n_speakers, args.seed)
+        else:
+            batches = _wav_batches(args.wav_dir, args.batch_size, args.seconds, args.seed)
     else:
         cfg = (st.SpeakerEncoderConfig(dim=32, num_layers=2)
                if args.tiny else st.SpeakerEncoderConfig())
@@ -190,11 +213,20 @@ def main(argv=None):
             loss, acc = st.aam_softmax_loss(emb, params["classifier"], labels)
             return loss, {"loss": loss, "acc": acc}
 
-        batches = (
-            _synthetic_batches(args.batch_size, args.seconds, args.n_speakers, args.seed)
-            if args.synthetic else
-            _speaker_batches(args.wav_dir, args.batch_size, args.seconds, args.seed)
-        )
+        if args.synthetic_speech:
+            from .synth_speech import corpus_batches, synth_batches
+
+            if args.corpus_utts:
+                batches = corpus_batches(
+                    args.batch_size, args.seconds, args.n_speakers, args.seed,
+                    corpus_utts=args.corpus_utts)
+            else:
+                batches = synth_batches(
+                    args.batch_size, args.seconds, args.n_speakers, args.seed)
+        elif args.synthetic:
+            batches = _synthetic_batches(args.batch_size, args.seconds, args.n_speakers, args.seed)
+        else:
+            batches = _speaker_batches(args.wav_dir, args.batch_size, args.seconds, args.seed)
 
     optimizer = make_optimizer(OptimConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
@@ -222,8 +254,28 @@ def main(argv=None):
         params = optax.apply_updates(state.params, updates)
         return state._replace(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
+    # host-side prefetch: overlap corpus synthesis with the device step
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+    def _feed():
+        for item in batches:
+            q.put(item)
+        q.put(None)
+
+    _threading.Thread(target=_feed, daemon=True).start()
+
+    def _drain():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
     t0 = time.time()
-    for i, (wavs, labels) in enumerate(batches):
+    for i, (wavs, labels) in enumerate(_drain()):
         if i >= args.max_steps:
             break
         if args.model == "tokenizer":
@@ -234,20 +286,33 @@ def main(argv=None):
             m = {k: float(v) for k, v in metrics.items()}
             logger.info("step %d %s (%.1fs)", i + 1, m, time.time() - t0)
         if (i + 1) % args.save_steps == 0 or i + 1 >= args.max_steps:
-            _save(args, state)
-    _save(args, state)
+            _save(args, state, cfg)
+    _save(args, state, cfg)
     logger.info("done: %s", args.output_dir)
 
 
-def _save(args, state):
+def _save(args, state, cfg):
     """`<model>.npz` = the subtree the serving Frontend consumes (encoder /
-    speaker trunk); `<model>_full.npz` = the whole training tree (resume)."""
+    speaker trunk) + `<model>.json` config sidecar so the Frontend can build
+    a matching config; `<model>_full.npz` = the whole training tree (resume).
+    The 'shipped' preset stores fp16 to halve the committed size (the loader
+    casts to the template dtype, train/checkpoint.py:89)."""
+    import dataclasses as _dc
+    import json
+
     from .checkpoint import save_params_npz
 
     params = jax.device_get(state.params)
     frontend_tree = params["enc"] if args.model == "tokenizer" else params["spk"]
+    if args.preset == "shipped":
+        frontend_tree = jax.tree.map(
+            lambda a: np.asarray(a, np.float16), frontend_tree)
     save_params_npz(os.path.join(args.output_dir, f"{args.model}.npz"), frontend_tree)
     save_params_npz(os.path.join(args.output_dir, f"{args.model}_full.npz"), params)
+    cfg_dict = {k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in _dc.asdict(cfg).items()}
+    with open(os.path.join(args.output_dir, f"{args.model}.json"), "w") as f:
+        json.dump(cfg_dict, f, indent=1)
 
 
 if __name__ == "__main__":

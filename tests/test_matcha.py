@@ -124,3 +124,98 @@ def test_matcha_demo_app_synth():
     synth = build_synth(tiny=True)
     wav, sr, dt = synth("hello demo", steps=2, temperature=0.667, speaking_rate=1.0)
     assert sr == 22050 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+# ---------------------------------------------------------------------------
+# vocoder bias denoiser (reference matcha/hifigan/denoiser.py:1-64)
+
+
+@pytest.mark.quick
+def test_denoiser_torch_parity():
+    """Our STFT-subtract-ISTFT chain must match the reference Denoiser math
+    (torch.stft/istft, center=True, hann) on the same bias spectrum."""
+    torch = pytest.importorskip("torch")
+    from flowmirror_hydravox_tpu.models.matcha import denoiser as dn
+
+    n_fft, n_overlap = 1024, 4
+    hop = n_fft // n_overlap
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((1, 8192)).astype(np.float32) * 0.1
+    bias_audio = rng.standard_normal((1, 4096)).astype(np.float32) * 0.01
+    win_t = torch.hann_window(n_fft)
+
+    def stft_t(x):
+        spec = torch.stft(torch.as_tensor(x), n_fft=n_fft, hop_length=hop,
+                          win_length=n_fft, window=win_t, return_complex=True)
+        return spec.abs(), spec.angle()
+
+    # reference: bias = frame 0 of |STFT(bias audio)| (denoiser.py:52-56)
+    bias_mag_t, _ = stft_t(bias_audio)
+    bias_t = bias_mag_t[0, :, 0]
+    strength = 0.005
+    mag_t, ang_t = stft_t(audio)
+    den_t = torch.clamp(mag_t - bias_t[None, :, None] * strength, 0.0)
+    out_t = torch.istft(torch.complex(den_t * torch.cos(ang_t), den_t * torch.sin(ang_t)),
+                        n_fft=n_fft, hop_length=hop, win_length=n_fft, window=win_t)
+
+    win_j = jnp.asarray(np.asarray(win_t))
+    bias_j = jnp.abs(dn._stft(jnp.asarray(bias_audio), n_fft, hop, win_j))[0, :, 0]
+    np.testing.assert_allclose(np.asarray(bias_j), bias_t.numpy(), atol=1e-3)
+    out_j = dn.denoise(jnp.asarray(audio), bias_j, strength=strength,
+                       filter_length=n_fft, n_overlap=n_overlap)
+    t = min(out_t.shape[-1], out_j.shape[-1])
+    np.testing.assert_allclose(np.asarray(out_j)[0, :t], out_t.numpy()[0, :t],
+                               atol=2e-3)
+
+
+@pytest.mark.quick
+def test_denoiser_bias_spec_and_reduction():
+    """make_bias_spec drives a real (tiny) vocoder; denoising the raw bias
+    audio at strength 1 should strictly reduce its energy."""
+    from flowmirror_hydravox_tpu.models.matcha import denoiser as dn
+
+    voc_cfg = HiFiGANConfig(in_channels=8, upsample_initial_channel=16)
+    voc_params = vocoder.init_params(jax.random.PRNGKey(0), voc_cfg)
+    fn = lambda m: vocoder.forward(voc_params, voc_cfg, m)
+    bias = dn.make_bias_spec(fn, n_mels=8, mode="zeros")
+    assert bias.shape == (513,) and bool(jnp.all(jnp.isfinite(bias)))
+    bias_audio = fn(jnp.zeros((1, 8, 88)))
+    out = dn.denoise(bias_audio, bias, strength=1.0)
+    assert float(jnp.mean(out ** 2)) < float(jnp.mean(bias_audio ** 2)) * 0.5
+
+
+# ---------------------------------------------------------------------------
+# G2P default cleaner (espeak replacement, reference matcha/text/cleaners.py:28)
+
+
+@pytest.mark.quick
+def test_g2p_phoneme_class_default():
+    """Default text path yields IPA phoneme symbols, not raw characters."""
+    from flowmirror_hydravox_tpu.models.matcha import text as mt
+    from flowmirror_hydravox_tpu.models.matcha.g2p import G2P, arpa_to_ipa
+
+    g = G2P()
+    assert g("hello") == "həlˈoʊ"          # exception lexicon
+    assert g("the cat") == "ðə kˈæt"        # lexicon + rules
+    out = g("phonetics")                    # rules only (ph->F, tion-like)
+    assert out.startswith("f") and all(ord(c) < 0x3000 for c in out)
+    assert arpa_to_ipa(["HH", "AH0", "L", "OW1"]) == "həlˈoʊ"
+    ids = mt.text_to_sequence("hello world")
+    chars = mt.text_to_sequence("hello world", use_g2p=False)
+    assert ids != chars
+    # IPA symbols present (ids beyond the ascii letter block)
+    letter_ids = {mt._symbol_to_id[c] for c in "abcdefghijklmnopqrstuvwxyz"}
+    assert any(i not in letter_ids and i > 52 for i in ids)
+    # punctuation / prosodic breaks survive
+    assert mt._symbol_to_id[","] in mt.text_to_sequence("well, yes")
+
+
+@pytest.mark.quick
+def test_g2p_lexicon_override(tmp_path, monkeypatch):
+    """HYDRAVOX_CMU_LEXICON entries take priority over rules."""
+    lex = tmp_path / "lex.txt"
+    lex.write_text("ZYZZYX  Z IH1 K S\n")
+    monkeypatch.setenv("HYDRAVOX_CMU_LEXICON", str(lex))
+    from flowmirror_hydravox_tpu.models.matcha.g2p import G2P
+
+    assert G2P()("zyzzyx") == "zˈɪks"
