@@ -1,13 +1,19 @@
 """Stage 2: voice-activity segmentation.
 
 Replaces reference scripts/preprocess/vad_processor.py (Silero VAD torch
-model) with a self-contained energy+spectral-flatness VAD: frame RMS with
-adaptive noise-floor threshold and hangover smoothing.  Same post-rules as
-the reference: merge segments separated by < min_gap (0.5 s), split
-segments longer than max_dur (10 s), drop < min_dur (0.5 s).
+model).  Two detectors share the same post-rules (merge segments separated
+by < min_gap 0.5 s, split > max_dur 10 s, drop < min_dur 0.5 s — the
+reference's contract):
 
-A pluggable `speech_prob_fn` hook accepts an external VAD model (e.g. a
-Silero export) when available.
+  - native (default when weights are shipped/trained): the tiny dilated-conv
+    frame classifier in vad_model.py, trained on speech+noise mixtures —
+    the Silero-role model.  `tools/eval_vad.py` measures its margin over the
+    energy baseline on noisy clips.
+  - energy: frame RMS with adaptive noise-floor threshold and hangover
+    smoothing — dependency-free fallback (`--model energy`).
+
+A pluggable `speech_prob_fn` hook also accepts any external VAD (e.g. a
+Silero export) directly.
 """
 
 from __future__ import annotations
@@ -110,17 +116,45 @@ def main(argv=None):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--min_dur", type=float, default=0.5)
     p.add_argument("--max_dur", type=float, default=10.0)
+    p.add_argument("--min_gap", type=float, default=0.5)
+    p.add_argument("--model", choices=["auto", "native", "energy"], default="auto",
+                   help="auto = trained native VAD when its weights exist, "
+                        "else energy fallback")
+    p.add_argument("--cpu", action="store_true", default=True,
+                   help="run the native model on host CPU (data tool; keeps "
+                        "the accelerator free for serving/training)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    if args.cpu and args.model != "energy":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from ..utils.wavio import decode_wav, encode_wav
 
-    cfg = VADConfig(min_dur_s=args.min_dur, max_dur_s=args.max_dur)
+    speech_prob_fn = None
+    if args.model in ("auto", "native"):
+        from .vad_model import maybe_native_vad
+
+        native = maybe_native_vad()
+        if native is not None:
+            speech_prob_fn = native
+            logger.info("using trained native VAD")
+        elif args.model == "native":
+            raise SystemExit("no trained VAD weights (preprocess/assets/vad.npz "
+                             "or HYDRAVOX_VAD_NPZ); train with train/train_vad.py")
+        else:
+            logger.info("no trained VAD weights; using energy VAD")
+
+    cfg = VADConfig(min_dur_s=args.min_dur, max_dur_s=args.max_dur,
+                    min_gap_s=args.min_gap)
     n_seg = 0
     for path in Path(args.input_dir).rglob("*.wav"):
         with open(path, "rb") as f:
             wav, sr = decode_wav(f.read())
-        for i, (s, e) in enumerate(detect_speech(wav, sr, cfg)):
+        for i, (s, e) in enumerate(
+                detect_speech(wav, sr, cfg, speech_prob_fn=speech_prob_fn)):
             seg = wav[int(s * sr) : int(e * sr)]
             rel = path.relative_to(args.input_dir)
             dst = Path(args.output_dir) / rel.parent / f"{rel.stem}_{i:04d}.wav"

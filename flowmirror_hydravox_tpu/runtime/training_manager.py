@@ -70,13 +70,28 @@ class TrainingManager:
                            "--input_dir", req["input_dir"], "--output_dir", req["output_dir"],
                            "--sample_rate", str(req.get("sample_rate", 24000))]
         if stage == "2":
-            return base + ["flowmirror_hydravox_tpu.preprocess.vad",
-                           "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
+            cmd = base + ["flowmirror_hydravox_tpu.preprocess.vad",
+                          "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
+            for key, flag in (("min_dur", "--min_dur"), ("max_dur", "--max_dur"),
+                              ("min_gap", "--min_gap"), ("vad_model", "--model")):
+                if req.get(key) is not None:
+                    cmd += [flag, str(req[key])]
+            return cmd
         if stage == "3":
             cmd = base + ["flowmirror_hydravox_tpu.preprocess.transcribe",
                           "--input_dir", req["input_dir"], "--output_dir", req["output_dir"]]
             if req.get("transcript_file"):
                 cmd += ["--transcript_file", req["transcript_file"]]
+            if req.get("asr_module"):
+                cmd += ["--asr_module", req["asr_module"]]
+            for key, flag in (("num_workers", "--num_workers"),
+                              ("min_sec", "--min_sec")):
+                if req.get(key) is not None:
+                    cmd += [flag, str(req[key])]
+            if req.get("normalize_loudness"):
+                cmd.append("--normalize_loudness")
+            if req.get("no_filename_fallback"):
+                cmd.append("--no_filename_fallback")
             return cmd
         if stage == "4":
             return base + ["flowmirror_hydravox_tpu.preprocess.extract_tokens",

@@ -148,14 +148,16 @@ def _fricative_segment(rng: np.random.Generator, prof: SpeakerProfile,
     return 0.4 * out / max(np.abs(out).max(), 1e-6)
 
 
-def synth_utterance(speaker_id: int, utterance_id: int, seconds: float = 4.0,
-                    seed: int = 0) -> np.ndarray:
-    """Deterministic (speaker, utterance) -> float32 mono waveform at 16 kHz."""
+def synth_utterance_with_mask(speaker_id: int, utterance_id: int,
+                              seconds: float = 4.0, seed: int = 0):
+    """Like synth_utterance but also returns the per-sample speech/silence
+    ground truth (uint8) — the supervision signal for VAD training."""
     prof = speaker_profile(speaker_id, seed)
     rng = np.random.default_rng(
         np.random.SeedSequence([seed, 0x5E, speaker_id, utterance_id]))
     total = int(seconds * SR)
     out = np.zeros(total, np.float64)
+    mask = np.zeros(total, np.uint8)
     pos = 0
     while pos < total:
         dur = rng.uniform(0.6, 1.6) / prof.rate
@@ -163,6 +165,7 @@ def synth_utterance(speaker_id: int, utterance_id: int, seconds: float = 4.0,
         if n < 64:
             break
         kind = rng.random()
+        speech = True
         if kind < 0.62:  # vowel
             seg = _voiced_segment(rng, prof, int(rng.integers(len(_VOWELS))), n,
                                   f0_mul=float(np.exp(rng.normal(0, prof.f0_range))))
@@ -170,6 +173,7 @@ def synth_utterance(speaker_id: int, utterance_id: int, seconds: float = 4.0,
             seg = _fricative_segment(rng, prof, int(rng.integers(len(_FRICS))), n)
         else:  # pause / plosive gap
             seg = np.zeros(n)
+            speech = False
         # 10 ms raised-cosine edges to avoid clicks
         edge = min(int(0.010 * SR), n // 2)
         if edge > 0:
@@ -177,9 +181,45 @@ def synth_utterance(speaker_id: int, utterance_id: int, seconds: float = 4.0,
             seg[:edge] *= win
             seg[-edge:] *= win[::-1]
         out[pos:pos + n] += seg * rng.uniform(0.5, 1.0)
+        if speech:
+            mask[pos:pos + n] = 1
         pos += n
     out *= 0.6 / max(np.abs(out).max(), 1e-6)
-    return out.astype(np.float32)
+    return out.astype(np.float32), mask
+
+
+def synth_utterance(speaker_id: int, utterance_id: int, seconds: float = 4.0,
+                    seed: int = 0) -> np.ndarray:
+    """Deterministic (speaker, utterance) -> float32 mono waveform at 16 kHz."""
+    return synth_utterance_with_mask(speaker_id, utterance_id, seconds, seed)[0]
+
+
+def synth_noise(kind: str, n: int, rng: np.random.Generator) -> np.ndarray:
+    """Non-speech interference for VAD training: white / pink (1/f) /
+    hum (mains harmonics) / babble (overlapped distant speakers)."""
+    if kind == "white":
+        out = rng.standard_normal(n)
+    elif kind == "pink":
+        spec = np.fft.rfft(rng.standard_normal(n))
+        f = np.maximum(np.fft.rfftfreq(n, 1.0 / SR), 1.0)
+        out = np.fft.irfft(spec / np.sqrt(f), n)
+    elif kind == "hum":
+        t = np.arange(n) / SR
+        out = sum(rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * 50.0 * k * t +
+                                                 rng.uniform(0, 2 * np.pi))
+                  for k in range(1, 6))
+        out = np.asarray(out) + 0.05 * rng.standard_normal(n)
+    elif kind == "babble":
+        # several faraway "speakers" summed — the hardest case for energy VAD
+        out = np.zeros(n)
+        for _ in range(6):
+            spk = int(rng.integers(0, 1 << 20))
+            utt = int(rng.integers(0, 1 << 20))
+            w = synth_utterance(spk, utt, n / SR + 0.1, seed=int(rng.integers(1 << 16)))
+            out += w[:n]
+    else:
+        raise ValueError(kind)
+    return (out / max(np.abs(out).max(), 1e-6)).astype(np.float32)
 
 
 def synth_batches(batch_size: int, seconds: float, n_speakers: int, seed: int):

@@ -326,3 +326,73 @@ def test_conformer_encoder_layer_parity(torch):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_dit_estimator_parity(torch):
+    """models/dit.py vs a local torch re-statement of the reference DiT math
+    (tests/torch_mini_dit.py; the real module imports x_transformers, absent
+    here).  Covers the partial-rotary quirk (only head 0 rotated, interleaved
+    pairs), AdaLN-Zero gates, causal conv position embedding, the final
+    scale-first modulation, and the streaming chunk mask
+    (DiT/modules.py:289-536, dit.py:145-176)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowmirror_hydravox_tpu.config import DiTConfig
+    from flowmirror_hydravox_tpu.models import dit as dit_jax
+    from torch_mini_dit import MiniDiT
+
+    cfg = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                    mel_dim=8, mu_dim=12, spk_dim=6, freq_embed_dim=32,
+                    static_chunk_size=5)
+    torch.manual_seed(0)
+    ref = MiniDiT(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=8,
+                  mu_dim=12, spk_dim=6, freq_embed_dim=32, static_chunk_size=5)
+    ref.eval()
+
+    def lin(mod):
+        return {"w": jnp.asarray(mod.weight.detach().numpy().T),
+                "b": jnp.asarray(mod.bias.detach().numpy())}
+
+    def conv(mod):
+        return {"w": jnp.asarray(mod.weight.detach().numpy()),
+                "b": jnp.asarray(mod.bias.detach().numpy())}
+
+    blocks = [{
+        "attn_norm_linear": lin(b.attn_norm_linear),
+        "to_q": lin(b.to_q), "to_k": lin(b.to_k), "to_v": lin(b.to_v),
+        "to_out": lin(b.to_out), "ff_in": lin(b.ff_in), "ff_out": lin(b.ff_out),
+    } for b in ref.blocks]
+    params = {
+        "time_mlp_in": lin(ref.time_embed.time_mlp[0]),
+        "time_mlp_out": lin(ref.time_embed.time_mlp[2]),
+        "input_proj": lin(ref.input_proj),
+        "conv_pos1": conv(ref.conv_pos.conv1),
+        "conv_pos2": conv(ref.conv_pos.conv2),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm_out_linear": lin(ref.norm_out_linear),
+        "proj_out": lin(ref.proj_out),
+    }
+
+    rng = np.random.default_rng(0)
+    b, t_len = 2, 12
+    x = rng.standard_normal((b, 8, t_len)).astype(np.float32)
+    mu = rng.standard_normal((b, 12, t_len)).astype(np.float32)
+    cond = rng.standard_normal((b, 8, t_len)).astype(np.float32)
+    spks = rng.standard_normal((b, 6)).astype(np.float32)
+    tt = np.asarray([0.3, 0.8], np.float32)
+    mask = np.ones((b, 1, t_len), np.float32)
+    mask[1, :, 9:] = 0.0  # padded row: compare valid region only
+
+    for streaming in (False, True):
+        with torch.no_grad():
+            ref_out = ref(torch.as_tensor(x), torch.as_tensor(mask),
+                          torch.as_tensor(mu), torch.as_tensor(tt),
+                          torch.as_tensor(spks), torch.as_tensor(cond),
+                          streaming=streaming).numpy()
+        out = np.asarray(dit_jax.forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(mask), jnp.asarray(mu),
+            jnp.asarray(tt), jnp.asarray(spks), jnp.asarray(cond),
+            streaming=streaming, unroll=False))
+        np.testing.assert_allclose(out[0], ref_out[0], atol=1e-3)
+        np.testing.assert_allclose(out[1, :, :9], ref_out[1, :, :9], atol=1e-3)
