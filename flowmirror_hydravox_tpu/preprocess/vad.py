@@ -149,10 +149,15 @@ def main(argv=None):
 
     cfg = VADConfig(min_dur_s=args.min_dur, max_dur_s=args.max_dur,
                     min_gap_s=args.min_gap)
-    n_seg = 0
+    n_seg = n_bad = 0
     for path in Path(args.input_dir).rglob("*.wav"):
-        with open(path, "rb") as f:
-            wav, sr = decode_wav(f.read())
+        try:
+            with open(path, "rb") as f:
+                wav, sr = decode_wav(f.read())
+        except Exception as e:  # skip unreadable, keep segmenting the rest
+            logger.warning("skipping unreadable %s (%s)", path, e)
+            n_bad += 1
+            continue
         for i, (s, e) in enumerate(
                 detect_speech(wav, sr, cfg, speech_prob_fn=speech_prob_fn)):
             seg = wav[int(s * sr) : int(e * sr)]
@@ -162,7 +167,7 @@ def main(argv=None):
             with open(dst, "wb") as f:
                 f.write(encode_wav(seg, sr))
             n_seg += 1
-    logger.info("emitted %d segments", n_seg)
+    logger.info("emitted %d segments (%d unreadable files skipped)", n_seg, n_bad)
 
 
 if __name__ == "__main__":

@@ -607,6 +607,23 @@ class _Handler(BaseHTTPRequestHandler):
             data["batched_requests"] = self.service.batched_requests
             data["continuous_requests"] = self.service.continuous_requests
             self._send(200, _response(True, "ok", data=data))
+        elif self.path == "/api/v1/devices":
+            # device autodetect for the UI (reference data_tab.py:157-171
+            # CUDA probe -> here the jax platform/device census)
+            import jax
+
+            try:
+                devs = jax.devices()
+                data = {
+                    "platform": devs[0].platform if devs else "none",
+                    "device_count": len(devs),
+                    "devices": [str(d) for d in devs],
+                    "default_backend": jax.default_backend(),
+                }
+            except Exception as e:
+                data = {"platform": "unknown", "device_count": 0,
+                        "devices": [], "error": str(e)}
+            self._send(200, _response(True, "ok", data=data))
         elif self.path.startswith("/api/v1/training/plot/"):
             from .training_manager import training_manager
             from .training_plots import generate_training_plot

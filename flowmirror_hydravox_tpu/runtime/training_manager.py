@@ -28,15 +28,19 @@ class TrainingManager:
 
     # -- lifecycle -----------------------------------------------------------
 
+    _TRAIN_MODULES = {
+        "llm": "train_llm",
+        "flow": "train_flow",
+        "hift": "train_hift",
+        "dpo": "train_dpo",
+    }
+
     def build_command(self, req: dict) -> List[str]:
         """Mirror of reference _build_training_command (training_manager.py:78):
-        request fields -> CLI args."""
+        request fields -> CLI args, per model family (llm/flow/hift/dpo)."""
         model_type = req.get("model_type", "llm")
-        module = (
-            "flowmirror_hydravox_tpu.train.train_llm"
-            if model_type == "llm"
-            else "flowmirror_hydravox_tpu.train.train_flow"
-        )
+        module = "flowmirror_hydravox_tpu.train." + self._TRAIN_MODULES.get(
+            model_type, "train_llm")
         cmd = [
             sys.executable, "-m", module,
             "--train_data", req["train_data"],
@@ -46,12 +50,20 @@ class TrainingManager:
             "--logging_steps", str(req.get("logging_steps", 50)),
             "--save_steps", str(req.get("save_steps", 2000)),
         ]
-        if req.get("model_checkpoint"):
+        if req.get("model_checkpoint") and model_type != "hift":
             cmd += ["--model_ckpt", req["model_checkpoint"]]
-        if req.get("epochs"):
+        if req.get("epochs") and model_type not in ("hift",):
             cmd += ["--epochs", str(req["epochs"])]
         if req.get("max_steps"):
             cmd += ["--max_steps", str(req["max_steps"])]
+        if req.get("warmup_steps") and model_type != "hift":
+            cmd += ["--warmup_steps", str(req["warmup_steps"])]
+        if req.get("shard_optimizer"):
+            cmd.append("--shard_optimizer")
+        if req.get("tensor_parallel") and model_type in ("llm", "flow"):
+            cmd += ["--tensor_parallel", str(req["tensor_parallel"])]
+        if req.get("phoneme_aug") and model_type == "llm":
+            cmd.append("--phoneme_aug")
         if model_type == "llm":
             if req.get("tokenizer_path"):
                 cmd += ["--tokenizer_path", req["tokenizer_path"]]

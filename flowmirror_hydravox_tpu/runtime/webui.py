@@ -89,32 +89,80 @@ INDEX_HTML = """<!DOCTYPE html>
 </section>
 
 <section id="tab-data">
+ <div class="status" id="da-devices"></div>
  <div class="row">
   <div><label data-i18n="data_stage"></label>
    <select id="da-stage">
-    <option value="1">1 — resample/mono</option>
-    <option value="2">2 — VAD segmentation</option>
-    <option value="3">3 — transcribe (ASR)</option>
-    <option value="4">4 — token extraction</option>
-    <option value="5">5 — merge datasets</option>
+    <option value="1" data-i18n="stage1"></option>
+    <option value="2" data-i18n="stage2"></option>
+    <option value="3" data-i18n="stage3"></option>
+    <option value="4" data-i18n="stage4"></option>
+    <option value="5" data-i18n="stage5"></option>
    </select></div>
  </div>
  <label data-i18n="data_input"></label><input id="da-in"/>
  <label data-i18n="data_output"></label><input id="da-out"/>
+ <details id="da-params" open><summary data-i18n="stage_params"></summary>
+  <div class="stage-params" data-stage="1">
+   <div class="row">
+    <div><label data-i18n="p_sample_rate"></label><input id="da-sr" type="number" value="24000"/></div>
+   </div>
+  </div>
+  <div class="stage-params" data-stage="2" style="display:none">
+   <div class="row">
+    <div><label data-i18n="p_vad_model"></label>
+     <select id="da-vadmodel"><option value="auto" data-i18n="vad_auto"></option>
+      <option value="native" data-i18n="vad_native"></option>
+      <option value="energy" data-i18n="vad_energy"></option></select></div>
+    <div><label data-i18n="p_min_dur"></label><input id="da-mindur" type="number" value="0.5" step="0.1"/></div>
+    <div><label data-i18n="p_max_dur"></label><input id="da-maxdur" type="number" value="10" step="0.5"/></div>
+    <div><label data-i18n="p_min_gap"></label><input id="da-mingap" type="number" value="0.5" step="0.1"/></div>
+   </div>
+  </div>
+  <div class="stage-params" data-stage="3" style="display:none">
+   <div class="row">
+    <div><label data-i18n="p_workers"></label><input id="da-workers" type="number" value="1" min="1"/></div>
+    <div><label data-i18n="p_min_sec"></label><input id="da-minsec" type="number" value="0.3" step="0.1"/></div>
+    <div><label data-i18n="p_loudnorm"></label><select id="da-loudnorm">
+     <option value="1" data-i18n="yes"></option><option value="0" data-i18n="no"></option></select></div>
+   </div>
+   <label data-i18n="p_transcript_file"></label><input id="da-transcripts" placeholder="transcripts.tsv"/>
+   <label data-i18n="p_asr_module"></label><input id="da-asr" placeholder="my_pkg.asr.transcribe"/>
+  </div>
+  <div class="stage-params" data-stage="5" style="display:none">
+   <div class="status" data-i18n="merge_hint"></div>
+  </div>
+ </details>
  <button class="go" id="da-go" data-i18n="data_run"></button>
  <div class="status" id="da-status"></div>
  <pre id="da-log"></pre>
 </section>
 
 <section id="tab-training">
+ <div class="status" id="tr-devices"></div>
  <div class="row">
-  <div><label data-i18n="tr_model"></label><select id="tr-type"><option>llm</option><option>flow</option><option>hift</option></select></div>
+  <div><label data-i18n="tr_model"></label><select id="tr-type"><option>llm</option><option>flow</option><option>hift</option><option>dpo</option></select></div>
   <div><label data-i18n="tr_bs"></label><input id="tr-bs" type="number" value="4"/></div>
   <div><label data-i18n="tr_lr"></label><input id="tr-lr" value="1e-4"/></div>
  </div>
  <label data-i18n="tr_data"></label><input id="tr-data"/>
  <label data-i18n="tr_out"></label><input id="tr-out" value="checkpoints/training"/>
  <label data-i18n="tr_ckpt"></label><input id="tr-ckpt"/>
+ <details><summary data-i18n="tr_advanced"></summary>
+  <div class="row">
+   <div><label data-i18n="tr_max_steps"></label><input id="tr-maxsteps" type="number" placeholder="100000"/></div>
+   <div><label data-i18n="tr_warmup"></label><input id="tr-warmup" type="number" placeholder="2500"/></div>
+   <div><label data-i18n="tr_epochs"></label><input id="tr-epochs" type="number" placeholder="&mdash;"/></div>
+   <div><label data-i18n="tr_save_steps"></label><input id="tr-savesteps" type="number" value="2000"/></div>
+  </div>
+  <div class="row">
+   <div><label data-i18n="tr_tp"></label><input id="tr-tp" type="number" value="1" min="1"/></div>
+   <div><label data-i18n="tr_zero"></label><select id="tr-zero">
+    <option value="0" data-i18n="no"></option><option value="1" data-i18n="yes"></option></select></div>
+   <div><label data-i18n="tr_phoneme"></label><select id="tr-phoneme">
+    <option value="0" data-i18n="no"></option><option value="1" data-i18n="yes"></option></select></div>
+  </div>
+ </details>
  <button class="go" id="tr-go" data-i18n="tr_start"></button>
  <button class="go danger" id="tr-stop" data-i18n="tr_stop"></button>
  <div class="status" id="tr-status"></div>
@@ -132,8 +180,9 @@ INDEX_HTML = """<!DOCTYPE html>
  <h4 data-i18n="mo_convert"></h4>
  <div class="row">
   <div><label data-i18n="mo_action"></label>
-   <select id="mo-action"><option value="import">import (.pt/.safetensors → npz)</option>
-    <option value="graft-mtp">graft-mtp</option></select></div>
+   <select id="mo-action"><option value="import" data-i18n="mo_import"></option>
+    <option value="graft-mtp" data-i18n="mo_graft"></option>
+    <option value="average" data-i18n="mo_average"></option></select></div>
   <div><label data-i18n="tr_model"></label><select id="mo-model"><option>llm</option><option>flow</option><option>hift</option></select></div>
  </div>
  <label data-i18n="mo_src"></label><input id="mo-src"/>
@@ -168,12 +217,32 @@ const I18N = {
   cloning: "cloning...", pick_wav: "pick a prompt wav first",
   data_stage: "Pipeline stage", data_input: "Input directory",
   data_output: "Output directory", data_run: "Run stage",
+  stage1: "1 — resample / mono convert", stage2: "2 — VAD segmentation",
+  stage3: "3 — transcribe (ASR)", stage4: "4 — speech-token extraction",
+  stage5: "5 — merge datasets",
+  stage_params: "Stage parameters", p_sample_rate: "Sample rate (Hz)",
+  p_vad_model: "VAD model", vad_auto: "auto (trained if shipped)",
+  vad_native: "native (trained)", vad_energy: "energy (fallback)",
+  p_min_dur: "Min segment (s)", p_max_dur: "Max segment (s)",
+  p_min_gap: "Merge gap (s)", p_workers: "Worker processes",
+  p_min_sec: "Min clip (s)", p_loudnorm: "Loudness normalize",
+  p_transcript_file: "Transcript table (TSV/JSONL, optional)",
+  p_asr_module: "ASR hook (dotted callable, optional)",
+  merge_hint: "Input = comma-separated dataset directories to merge.",
+  yes: "yes", no: "no",
+  devices: "Compute: {platform} x{n}", devices_none: "No accelerator detected",
   tr_model: "Model", tr_bs: "Batch size", tr_lr: "Learning rate",
   tr_data: "Train data (HF dataset dir)", tr_out: "Output dir",
   tr_ckpt: "Init checkpoint (optional)", tr_start: "Start training", tr_stop: "Stop",
+  tr_advanced: "Advanced parameters", tr_max_steps: "Max steps",
+  tr_warmup: "Warmup steps", tr_epochs: "Epochs", tr_save_steps: "Save every",
+  tr_tp: "Tensor parallel", tr_zero: "Shard optimizer (ZeRO)",
+  tr_phoneme: "Phoneme augmentation",
   refresh: "Refresh", mo_path: "Path", mo_kind: "Kind", mo_modified: "Modified",
   mo_convert: "Convert checkpoint", mo_action: "Action", mo_src: "Source path",
   mo_dst: "Destination path", mo_convert_go: "Convert", mo_delete: "Delete",
+  mo_import: "import (.pt/.safetensors -> npz)", mo_graft: "graft MTP heads",
+  mo_average: "average checkpoints",
   mo_confirm: "Delete {p}?", running: "running", done: "done", error: "error",
   ok_secs: "ok: {s} s", started: "started: ",
   spk_add: "Add speaker (zero-shot enrollment)", spk_id: "Speaker id",
@@ -187,12 +256,32 @@ const I18N = {
   cloning: "克隆中...", pick_wav: "请先选择提示音频",
   data_stage: "处理阶段", data_input: "输入目录",
   data_output: "输出目录", data_run: "运行该阶段",
+  stage1: "1 — 重采样 / 单声道转换", stage2: "2 — VAD 语音分段",
+  stage3: "3 — 语音识别转写 (ASR)", stage4: "4 — 语音 token 提取",
+  stage5: "5 — 数据集合并",
+  stage_params: "阶段参数", p_sample_rate: "采样率 (Hz)",
+  p_vad_model: "VAD 模型", vad_auto: "自动（有权重用训练版）",
+  vad_native: "训练版（神经网络）", vad_energy: "能量版（后备）",
+  p_min_dur: "最短片段 (秒)", p_max_dur: "最长片段 (秒)",
+  p_min_gap: "合并间隔 (秒)", p_workers: "并行进程数",
+  p_min_sec: "最短音频 (秒)", p_loudnorm: "响度归一化",
+  p_transcript_file: "转写表 (TSV/JSONL，可选)",
+  p_asr_module: "ASR 回调 (点分路径，可选)",
+  merge_hint: "输入为逗号分隔的多个数据集目录。",
+  yes: "是", no: "否",
+  devices: "计算设备：{platform} x{n}", devices_none: "未检测到加速器",
   tr_model: "模型", tr_bs: "批大小", tr_lr: "学习率",
   tr_data: "训练数据 (HF 数据集目录)", tr_out: "输出目录",
   tr_ckpt: "初始权重 (可选)", tr_start: "开始训练", tr_stop: "停止",
+  tr_advanced: "高级参数", tr_max_steps: "最大步数",
+  tr_warmup: "预热步数", tr_epochs: "训练轮数", tr_save_steps: "保存间隔",
+  tr_tp: "张量并行", tr_zero: "优化器分片 (ZeRO)",
+  tr_phoneme: "音素增强",
   refresh: "刷新", mo_path: "路径", mo_kind: "类型", mo_modified: "修改时间",
   mo_convert: "权重转换", mo_action: "操作", mo_src: "源路径",
   mo_dst: "目标路径", mo_convert_go: "转换", mo_delete: "删除",
+  mo_import: "导入 (.pt/.safetensors -> npz)", mo_graft: "嫁接 MTP 多头",
+  mo_average: "权重平均",
   mo_confirm: "确定删除 {p}？", running: "运行中", done: "已完成", error: "错误",
   ok_secs: "完成：{s} 秒", started: "已启动：",
   spk_add: "添加说话人（零样本注册）", spk_id: "说话人 ID",
@@ -282,10 +371,35 @@ $('zs-go').onclick = async () => {
 };
 
 // ---- data pipeline (stages 1-5, reference data_tab.py one-click) ----
+// device autodetect (reference data_tab.py:157-171 CUDA probe)
+(async () => {
+  try {
+    const r = await api('/devices');
+    const txt = r.data.device_count
+      ? T('devices', {platform: r.data.platform, n: r.data.device_count})
+      : T('devices_none');
+    $('da-devices').textContent = txt; $('tr-devices').textContent = txt;
+  } catch (e) { /* server without the endpoint */ }
+})();
+// per-stage parameter accordion visibility
+$('da-stage').onchange = () => {
+  document.querySelectorAll('.stage-params').forEach(el =>
+    el.style.display = el.dataset.stage === $('da-stage').value ? '' : 'none');
+};
 let dataId = null, dataPoller = null;
 $('da-go').onclick = async () => {
-  const r = await api('/data/run', {stage: $('da-stage').value,
-    input_dir: $('da-in').value, output_dir: $('da-out').value});
+  const stage = $('da-stage').value;
+  const body = {stage, input_dir: $('da-in').value, output_dir: $('da-out').value};
+  if (stage === '1') body.sample_rate = +$('da-sr').value;
+  if (stage === '2') Object.assign(body, {vad_model: $('da-vadmodel').value,
+    min_dur: +$('da-mindur').value, max_dur: +$('da-maxdur').value,
+    min_gap: +$('da-mingap').value});
+  if (stage === '3') Object.assign(body, {num_workers: +$('da-workers').value,
+    min_sec: +$('da-minsec').value,
+    normalize_loudness: $('da-loudnorm').value === '1',
+    transcript_file: $('da-transcripts').value || null,
+    asr_module: $('da-asr').value || null});
+  const r = await api('/data/run', body);
   if (!r.success) { $('da-status').textContent = T('error') + ': ' + r.error; return; }
   dataId = r.data.training_id;
   $('da-status').textContent = T('started') + dataId;
@@ -307,7 +421,14 @@ $('tr-go').onclick = async () => {
   const r = await api('/training/start', {model_type: $('tr-type').value,
     train_data: $('tr-data').value, output_dir: $('tr-out').value,
     model_checkpoint: $('tr-ckpt').value || null,
-    batch_size: +$('tr-bs').value, learning_rate: +$('tr-lr').value});
+    batch_size: +$('tr-bs').value, learning_rate: +$('tr-lr').value,
+    max_steps: +$('tr-maxsteps').value || null,
+    warmup_steps: +$('tr-warmup').value || null,
+    epochs: +$('tr-epochs').value || null,
+    save_steps: +$('tr-savesteps').value || 2000,
+    tensor_parallel: +$('tr-tp').value > 1 ? +$('tr-tp').value : null,
+    shard_optimizer: $('tr-zero').value === '1',
+    phoneme_aug: $('tr-phoneme').value === '1'});
   if (!r.success) { $('tr-status').textContent = T('error') + ': ' + r.error; return; }
   trainingId = r.data.training_id;
   $('tr-status').textContent = T('running') + ': ' + trainingId;

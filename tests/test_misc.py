@@ -235,3 +235,44 @@ def test_webui_tabs_and_i18n_parity():
     # every data-i18n marker resolves to a key
     for key in re.findall(r'data-i18n="(\w+)"', INDEX_HTML):
         assert key in en_keys, key
+
+
+def test_training_command_model_family_mapping():
+    """hift/dpo map to their own trainers (previously hift fell through to
+    train_flow with incompatible args) and advanced params pass through."""
+    from flowmirror_hydravox_tpu.runtime.training_manager import TrainingManager
+
+    tm = TrainingManager()
+    base = {"train_data": "ds", "output_dir": "o"}
+    assert "train_hift" in " ".join(tm.build_command({**base, "model_type": "hift"}))
+    assert "train_dpo" in " ".join(tm.build_command({**base, "model_type": "dpo"}))
+    cmd = tm.build_command({**base, "model_type": "llm", "warmup_steps": 7,
+                            "tensor_parallel": 2, "shard_optimizer": True,
+                            "phoneme_aug": True, "max_steps": 11})
+    joined = " ".join(cmd)
+    for frag in ("--warmup_steps 7", "--tensor_parallel 2", "--shard_optimizer",
+                 "--phoneme_aug", "--max_steps 11"):
+        assert frag in joined, frag
+    # hift must NOT receive flags its CLI lacks
+    cmd_h = " ".join(tm.build_command({**base, "model_type": "hift",
+                                       "model_checkpoint": "x", "epochs": 2,
+                                       "warmup_steps": 5}))
+    for frag in ("--model_ckpt", "--epochs", "--warmup_steps"):
+        assert frag not in cmd_h, frag
+
+
+def test_data_stage_param_passthrough():
+    from flowmirror_hydravox_tpu.runtime.training_manager import TrainingManager
+
+    tm = TrainingManager()
+    cmd2 = " ".join(tm.build_data_command(
+        {"stage": "2", "input_dir": "i", "output_dir": "o", "vad_model": "energy",
+         "min_dur": 0.3, "max_dur": 8, "min_gap": 0.4}))
+    for frag in ("--model energy", "--min_dur 0.3", "--max_dur 8", "--min_gap 0.4"):
+        assert frag in cmd2, frag
+    cmd3 = " ".join(tm.build_data_command(
+        {"stage": "3", "input_dir": "i", "output_dir": "o", "num_workers": 4,
+         "min_sec": 0.5, "normalize_loudness": True, "asr_module": "m.f"}))
+    for frag in ("--num_workers 4", "--min_sec 0.5", "--normalize_loudness",
+                 "--asr_module m.f"):
+        assert frag in cmd3, frag
