@@ -115,6 +115,10 @@ class ContinuousBatcher:
         self._slot_req: list = [None] * slots
         self._slot_steps = [0] * slots
         self._backlog: list = []
+        # submit->slot-assignment latencies (bounded window) for /metrics
+        from collections import deque
+
+        self.admission_lat_s: "deque" = deque(maxlen=512)
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         # finished rows synthesize on their own thread so the decode loop can
         # admit + dispatch the next chunk while wavs transfer to the host
@@ -362,6 +366,9 @@ class ContinuousBatcher:
                 continue
             req = self._backlog.pop(0)
             try:
+                # admission latency: submit -> slot assignment (the queueing
+                # metric continuous batching exists to bound under load)
+                self.admission_lat_s.append(time.time() - req.t_submit)
                 bucket = self._bucket(len(req.text_tokens))
                 text = np.zeros((bucket,), np.int32)
                 text[: len(req.text_tokens)] = req.text_tokens[:bucket]

@@ -606,6 +606,13 @@ class _Handler(BaseHTTPRequestHandler):
             data = self.service.metrics.summary()
             data["batched_requests"] = self.service.batched_requests
             data["continuous_requests"] = self.service.continuous_requests
+            batcher = getattr(self.service, "batcher", None)
+            if batcher is not None and len(batcher.admission_lat_s):
+                import numpy as _np
+
+                lat = _np.asarray(batcher.admission_lat_s)
+                data["admission_ms_p50"] = round(float(_np.percentile(lat, 50)) * 1000, 1)
+                data["admission_ms_p95"] = round(float(_np.percentile(lat, 95)) * 1000, 1)
             self._send(200, _response(True, "ok", data=data))
         elif self.path == "/api/v1/devices":
             # device autodetect for the UI (reference data_tab.py:157-171
