@@ -31,37 +31,50 @@ SR = 16000
 HOP = 160  # 10 ms
 
 
-def mixture_batches(batch_size: int, seconds: float, seed: int):
-    """(wavs (B,T), frame_labels (B,F)) with F = T//HOP."""
+def mixture_batches(batch_size: int, seconds: float, seed: int,
+                    speech_pool: int = 768, noise_pool: int = 48):
+    """(wavs (B,T), frame_labels (B,F)) with F = T//HOP.
+
+    Synthesis is the bottleneck on a weak host (babble noise alone costs
+    ~0.5 s/clip), so speech+masks and noise clips are pre-generated into
+    pools and batches sample random crops — same distribution family, ~100x
+    cheaper per step after warmup."""
     from .synth_speech import synth_noise, synth_utterance_with_mask
 
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0x7AD]))
     n = int(seconds * SR)
+    pool_n = n + SR  # 1 s of crop slack
     kinds = ["white", "pink", "hum", "babble"]
-    utt = 0
+    speech_wavs, speech_masks = [], []
+    for u in range(speech_pool):
+        w, m = synth_utterance_with_mask(u % 256, u, pool_n / SR, seed=1)
+        speech_wavs.append(w[:pool_n])
+        speech_masks.append(m[:pool_n])
+    noises = [synth_noise(kinds[i % len(kinds)], pool_n, rng)
+              for i in range(noise_pool)]
+
     while True:
         wavs, labels = [], []
         for _ in range(batch_size):
             mode = rng.random()
+            start = int(rng.integers(0, pool_n - n))
             if mode < 0.15:  # pure noise — label all zero
-                wav = synth_noise(kinds[int(rng.integers(len(kinds)))], n, rng)
+                wav = noises[int(rng.integers(noise_pool))][start:start + n].copy()
                 wav = wav * rng.uniform(0.01, 0.6)
                 mask = np.zeros(n, np.uint8)
             else:
-                spk = int(rng.integers(0, 256))
-                speech, mask = synth_utterance_with_mask(spk, utt, seconds, seed=1)
-                utt += 1
-                speech = speech[:n]
-                mask = mask[:n]
+                i = int(rng.integers(speech_pool))
+                speech = speech_wavs[i][start:start + n]
+                mask = speech_masks[i][start:start + n]
                 if mode < 0.85:  # noisy mixture at random SNR
-                    noise = synth_noise(kinds[int(rng.integers(len(kinds)))], n, rng)
+                    j = int(rng.integers(noise_pool))
+                    noise = noises[j][start:start + n]
                     snr_db = rng.uniform(-5.0, 30.0)
                     sp = np.sqrt(np.mean(speech**2) + 1e-9)
                     npow = np.sqrt(np.mean(noise**2) + 1e-9)
-                    noise = noise * (sp / npow) * (10.0 ** (-snr_db / 20.0))
-                    wav = speech + noise
+                    wav = speech + noise * (sp / npow) * (10.0 ** (-snr_db / 20.0))
                 else:  # clean
-                    wav = speech
+                    wav = speech.copy()
                 wav = wav * rng.uniform(0.05, 1.0)
                 peak = np.abs(wav).max()
                 if peak > 1.0:

@@ -109,6 +109,9 @@ def test_continuous_admits_mid_flight(engine):
         assert stats2["tokens"] == _solo_tokens(
             engine, t2, jax.random.PRNGKey(6), 2, 2.0, 4.0).tolist()
         assert len(wav1) > 0 and len(wav2) > 0
+        # admission latency recorded per admitted request (served by /metrics)
+        assert len(batcher.admission_lat_s) == 2
+        assert all(0 <= v < 600 for v in batcher.admission_lat_s)
     finally:
         batcher.shutdown()
 
