@@ -459,7 +459,7 @@ def main():
     # (tools/bench_train.py).
     import subprocess
 
-    for which, budget_s in (("flow", 900), ("gan", 900), ("dpo", 900)):
+    for which, budget_s in (("flow", 1200), ("gan", 1800), ("dpo", 1200)):
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "flowmirror_hydravox_tpu.tools.bench_train",

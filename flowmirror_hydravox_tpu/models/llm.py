@@ -214,14 +214,20 @@ def forward_loss(
     logits = mtp_logits(params, cfg, hidden, cfg.head_num)  # (K, B, T, V)
     targets = build_lm_targets(cfg, text_len, speech_token, speech_len, t_total)  # (K, B, T)
 
-    vocab = cfg.vocab_size
     valid = targets != IGNORE_ID
     tgt = jnp.clip(targets, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # fused CE: log_softmax[t] = logits[t] - logsumexp, so
+    #   nll    = lse - logits[tgt]
+    #   smooth = -mean(log_softmax) = lse - mean(logits)
+    # This keeps only (K,B,T)-shaped intermediates live for the backward
+    # (logsumexp's VJP recomputes the softmax) instead of materializing the
+    # full (K,B,T,V) log-prob tensor — the CE was ~HBM-bound at vocab 6761.
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    logit_tgt = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
+    nll = lse - logit_tgt
     if cfg.lsm_weight > 0:
         # KL(uniform-smoothed || pred) as in WeNet LabelSmoothingLoss
-        smooth = -jnp.mean(logp, axis=-1)
+        smooth = lse - jnp.mean(logits, axis=-1)
         nll = (1.0 - cfg.lsm_weight) * nll + cfg.lsm_weight * smooth
     denom = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1)  # per-head token count
     if not cfg.length_normalized_loss:

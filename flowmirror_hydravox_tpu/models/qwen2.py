@@ -149,10 +149,16 @@ def forward(
         return x, None
 
     if unroll:
+        # rematerialize only cheap elementwise ops in the backward
+        # (dots_saveable keeps every matmul/attention output); full per-layer
+        # remat recomputed the whole forward and capped train MFU at 75%
+        # of peak — sequences here are short (<=~800 tokens) so activation
+        # memory is not the constraint remat usually buys headroom for.
+        ckpt = jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
         x = inputs_embeds
         for i in range(cfg.num_layers):
             layer_i = jax.tree.map(lambda a: a[i], params["layers"])
-            x, _ = jax.checkpoint(body)(x, layer_i)
+            x, _ = ckpt(x, layer_i)
     else:
         x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return _rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -123,16 +123,23 @@ def bench_gan(peak_flops: float):
         "speech": jnp.asarray(rng0.standard_normal((b, t_audio)),
                               jnp.float32) * 0.1,
     }
-    step = jax.jit(
-        lambda gs, ds, bt, r: gan_train_step(gs, ds, bt, r, cfg.hift,
-                                             gen_opt, disc_opt),
-        donate_argnums=(0, 1))
+    # split G/D programs (train_hift.py --split_step): the fused G+D graph's
+    # XLA compile has OOM-killed / hung the axon remote compiler; two smaller
+    # programs compile reliably and are functionally the same update order
+    from ..train.gan import gan_disc_step, gan_gen_step
+
+    gen_fn = jax.jit(lambda gs, dp, bt, r: gan_gen_step(
+        gs, dp, bt, r, cfg.hift, gen_opt), donate_argnums=(0,))
+    disc_fn = jax.jit(lambda ds, real, fake: gan_disc_step(
+        ds, real, fake, disc_opt), donate_argnums=(0,))
 
     holder = {"g": gen_state, "d": disc_state, "m": None}
 
     def run_one(i):
-        holder["g"], holder["d"], holder["m"] = step(
-            holder["g"], holder["d"], batch, jax.random.PRNGKey(i))
+        holder["g"], fake_sg, gm = gen_fn(holder["g"], holder["d"].params,
+                                          batch, jax.random.PRNGKey(i))
+        holder["d"], dm = disc_fn(holder["d"], batch["speech"], fake_sg)
+        holder["m"] = {**gm, **dm}
 
     t0 = time.time()
     run_one(0)
@@ -144,6 +151,8 @@ def bench_gan(peak_flops: float):
         "audio_sec_per_sec": round(b * t_audio / cfg.sample_rate / step_s, 2),
         "compile_s": round(compile_s, 1), "gen_loss0": round(loss0, 2),
         "batch": [b, frames, t_audio],
+        "note": "split G/D programs (fused graph kills the remote compiler; "
+                "train_hift.py --split_step)",
     }
 
 
@@ -160,7 +169,9 @@ def bench_dpo(peak_flops: float):
     b, lt, ls = 4, 64, 256
     params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(
         jax.random.PRNGKey(0))
-    ref_params = jax.tree.map(lambda a: a, params)  # frozen copy
+    # real device copy: the train state is donated each step, and aliased
+    # ref buffers would be invalidated with it
+    ref_params = jax.tree.map(jnp.copy, params)
     opt = make_optimizer(OptimConfig(learning_rate=1e-5, warmup_steps=10,
                                      total_steps=1000))
     state = init_state(params, opt)
@@ -214,7 +225,11 @@ def main(argv=None):
     try:
         out = fn(args.peak_tflops * 1e12)
     except Exception as e:
-        out = {"metric": f"train_step_{args.which}", "error": f"{type(e).__name__}: {e}"}
+        import traceback
+
+        traceback.print_exc()
+        out = {"metric": f"train_step_{args.which}",
+               "error": f"{type(e).__name__}: {str(e)[:300]}"}
     print(json.dumps(out))
     sys.stdout.flush()
     return 0 if "error" not in out else 1

@@ -73,6 +73,78 @@ def multi_mel_loss(real: jnp.ndarray, fake: jnp.ndarray, sample_rate: int) -> jn
     return loss
 
 
+def gan_gen_step(
+    gen_state,
+    disc_params,
+    batch: dict,
+    rng: jax.Array,
+    hift_cfg,
+    gen_opt: optax.GradientTransformation,
+    *,
+    mel_weight: float = 45.0,
+    tpr_weight: float = 1.0,
+    tpr_tau: float = 0.04,
+):
+    """Generator half of the split two-program GAN step (see
+    gan_train_step_split).  Returns (new_gen_state, fake_sg, metrics).
+    The discriminator forward inside the loss is rematerialized
+    (jax.checkpoint) so the generator backward does not keep both
+    discriminators' activations live."""
+    from .steps import _apply_grads
+
+    mel = jnp.swapaxes(batch["speech_feat"], 1, 2)
+    real = batch["speech"]
+    pitch = batch.get("pitch_feat")
+    disc_fwd = jax.checkpoint(lambda w: disc_model.forward(disc_params, w))
+
+    def gen_loss_fn(gp):
+        f0 = hift_model.predict_f0(gp, mel)
+        f0_up = jnp.repeat(f0, hift_cfg.upsample_scale, axis=-1)[..., None]
+        s, _ = hift_model.sine_source(rng, hift_cfg, f0_up)
+        sine = jnp.tanh(hift_model.linear(gp["m_source_linear"], s))
+        fake = hift_model.decode(gp, hift_cfg, mel, jnp.swapaxes(sine, 1, 2))
+        real_scores, real_fmaps = disc_fwd(real)
+        fake_scores, fake_fmaps = disc_fwd(fake)
+        adv = generator_adv_loss(fake_scores)
+        fm = feature_loss(real_fmaps, fake_fmaps)
+        mel_l = multi_mel_loss(real, fake, hift_cfg.sampling_rate) * mel_weight
+        tpr = tpr_loss(real_scores, fake_scores, tpr_tau) * tpr_weight
+        f0_l = jnp.mean(jnp.abs(f0 - pitch)) if pitch is not None else 0.0
+        total = adv + fm + mel_l + tpr + f0_l
+        return total, (fake, dict(adv=adv, fm=fm, mel=mel_l, tpr=tpr, f0=f0_l))
+
+    (g_loss, (fake, parts)), g_grads = jax.value_and_grad(
+        gen_loss_fn, has_aux=True)(gen_state.params)
+    new_gen, g_norm = _apply_grads(gen_state, g_grads, gen_opt)
+    metrics = {"gen_loss": g_loss, "gen_grad_norm": g_norm, **parts}
+    return new_gen, jax.lax.stop_gradient(fake), metrics
+
+
+def gan_disc_step(
+    disc_state,
+    real: jnp.ndarray,
+    fake_sg: jnp.ndarray,
+    disc_opt: optax.GradientTransformation,
+    *,
+    tpr_weight: float = 1.0,
+    tpr_tau: float = 0.04,
+):
+    """Discriminator half of the split step. Returns (new_disc_state, metrics)."""
+    from .steps import _apply_grads
+
+    def disc_loss_fn(dp):
+        real_scores, _ = disc_model.forward(dp, real)
+        fake_scores, _ = disc_model.forward(dp, fake_sg)
+        d = discriminator_loss(real_scores, fake_scores)
+        if tpr_weight > 0:
+            d = d + tpr_loss(real_scores, fake_scores, tpr_tau) * tpr_weight
+        return d
+
+    d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_state.params)
+    new_disc, d_norm = _apply_grads(disc_state, d_grads, disc_opt)
+    return new_disc, {"disc_loss": d_loss, "disc_grad_norm": d_norm}
+
+
 def gan_train_step(
     gen_state,
     disc_state,

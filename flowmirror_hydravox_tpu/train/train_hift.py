@@ -33,6 +33,10 @@ def main(argv=None):
                    help="random mel segment per sample (GAN training crops)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--split_step", action="store_true",
+                   help="compile generator and discriminator updates as two "
+                        "programs (workaround for remote-compiler OOM on the "
+                        "fused G+D graph)")
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style moment sharding over 'data' for both "
                         "the generator and discriminator optimizers")
@@ -97,9 +101,25 @@ def main(argv=None):
                                      zero_sharding(disc_state.opt_state, mesh)))
     logger.info("mesh %s  zero=%s", dict(mesh.shape), args.shard_optimizer)
 
-    step_fn = jax.jit(
-        lambda gs, ds, batch, r: gan_train_step(gs, ds, batch, r, cfg, gen_opt, disc_opt)
-    )
+    if args.split_step:
+        # two smaller programs instead of one fused G+D step: the fused
+        # graph's XLA compile can OOM/kill a constrained remote compiler
+        # (observed on the axon service); functionally identical update order
+        from .gan import gan_disc_step, gan_gen_step
+
+        gen_fn = jax.jit(lambda gs, dp, batch, r: gan_gen_step(
+            gs, dp, batch, r, cfg, gen_opt))
+        disc_fn = jax.jit(lambda ds, real, fake: gan_disc_step(
+            ds, real, fake, disc_opt))
+
+        def step_fn(gs, ds, batch, r):
+            gs, fake_sg, gm = gen_fn(gs, ds.params, batch, r)
+            ds, dm = disc_fn(ds, batch["speech"], fake_sg)
+            return gs, ds, {**gm, **dm}
+    else:
+        step_fn = jax.jit(
+            lambda gs, ds, batch, r: gan_train_step(gs, ds, batch, r, cfg, gen_opt, disc_opt)
+        )
 
     train_ds, _ = load_hf_dataset(args.train_data)
 

@@ -74,3 +74,38 @@ def test_gan_train_step_updates_both():
         new_disc.params["mpd"][0]["convs"][0]["w"] - disc_params["mpd"][0]["convs"][0]["w"]
     )))
     assert dg > 0 and dd > 0
+
+
+def test_gan_split_step_matches_fused():
+    """gan_gen_step + gan_disc_step (the --split_step two-program variant,
+    a remote-compiler-OOM workaround) must produce the same updates as the
+    fused gan_train_step."""
+    t_mel = 8
+    gen_params = hift.init_params(jax.random.PRNGKey(0), HIFT_CFG, jnp.float32)
+    disc_params = disc.init_params(jax.random.PRNGKey(1))
+    gen_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10))
+    disc_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10))
+    rng = jax.random.PRNGKey(2)
+    batch = {
+        "speech_feat": jax.random.normal(rng, (1, t_mel, 80)) * 0.3,
+        "speech": jax.random.normal(rng, (1, t_mel * HIFT_CFG.upsample_scale)) * 0.1,
+        "pitch_feat": jnp.abs(jax.random.normal(rng, (1, t_mel))) * 100,
+    }
+
+    fused_g, fused_d, fused_m = gan.gan_train_step(
+        init_state(gen_params, gen_opt), init_state(disc_params, disc_opt),
+        batch, rng, HIFT_CFG, gen_opt, disc_opt)
+
+    split_g, fake_sg, gm = gan.gan_gen_step(
+        init_state(gen_params, gen_opt), disc_params, batch, rng, HIFT_CFG, gen_opt)
+    split_d, dm = gan.gan_disc_step(
+        init_state(disc_params, disc_opt), batch["speech"], fake_sg, disc_opt)
+
+    np.testing.assert_allclose(float(gm["gen_loss"]), float(fused_m["gen_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dm["disc_loss"]), float(fused_m["disc_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(split_g.params), jax.tree.leaves(fused_g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(split_d.params), jax.tree.leaves(fused_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

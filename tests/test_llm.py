@@ -101,6 +101,34 @@ def test_forward_loss_finite(params):
     assert 0.0 <= float(out["acc"]) <= 1.0
 
 
+def test_forward_loss_fused_ce_matches_log_softmax(params):
+    """forward_loss computes CE via the fused logsumexp identity (memory
+    optimization); it must equal the naive log_softmax formulation."""
+    rng = jax.random.PRNGKey(3)
+    tt = jax.random.randint(rng, (2, 6), 0, 200)
+    tl, sl = jnp.asarray([6, 4]), jnp.asarray([12, 9])
+    st = jax.random.randint(rng, (2, 12), 0, CFG.speech_token_size)
+    out = llm.forward_loss(params, CFG, tt, tl, st, sl)
+
+    # naive re-computation from the same logits/targets
+    inp, lm_len = llm.build_lm_input(params, CFG, tt, tl, st, sl)
+    hidden = llm.qwen2.forward(params["backbone"], CFG.backbone, inp, lm_len)
+    logits = llm.mtp_logits(params, CFG, hidden, CFG.head_num)
+    targets = llm.build_lm_targets(CFG, tl, st, sl, inp.shape[1])
+    valid = targets != llm.IGNORE_ID
+    tgt = jnp.clip(targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    if CFG.lsm_weight > 0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - CFG.lsm_weight) * nll + CFG.lsm_weight * smooth
+    denom = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1)
+    if not CFG.length_normalized_loss:
+        denom = jnp.full_like(denom, targets.shape[1])
+    naive = float(jnp.mean(jnp.sum(jnp.where(valid, nll, 0.0), axis=(1, 2)) / denom))
+    np.testing.assert_allclose(float(out["loss"]), naive, rtol=1e-5)
+
+
 def _naive_group_decode(params, cfg, rng, prompt_embeds, prompt_len, min_len, max_len, head_k):
     """Reference-shaped decode: full-prefix recompute each step, no cache
     (llm_multi_head_v3.py:871-922) — the oracle for the KV-cached loop."""

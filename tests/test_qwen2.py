@@ -108,3 +108,21 @@ def test_right_padded_prefill():
     h2, cache = qwen2.forward_block_with_cache(params, CFG, nxt, cache)
     full2 = qwen2.forward(params, CFG, jnp.concatenate([x, nxt], axis=1))
     np.testing.assert_allclose(np.asarray(h2), np.asarray(full2[:, 6:]), atol=1e-5, rtol=1e-4)
+
+
+def test_unrolled_remat_matches_scan_forward_and_grad():
+    """The TPU training path (unroll=True, per-layer dots_saveable remat) must
+    match the scanned path in both forward values and gradients."""
+    rng = jax.random.PRNGKey(5)
+    params = qwen2.init_params(rng, CFG, jnp.float32)
+    x = jax.random.normal(rng, (2, 7, CFG.hidden_size), jnp.float32) * 0.1
+    lengths = jnp.asarray([7, 5])
+
+    def loss(p, unroll):
+        return jnp.sum(qwen2.forward(p, CFG, x, lengths, unroll=unroll) ** 2)
+
+    f_scan, g_scan = jax.value_and_grad(lambda p: loss(p, False))(params)
+    f_unr, g_unr = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(f_unr), float(f_scan), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_unr), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
