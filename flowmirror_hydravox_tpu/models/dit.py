@@ -278,9 +278,13 @@ def forward(
                               cfg.dim_head, dropout_rate, rng_i), None
 
         if unroll:
+            # dots_saveable: keep matmul outputs in the backward instead of
+            # full per-layer recompute (full remat capped train MFU at 75%;
+            # forward-only inference is unaffected by the policy)
+            ckpt = jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
             for i in range(cfg.depth):
                 block_i = jax.tree.map(lambda a: a[i], params["blocks"])
-                h, _ = jax.checkpoint(body)(h, (block_i, block_rngs[i]))
+                h, _ = ckpt(h, (block_i, block_rngs[i]))
         else:
             h, _ = jax.lax.scan(body, h, (params["blocks"], block_rngs))
     else:
@@ -289,9 +293,10 @@ def forward(
                               cfg.heads, cfg.dim_head), None
 
         if unroll:
+            ckpt = jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
             for i in range(cfg.depth):
                 block_i = jax.tree.map(lambda a: a[i], params["blocks"])
-                h, _ = jax.checkpoint(body)(h, block_i)
+                h, _ = ckpt(h, block_i)
         else:
             h, _ = jax.lax.scan(body, h, params["blocks"])
 

@@ -4,11 +4,13 @@ The bench's `decode_hbm_roofline_heads4` divides weight bytes by WALL step
 time, which folds in the host->device dispatch tunnel (~30 ms/dispatch on
 the bench host) and the nominal-vs-achievable HBM gap.  This tool captures
 an xprof trace of the served heads=4 decode program on the real chip and
-reports the DEVICE-side step time and achieved bytes/s, writing a small
-analysis document into the repo (docs/profiles/) so the claim is auditable.
+reports the DEVICE-side step time, achieved bytes/s, and a per-category
+device-time budget table (matmul / attention-adjacent / elementwise / copy),
+for both the bf16 and the int8 serving profiles, writing a small analysis
+document into the repo (docs/profiles/) so the claim is auditable.
 
   python -m flowmirror_hydravox_tpu.tools.profile_decode \
-      [--out docs/profiles] [--steps 125]
+      [--out docs/profiles] [--steps 125] [--skip_int8]
 
 Prints one JSON line; writes `decode_heads4.json` + `decode_heads4.md`.
 The trace capture occasionally hangs over the tunnel (memory: axon quirk) —
@@ -22,13 +24,16 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import threading
 import time
 
 
-def _device_time_from_xplane(trace_dir: str):
-    """Sum TPU device time from the hlo_stats tool table. Returns seconds
-    or None."""
+def _hlo_stats(trace_dir: str):
+    """Device-time summary from the hlo_stats tool table.
+
+    Returns {"total_s": float, "by_category": {category: seconds}} or None.
+    """
     files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     if not files:
         return None
@@ -39,19 +44,110 @@ def _device_time_from_xplane(trace_dir: str):
         if isinstance(data, bytes):
             data = data.decode()
         rows = json.loads(data)
-        # gviz-style: {"cols": [...], "rows": [{"c": [...]}]}; find the
-        # "Total time (us)" column
         cols = [c.get("label", "") for c in rows.get("cols", [])]
         try:
             ti = next(i for i, c in enumerate(cols) if "self" in c.lower()
                       and "us" in c.lower())
         except StopIteration:
             ti = next(i for i, c in enumerate(cols) if "us" in c.lower())
-        total_us = sum(float(r["c"][ti]["v"] or 0) for r in rows.get("rows", []))
-        return total_us / 1e6
+        ci = next((i for i, c in enumerate(cols) if "categor" in c.lower()), None)
+        total_us = 0.0
+        by_cat: dict = {}
+        for r in rows.get("rows", []):
+            us = float(r["c"][ti]["v"] or 0)
+            total_us += us
+            if ci is not None:
+                cat = str(r["c"][ci]["v"] or "other")
+                by_cat[cat] = by_cat.get(cat, 0.0) + us
+        return {
+            "total_s": total_us / 1e6,
+            "by_category": {k: v / 1e6 for k, v in
+                            sorted(by_cat.items(), key=lambda kv: -kv[1])},
+        }
     except Exception as e:
         print(f"# hlo_stats parse failed: {e}")
         return None
+
+
+def _profile_engine(engine, steps: int, trace_dir: str, trace_timeout: float):
+    """Trace the stage-1 LLM decode program ALONE (the two-stage engine's
+    `_generate_fn`) so the device-time budget is not polluted by the flow +
+    hift dispatch.  Returns (n_steps, wall_step_ms, hlo_stats)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
+
+    cfg = engine.cfg
+    text_len = 63
+    text = np.arange(text_len, dtype=np.int32) % 1000
+    tbkt = engine._bucket_prompt(text_len)
+    text_pad = np.zeros((tbkt,), np.int32)
+    text_pad[:text_len] = text
+    sp_pad = np.zeros((0,), np.int32)
+    n_tokens = min(steps, engine.max_tokens)
+    s = cfg.tts_sampling
+    sampling = SamplingParams.make(s.top_p, s.top_k, s.win_size, s.tau_r)
+    gen = engine._generate_fn(tbkt, 0, 4)
+
+    def dispatch(rng):
+        _, packed = gen(engine.llm_params, rng, jnp.asarray(text_pad),
+                        jnp.int32(text_len), jnp.asarray(sp_pad), jnp.int32(0),
+                        jnp.int32(n_tokens), jnp.int32(n_tokens), sampling)
+        return packed
+
+    def run(rng):
+        return int(np.asarray(dispatch(rng))[-1])  # base-LLM steps
+
+    n_steps = run(jax.random.PRNGKey(0))  # compile
+    # wall: queue dispatches back-to-back and fetch only the last — the
+    # fetch is what actually waits on this backend, and queuing amortizes
+    # the ~30 ms/dispatch host tunnel (memory/axon-tpu-quirks)
+    reps = 6
+    t0 = time.time()
+    for i in range(reps - 1):
+        dispatch(jax.random.PRNGKey(1 + i))
+    n_steps = run(jax.random.PRNGKey(reps))
+    wall_step_ms = (time.time() - t0) / (reps * max(n_steps, 1)) * 1000
+
+    class _R:
+        pass
+
+    r = _R()
+    r.steps = n_steps
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    os.makedirs(trace_dir, exist_ok=True)
+    captured = {"ok": False}
+
+    def _capture():
+        try:
+            jax.profiler.start_trace(trace_dir)
+            run(jax.random.PRNGKey(2))
+            jax.profiler.stop_trace()
+            captured["ok"] = True
+        except Exception as e:  # tunnel hang / profiler quirk
+            print(f"# trace failed: {e}")
+
+    th = threading.Thread(target=_capture, daemon=True)
+    th.start()
+    th.join(trace_timeout)
+    stats = _hlo_stats(trace_dir) if captured["ok"] else None
+    return r, wall_step_ms, stats
+
+
+def _weight_bytes(llm_params, cfg, heads_used=4, int8=False):
+    import jax
+    import numpy as np
+
+    def tree_bytes(t):
+        return sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                   for p in jax.tree.leaves(t))
+
+    return (tree_bytes(llm_params["backbone"]["layers"])
+            + tree_bytes(llm_params["mtp_block"]) * heads_used / cfg.llm.head_num
+            + tree_bytes(llm_params["llm_decoder"]))
 
 
 def main(argv=None):
@@ -59,11 +155,13 @@ def main(argv=None):
     p.add_argument("--out", default="docs/profiles")
     p.add_argument("--steps", type=int, default=125)
     p.add_argument("--trace_timeout", type=float, default=120.0)
+    p.add_argument("--skip_int8", action="store_true")
+    p.add_argument("--max_tokens", type=int, default=512,
+                   help="decode buffer cap; steps/heads base steps per dispatch amortize prefill + tunnel")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cache_dir = os.path.join(repo, ".jax_cache")
@@ -83,72 +181,42 @@ def main(argv=None):
     llm_params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(k1)
     flow_params = jax.jit(lambda k: flow_model.init_params(k, cfg.flow, jnp.bfloat16))(k2)
     hift_params = jax.jit(lambda k: hift_model.init_params(k, cfg.hift, jnp.float32))(k3)
-    engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=128,
-                    fused=False)
 
-    n_tokens, text_len = args.steps, 63
-    text = np.arange(text_len, dtype=np.int32) % 1000
+    out = {"metric": "decode_device_profile_heads4", "hbm_nominal_gbps": 819,
+           "profiles": {}}
 
-    def run(rng):
-        return engine.synthesize(
-            text_tokens=text, tts_text_len=text_len, inference_head_num=4,
-            min_token_text_ratio=n_tokens / text_len,
-            max_token_text_ratio=n_tokens / text_len, rng=rng)
-
-    r = run(jax.random.PRNGKey(0))  # compile
-    r = run(jax.random.PRNGKey(1))
-    wall_step_ms = r.llm_time / max(r.steps, 1) * 1000
-
-    trace_dir = "/tmp/hydravox_xplane"
-    os.makedirs(trace_dir, exist_ok=True)
-    captured = {"ok": False}
-
-    def _capture():
-        try:
-            jax.profiler.start_trace(trace_dir)
-            run(jax.random.PRNGKey(2))
-            jax.profiler.stop_trace()
-            captured["ok"] = True
-        except Exception as e:  # tunnel hang / profiler quirk
-            print(f"# trace failed: {e}")
-
-    th = threading.Thread(target=_capture, daemon=True)
-    th.start()
-    th.join(args.trace_timeout)
-
-    dev_total_s = _device_time_from_xplane(trace_dir) if captured["ok"] else None
-
-    def tree_bytes(t):
-        return sum(int(np.prod(p.shape)) * p.dtype.itemsize
-                   for p in jax.tree.leaves(t))
-
-    heads_used = 4
-    weight_bytes = (
-        tree_bytes(llm_params["backbone"]["layers"])
-        + tree_bytes(llm_params["mtp_block"]) * heads_used / cfg.llm.head_num
-        + tree_bytes(llm_params["llm_decoder"]))
-
-    out = {
-        "metric": "decode_device_profile_heads4",
-        "steps": int(r.steps),
-        "wall_step_ms": round(wall_step_ms, 3),
-        "weight_gb_per_step": round(weight_bytes / 1e9, 3),
-        "wall_gbps": round(weight_bytes / (wall_step_ms / 1e3) / 1e9, 1),
-        "hbm_nominal_gbps": 819,
-    }
-    if dev_total_s:
-        # the traced run = 1 decode dispatch (llm) + sampling; normalize by
-        # steps; flow/hift run in a separate dispatch in two-stage mode and
-        # land in the same trace — report both.
-        dev_step_ms = dev_total_s / max(r.steps, 1) * 1000
-        out.update({
-            "device_total_s_traced": round(dev_total_s, 4),
-            "device_step_ms_upper_bound": round(dev_step_ms, 3),
-            "device_gbps_lower_bound": round(
-                weight_bytes / (dev_step_ms / 1e3) / 1e9, 1),
-            "note": "traced run includes the flow+hift dispatch; per-step "
-                    "device time is an upper bound for the decode step",
-        })
+    for name in (["bf16"] if args.skip_int8 else ["bf16", "int8"]):
+        engine = Engine(cfg, llm_params, flow_params, hift_params,
+                        max_tokens=args.max_tokens, fused=False,
+                        quantize=None if name == "bf16" else "int8")
+        r, wall_step_ms, stats = _profile_engine(
+            engine, args.steps, f"/tmp/hydravox_xplane_{name}", args.trace_timeout)
+        wb = _weight_bytes(llm_params, cfg)
+        if name == "int8":
+            # ops/quant.py: weight-only int8 on every matmul_q weight (1 byte)
+            # + f32 per-channel scales (negligible)
+            wb = wb / 2
+        prof = {
+            "steps": int(r.steps),
+            "wall_step_ms": round(wall_step_ms, 3),
+            "weight_gb_per_step": round(wb / 1e9, 3),
+            "wall_gbps": round(wb / (wall_step_ms / 1e3) / 1e9, 1),
+        }
+        if stats:
+            # the traced run is the stage-1 decode program only (prefill +
+            # n_steps KV-cached group steps + on-device sampling); per-step
+            # device time folds the one-off prefill in, so it is a slight
+            # upper bound for the steady-state decode step.
+            dev_step_ms = stats["total_s"] / max(r.steps, 1) * 1000
+            top = dict(list(stats["by_category"].items())[:8])
+            prof.update({
+                "device_total_s_traced": round(stats["total_s"], 4),
+                "device_step_ms_upper_bound": round(dev_step_ms, 3),
+                "device_gbps_lower_bound": round(wb / (dev_step_ms / 1e3) / 1e9, 1),
+                "device_budget_by_category_ms_per_step": {
+                    k: round(v / max(r.steps, 1) * 1000, 3) for k, v in top.items()},
+            })
+        out["profiles"][name] = prof
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "decode_heads4.json"), "w") as f:
@@ -158,29 +226,57 @@ def main(argv=None):
     print(json.dumps(out))
 
 
+def _fmt_budget(prof: dict) -> str:
+    budget = prof.get("device_budget_by_category_ms_per_step")
+    if not budget:
+        return "(trace did not land — wall numbers only)\n"
+    lines = ["| HLO category | ms/step (device) |", "|---|---|"]
+    for k, v in budget.items():
+        lines.append(f"| {k} | {v} |")
+    return "\n".join(lines) + "\n"
+
+
 def _report_md(out: dict) -> str:
-    return f"""# Decode profile — heads=4, bf16, single chip
-
-Captured by `tools/profile_decode.py` (xprof trace of the served decode).
-
-| quantity | value |
-|---|---|
-| wall step time | {out['wall_step_ms']} ms |
-| bytes streamed / step | {out['weight_gb_per_step']} GB |
-| wall-derived bandwidth | {out['wall_gbps']} GB/s |
-| device step time (traced, upper bound) | {out.get('device_step_ms_upper_bound', 'n/a')} ms |
-| device bandwidth (lower bound) | {out.get('device_gbps_lower_bound', 'n/a')} GB/s |
-| nominal HBM | 819 GB/s |
-
-Interpretation: the decode step streams the backbone + 4 MTP heads + shared
-decoder every step (batch=1, bandwidth-bound).  The wall number folds in the
-per-dispatch host tunnel of this bench host; the traced device time shows the
-program itself runs at the chip's achievable HBM rate (sustained ~80-85% of
-nominal is the practical ceiling for full-weight streaming).  Remaining
-headroom on this host is dispatch overhead, not kernel inefficiency — the
-documented int8 serving profile (`--quantize int8`) cuts bytes/step ~2x on
-the backbone and is the supported way to trade precision for tokens/s.
-"""
+    s = ["# Decode profile — heads=4, single chip",
+         "",
+         "Captured by `tools/profile_decode.py` (xprof trace of the served",
+         "decode, `Engine(fused=False)`, 125 decode steps).",
+         ""]
+    for name, prof in out["profiles"].items():
+        s += [f"## {name}",
+              "",
+              "| quantity | value |",
+              "|---|---|",
+              f"| wall step time | {prof['wall_step_ms']} ms |",
+              f"| bytes streamed / step | {prof['weight_gb_per_step']} GB |",
+              f"| wall-derived bandwidth | {prof['wall_gbps']} GB/s |",
+              f"| device step time (traced, upper bound) | {prof.get('device_step_ms_upper_bound', 'n/a')} ms |",
+              f"| device bandwidth (lower bound) | {prof.get('device_gbps_lower_bound', 'n/a')} GB/s |",
+              f"| nominal HBM | {out['hbm_nominal_gbps']} GB/s |",
+              "",
+              "Device-time budget (decode-only traced run, per step):",
+              "",
+              _fmt_budget(prof)]
+    s += ["_Category note: on TPU, XLA reports fused matmul kernels under",
+          "the `convolution fusion` category; `loop fusion` is the fused",
+          "elementwise/sampling work.  The decode program contains no actual",
+          "convolutions._",
+          "",
+          ]
+    s += ["## Interpretation",
+          "",
+          "The decode step streams the backbone + 4 MTP heads + the shared",
+          "decoder every step (batch=1, bandwidth-bound).  The wall number",
+          "folds in the per-dispatch host tunnel of this bench host (~30 ms",
+          "per dispatch, amortized over the queued steps); the traced device",
+          "time shows what the program itself costs on the chip.  Sustained",
+          "~80-85% of nominal HBM is the practical ceiling for full-weight",
+          "streaming on this part.  The int8 profile halves bytes/step on",
+          "every matmul weight (`ops/quant.py`, weight-only symmetric int8)",
+          "and is the supported way to trade precision for tokens/s",
+          "(`--quantize int8`).",
+          ""]
+    return "\n".join(s)
 
 
 if __name__ == "__main__":

@@ -149,3 +149,27 @@ def test_dropout_active_in_training_only():
     l0b = float(flow_model.compute_loss(params, cfg0, jax.random.PRNGKey(7),
                                         tok, tl, feat, fl, emb))
     assert l0 == l0b
+
+
+def test_dit_unrolled_remat_matches_scan_grad(params):
+    """The TPU path (unroll=True, dots_saveable remat per block) must match
+    the scanned path in forward and gradients, with and without dropout."""
+    t_mel = 8
+    x = jax.random.normal(jax.random.PRNGKey(20), (1, 80, t_mel))
+    mask = jnp.ones((1, 1, t_mel))
+    mu = jax.random.normal(jax.random.PRNGKey(21), (1, CFG.input_size, t_mel))
+    spks = jax.random.normal(jax.random.PRNGKey(22), (1, 80))
+    cond = jnp.zeros((1, 80, t_mel))
+    tt = jnp.asarray([0.4])
+
+    for drop_kw in ({}, {"dropout_rng": jax.random.PRNGKey(7), "dropout_rate": 0.1}):
+        def loss(p, unroll):
+            return jnp.sum(dit.forward(p, CFG.estimator, x, mask, mu, tt,
+                                       spks, cond, unroll=unroll, **drop_kw) ** 2)
+
+        f_s, g_s = jax.value_and_grad(lambda p: loss(p, False))(params["estimator"])
+        f_u, g_u = jax.value_and_grad(lambda p: loss(p, True))(params["estimator"])
+        np.testing.assert_allclose(float(f_u), float(f_s), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
