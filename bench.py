@@ -532,7 +532,8 @@ def main():
     # (tools/bench_train.py).
     import subprocess
 
-    for which, budget_s in (("flow", 1200), ("gan", 1800), ("dpo", 1200)):
+    for which, budget_s in (("llm", 1500), ("flow", 1200), ("gan", 1800),
+                            ("dpo", 1200)):
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "flowmirror_hydravox_tpu.tools.bench_train",

@@ -45,6 +45,54 @@ def _time_steps(run_one, fetch, warm=1, iters=6):
     return (time.time() - t0) / iters
 
 
+def bench_llm(peak_flops: float):
+    """Production-shape MTP train step: B=16 of ~30 s utterances (750 speech
+    tokens, the frontend's prompt cap) — the shape the frame-budget batcher
+    actually feeds, vs bench.py's serving-scale B=8/Ls=256 point."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import HydraVoxConfig
+    from ..train.steps import OptimConfig, init_state, llm_train_step, make_optimizer
+    from ..models import llm as llm_model
+
+    cfg = HydraVoxConfig()
+    b, lt, ls = 16, 64, 750
+    params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    opt = make_optimizer(OptimConfig(warmup_steps=10, total_steps=1000))
+    state = init_state(params, opt)
+    rng0 = np.random.default_rng(0)
+    batch = {
+        "text_token": jnp.zeros((b, lt), jnp.int32),
+        "text_len": jnp.full((b,), lt, jnp.int32),
+        "speech_token": jnp.asarray(
+            rng0.integers(0, cfg.llm.speech_token_size, (b, ls)), jnp.int32),
+        "speech_len": jnp.full((b,), ls, jnp.int32),
+    }
+    step = jax.jit(lambda s, bt: llm_train_step(s, bt, cfg.llm, opt),
+                   donate_argnums=(0,))
+
+    holder = {"state": state, "m": None}
+
+    def run_one(i):
+        holder["state"], holder["m"] = step(holder["state"], batch)
+
+    step_s = _time_steps(run_one, lambda: float(holder["m"]["loss"]))
+    p_mm = _flops_matmul_params(params["backbone"]["layers"]) \
+        + _flops_matmul_params(params["mtp_block"]) \
+        + _flops_matmul_params(params["llm_decoder"])
+    tok = b * (2 + lt + ls)
+    flops = 6 * p_mm * tok
+    return {
+        "metric": "train_step_llm_30s", "step_ms": round(step_s * 1000, 1),
+        "tokens_per_sec": round(tok / step_s, 1),
+        "mfu_pct": round(flops / step_s / peak_flops * 100, 1),
+        "batch": [b, lt, ls],
+    }
+
+
 def bench_flow(peak_flops: float):
     import jax
     import jax.numpy as jnp
@@ -209,7 +257,7 @@ def bench_dpo(peak_flops: float):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--which", choices=["flow", "gan", "dpo"], required=True)
+    p.add_argument("--which", choices=["llm", "flow", "gan", "dpo"], required=True)
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="bf16 peak of the chip (v5e default)")
     p.add_argument("--cache_dir", default=None)
@@ -221,7 +269,8 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", args.cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    fn = {"flow": bench_flow, "gan": bench_gan, "dpo": bench_dpo}[args.which]
+    fn = {"llm": bench_llm, "flow": bench_flow, "gan": bench_gan,
+          "dpo": bench_dpo}[args.which]
     try:
         out = fn(args.peak_tflops * 1e12)
     except Exception as e:
