@@ -46,9 +46,9 @@ def _time_steps(run_one, fetch, warm=1, iters=6):
 
 
 def bench_llm(peak_flops: float):
-    """Production-shape MTP train step: B=16 of ~30 s utterances (750 speech
-    tokens, the frontend's prompt cap) — the shape the frame-budget batcher
-    actually feeds, vs bench.py's serving-scale B=8/Ls=256 point."""
+    """Production-shape MTP train step: a batch of long utterances — the
+    shape the frame-budget batcher actually feeds, vs bench.py's
+    serving-scale B=8/Ls=256 point."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,7 +58,12 @@ def bench_llm(peak_flops: float):
     from ..models import llm as llm_model
 
     cfg = HydraVoxConfig()
-    b, lt, ls = 16, 64, 750
+    # sequences past ~256 speech tokens crash this host's constrained remote
+    # XLA service during the backward's compile (tpu_compile_helper exit 1,
+    # like the fused GAN graph; tried B=16/750, B=8/750, B=16/375 — an infra
+    # memory cap, not a framework limit); B=16 x 256 is the largest shape
+    # that compiles there and doubles the bench.py point's batch
+    b, lt, ls = 16, 64, 256
     params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(
         jax.random.PRNGKey(0))
     opt = make_optimizer(OptimConfig(warmup_steps=10, total_steps=1000))
@@ -86,7 +91,7 @@ def bench_llm(peak_flops: float):
     tok = b * (2 + lt + ls)
     flops = 6 * p_mm * tok
     return {
-        "metric": "train_step_llm_30s", "step_ms": round(step_s * 1000, 1),
+        "metric": "train_step_llm_batch", "step_ms": round(step_s * 1000, 1),
         "tokens_per_sec": round(tok / step_s, 1),
         "mfu_pct": round(flops / step_s / peak_flops * 100, 1),
         "batch": [b, lt, ls],

@@ -95,16 +95,27 @@ def init_state(params: Any, optimizer: optax.GradientTransformation) -> TrainSta
 
 
 def _apply_grads(state: TrainState, grads, optimizer) -> Tuple[TrainState, jnp.ndarray]:
-    """Skip the update on non-finite grad norm (train_utils.py:305-315)."""
+    """Skip the update on non-finite grad norm (train_utils.py:305-315).
+
+    The skip is a `lax.cond`, not per-leaf `where` selects: the select form
+    re-streamed every param + both Adam moments through three tree-wide
+    selects (~28 ms of the 107 ms device step at the bench shape, xplane
+    2026-08); cond executes only the taken branch."""
     gnorm = optax.global_norm(grads)
     finite = jnp.isfinite(gnorm)
-    safe = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-    updates, new_opt = optimizer.update(safe, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    new_params = jax.tree.map(
-        lambda new, old: jnp.where(finite, new, old), new_params, state.params
+
+    def do_update(operand):
+        g, opt_state, params = operand
+        updates, new_opt = optimizer.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    def skip_update(operand):
+        _, opt_state, params = operand
+        return params, opt_state
+
+    new_params, new_opt = jax.lax.cond(
+        finite, do_update, skip_update, (grads, state.opt_state, state.params)
     )
-    new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old), new_opt, state.opt_state)
     return TrainState(new_params, new_opt, state.step + 1), gnorm
 
 
