@@ -108,7 +108,7 @@ def bench_flow(peak_flops: float):
     from ..train.steps import OptimConfig, flow_train_step, init_state, make_optimizer
 
     cfg = HydraVoxConfig()
-    b, lt = 4, 128
+    b, lt = 16, 128  # realistic frame-budget batch (was 4 in round 3's first cut)
     tm = lt * cfg.flow.token_mel_ratio
     params = jax.jit(lambda k: flow_model.init_params(k, cfg.flow, jnp.bfloat16))(
         jax.random.PRNGKey(0))
