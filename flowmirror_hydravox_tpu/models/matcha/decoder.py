@@ -219,6 +219,17 @@ def forward(
     streaming: bool = False,
 ) -> jnp.ndarray:
     """Velocity estimate (decoder.py:363-443; causal/chunked 420-494)."""
+    # compute in the parameter dtype: the CFM integrator keeps its state in
+    # f32 (cfm.solve_euler) and hands us f32 tensors — cast at the boundary
+    # so a bf16-loaded U-Net actually runs bf16 throughout
+    wdtype = params["time_mlp_in"]["w"].dtype
+    x = x.astype(wdtype)
+    mask = mask.astype(wdtype)
+    mu = mu.astype(wdtype)
+    if spks is not None:
+        spks = spks.astype(wdtype)
+    if cond is not None:
+        cond = cond.astype(wdtype)
     in_ch = (3 if cfg.use_cond else 2) * cfg.in_feats + cfg.spk_emb_dim
     # SinusoidalPosEmb(in_ch, scale=1000)
     half = in_ch // 2

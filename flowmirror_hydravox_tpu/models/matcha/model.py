@@ -84,7 +84,7 @@ def synthesise(
     y_mask = (jnp.arange(max_mel_len)[None, :] < y_lengths[:, None]).astype(mu_x.dtype)[:, None, :]
     attn = attn * y_mask[:, 0, None, :]
 
-    mu_y = jnp.einsum("bxt,bfx->bft", attn, mu_x)  # align text mu onto mel frames
+    mu_y = jnp.einsum("bxt,bfx->bft", attn.astype(mu_x.dtype), mu_x)  # align text mu onto mel frames
     dec = cfm.sample(
         params["decoder"], cfg.decoder, rng, mu_y, y_mask, n_timesteps, temperature, spks
     )

@@ -73,8 +73,14 @@ def init_params(rng: jax.Array, cfg: HiFiGANConfig, dtype=jnp.float32) -> dict:
 
 
 def forward(params: dict, cfg: HiFiGANConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """mel (B, 80, T) -> waveform (B, T * hop_length)."""
-    x = _conv_same(params["conv_pre"], mel)
+    """mel (B, 80, T) -> waveform (B, T * hop_length), f32.
+
+    Computes in the parameter dtype and returns f32 audio, so bf16-loaded
+    weights run bf16 end to end.  (Measured on one v5e at the bench shape
+    — B=1, ~130 mel frames — bf16 and f32 are within noise of each other
+    end-to-end, so f32 stays the default; the cast is for memory-constrained
+    or large-batch deployments.)"""
+    x = _conv_same(params["conv_pre"], mel.astype(params["conv_pre"]["w"].dtype))
     nk = len(cfg.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
@@ -88,4 +94,4 @@ def forward(params: dict, cfg: HiFiGANConfig, mel: jnp.ndarray) -> jnp.ndarray:
         x = xs / nk
     x = jax.nn.leaky_relu(x)
     x = _conv_same(params["conv_post"], x)
-    return jnp.tanh(x)[:, 0, :]
+    return jnp.tanh(x)[:, 0, :].astype(jnp.float32)

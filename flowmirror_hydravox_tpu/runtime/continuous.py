@@ -48,10 +48,19 @@ logger = logging.getLogger("hydravox.continuous")
 class _Request:
     __slots__ = ("text_tokens", "spk_embedding", "min_len", "max_len", "rng",
                  "sampling", "prompt_speech_tokens", "prompt_mel",
-                 "done", "wav", "stats", "error", "t_submit")
+                 "done", "wav", "stats", "error", "t_submit",
+                 # streaming-on-slots state (stream=True requests):
+                 #   chunk_q carries np.float32 waveform chunks + a None
+                 #   sentinel; sched_offset is the decode loop's emission
+                 #   cursor; token_offset/hift_cache are the synth thread's
+                 #   carried flow/HiFT streaming state (never touched by the
+                 #   decode loop); hift_rng matches the solo streamer's split
+                 "stream", "chunk_q", "hift_rng", "prompt_pad",
+                 "sched_offset", "token_offset", "hift_cache", "t_first")
 
     def __init__(self, text_tokens, spk_embedding, min_len, max_len, rng, sampling,
-                 prompt_speech_tokens=None, prompt_mel=None):
+                 prompt_speech_tokens=None, prompt_mel=None, stream=False,
+                 hift_rng=None, prompt_pad=0):
         self.text_tokens = text_tokens
         self.spk_embedding = spk_embedding
         self.min_len = min_len
@@ -65,6 +74,14 @@ class _Request:
         self.stats = None
         self.error = None
         self.t_submit = time.time()
+        self.stream = stream
+        self.chunk_q = queue.Queue() if stream else None
+        self.hift_rng = hift_rng
+        self.prompt_pad = prompt_pad
+        self.sched_offset = 0
+        self.token_offset = 0
+        self.hift_cache = None
+        self.t_first = None
 
 
 class ContinuousBatcher:
@@ -111,6 +128,7 @@ class ContinuousBatcher:
 
         self._admit_cache = {}
         self._chunk_jit = None
+        self._streamer = None
         self._state = None
         self._slot_req: list = [None] * slots
         self._slot_steps = [0] * slots
@@ -275,6 +293,16 @@ class ContinuousBatcher:
 
     # -- host loop -----------------------------------------------------------
 
+    def _get_streamer(self):
+        """Shared StreamingSynthesizer for chunk synthesis of stream=True
+        requests — its flow/HiFT chunk programs are shape-bucketed jits, so
+        one instance serves every concurrent stream."""
+        if self._streamer is None:
+            # engine.streaming() so the chunk programs (and any prewarm) are
+            # shared with solo streaming sessions
+            self._streamer = self.engine.streaming()
+        return self._streamer
+
     def submit(
         self,
         text_tokens: np.ndarray,
@@ -284,7 +312,17 @@ class ContinuousBatcher:
         rng: Optional[jax.Array] = None,
         prompt_speech_tokens: Optional[np.ndarray] = None,
         prompt_mel: Optional[np.ndarray] = None,
+        stream: bool = False,
+        tts_text_len: Optional[int] = None,
     ) -> _Request:
+        """`stream=True` makes this request a STREAMING session riding the
+        shared decode slots: ~1 s waveform chunks appear on `req.chunk_q`
+        (drain with `stream_result`) as the slot accumulates tokens, with the
+        solo streamer's exact chunk semantics (25-token hop + lookahead,
+        carried HiFT mel/source cache, Hamming cross-fade — cli/model.py:
+        279-360).  Token streams stay bit-identical to the solo paths: the
+        submit rng is split exactly as StreamingSynthesizer.synthesize_stream
+        splits it (decode chain vs vocoder-noise chain)."""
         n = len(text_tokens)
         if n > self.prompt_buckets[-1]:
             # silent truncation would garble audio — callers must route long
@@ -302,15 +340,27 @@ class ContinuousBatcher:
             )
         if self._stop.is_set():
             raise RuntimeError("batcher shut down")
+        rng = rng if rng is not None else self.engine.next_rng()
+        hift_rng = None
+        prompt_pad = 0
+        if stream:
+            # same split as synthesize_stream: decode chain / vocoder noise
+            rng, hift_rng = jax.random.split(rng)
+            hop = self._get_streamer().token_hop_len
+            prompt_pad = int(np.ceil(len(sp) / hop) * hop - len(sp))
+        n_ratio = int(tts_text_len) if tts_text_len is not None else n
         req = _Request(
             np.asarray(text_tokens, np.int32),
             spk_embedding,
-            int(n * min_token_text_ratio),
-            min(int(n * max_token_text_ratio), self.max_tokens),
-            rng if rng is not None else self.engine.next_rng(),
+            int(n_ratio * min_token_text_ratio),
+            min(int(n_ratio * max_token_text_ratio), self.max_tokens),
+            rng,
             self.sampling,
             prompt_speech_tokens=sp,
             prompt_mel=prompt_mel,
+            stream=stream,
+            hift_rng=hift_rng,
+            prompt_pad=prompt_pad,
         )
         with self._lock:
             if not self._started:
@@ -327,6 +377,21 @@ class ContinuousBatcher:
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.wav, req.stats
+
+    def stream_result(self, req: _Request, timeout: float = 600.0):
+        """Yield waveform chunks (np.float32) of a stream=True request until
+        the end-of-utterance sentinel; raises if the session failed."""
+        if not req.stream:
+            raise ValueError("stream_result on a non-stream request")
+        while True:
+            item = req.chunk_q.get(timeout=timeout)
+            if item is None:
+                if req.error is not None:
+                    raise RuntimeError(req.error)
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
     def _bucket(self, n: int) -> int:
         from .engine import _bucket
@@ -348,6 +413,8 @@ class ContinuousBatcher:
                     for i, req in enumerate(self._slot_req):
                         if req is not None:
                             req.error = str(e)
+                            if req.stream:
+                                req.chunk_q.put(None)
                             req.done.set()
                             self._slot_req[i] = None
                     # donated buffers may be gone after a failed dispatch
@@ -389,6 +456,8 @@ class ContinuousBatcher:
                 # this point — without this its waiter would hang to timeout)
                 logger.exception("admit failed")
                 req.error = str(e)
+                if req.stream:
+                    req.chunk_q.put(None)
                 req.done.set()
                 # the admit donates the state: a device-side failure leaves
                 # its buffers deleted, which would spuriously fail every
@@ -400,6 +469,8 @@ class ContinuousBatcher:
                         for j, other in enumerate(self._slot_req):
                             if other is not None:
                                 other.error = str(e)
+                                if other.stream:
+                                    other.chunk_q.put(None)
                                 other.done.set()
                                 self._slot_req[j] = None
                         self._state = self._init_state()
@@ -429,24 +500,54 @@ class ContinuousBatcher:
             if req is None:
                 continue
             self._slot_steps[i] += 1
-            if int(meta[i, -1]):  # finished: hand off to the synth thread
-                num = int(meta[i, -3])
-                steps = int(meta[i, -2])
+            num = int(meta[i, -3])
+            steps = int(meta[i, -2])
+            fin = bool(meta[i, -1])
+            if req.stream:
+                # emit every full hop the slot has accumulated (same chunk
+                # boundaries as the solo streamer's loop), then the finalize
+                # flush; synthesis runs on the synth thread so decode of the
+                # OTHER slots isn't blocked by this stream's flow/HiFT
+                la = self.engine.cfg.flow.pre_lookahead_len
+                hop = self._get_streamer().token_hop_len
+                while True:
+                    this_hop = hop + req.prompt_pad if req.sched_offset == 0 else hop
+                    if num - req.sched_offset < this_hop + la:
+                        break
+                    toks = meta[i, : req.sched_offset + this_hop + la].copy()
+                    self._synth_q.put(("schunk", req, toks, req.sched_offset, False,
+                                       steps, chunk_time))
+                    req.sched_offset += this_hop
+                if fin:
+                    logger.info(
+                        "slot %d stream decode done: %d tokens in %d steps "
+                        "(%.2fs since submit)", i, num, steps,
+                        time.time() - req.t_submit,
+                    )
+                    toks = meta[i, :num].copy()
+                    self._synth_q.put(("schunk", req, toks, req.sched_offset, True,
+                                       steps, chunk_time))
+                    self._slot_req[i] = None
+            elif fin:  # finished: hand off to the synth thread
                 tokens = meta[i, : self.max_tokens + k][:num]
                 logger.info(
                     "slot %d decode done: %d tokens in %d steps "
                     "(%.2fs since submit)", i, num, steps,
                     time.time() - req.t_submit,
                 )
-                self._synth_q.put((req, tokens, steps, chunk_time))
+                self._synth_q.put(("final", req, tokens, steps, chunk_time))
                 self._slot_req[i] = None
 
     def _synth_loop(self):
         while not self._stop.is_set():
             try:
-                req, tokens, steps, chunk_time = self._synth_q.get(timeout=0.1)
+                item = self._synth_q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            if item[0] == "schunk":
+                self._synth_stream_chunk(*item[1:])
+                continue
+            _, req, tokens, steps, chunk_time = item
             try:
                 wav, synth_time = self._synthesize(req, tokens)
                 req.wav = wav
@@ -458,6 +559,40 @@ class ContinuousBatcher:
             except Exception as e:
                 logger.exception("continuous synth failed")
                 req.error = str(e)
+            req.done.set()
+
+    def _synth_stream_chunk(self, req, tokens, token_offset, finalize,
+                            steps, chunk_time):
+        """One streaming chunk of a stream=True request: flow over the token
+        prefix (streaming attention mask) + HiFT with the request's carried
+        mel/source cache — the solo streamer's _token2wav, shared jit cache."""
+        if req.done.is_set():  # failed earlier; drop late chunks
+            return
+        try:
+            emb = (np.zeros((192,), np.float32) if req.spk_embedding is None
+                   else np.asarray(req.spk_embedding, np.float32).reshape(-1)[:192])
+            wav, req.hift_cache = self._get_streamer()._token2wav(
+                tokens, req.prompt_speech_tokens, req.prompt_mel, emb,
+                token_offset, req.hift_rng, finalize=finalize,
+                hift_cache=req.hift_cache,
+            )
+            req.token_offset = token_offset
+            if req.t_first is None:
+                req.t_first = time.time()
+            req.chunk_q.put(wav)
+            if finalize:
+                req.stats = dict(
+                    tokens=tokens.tolist(), steps=steps,
+                    latency=time.time() - req.t_submit,
+                    ttft=req.t_first - req.t_submit, chunk_time=chunk_time,
+                )
+                req.chunk_q.put(None)
+                req.done.set()
+        except Exception as e:
+            logger.exception("continuous stream chunk failed")
+            req.error = str(e)
+            req.chunk_q.put(e)
+            req.chunk_q.put(None)
             req.done.set()
 
     def _synthesize(self, req: _Request, tokens: np.ndarray):
@@ -514,7 +649,7 @@ class ContinuousBatcher:
                 break
         while True:
             try:
-                leftovers.append(self._synth_q.get_nowait()[0])
+                leftovers.append(self._synth_q.get_nowait()[1])
             except queue.Empty:
                 break
         with self._lock:
@@ -525,4 +660,6 @@ class ContinuousBatcher:
         for req in leftovers:
             if not req.done.is_set():
                 req.error = "batcher shut down"
+                if req.stream:
+                    req.chunk_q.put(None)  # unblock a draining stream_result
                 req.done.set()

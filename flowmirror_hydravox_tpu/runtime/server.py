@@ -174,6 +174,21 @@ class TTSService:
             return None
         return (sampling, head_num)
 
+    def _stream_batchable(self, task: dict) -> Optional[tuple]:
+        """A tts_stream task rides the continuous slots iff its (sampling,
+        head_num) is the batcher's one compiled configuration — the same
+        matching rule as _batchable, minus the speed/last_prompt constraints
+        (streaming has neither)."""
+        if task.get("type") != "tts_stream":
+            return None
+        extra = task.get("extra_params") or {}
+        try:
+            sampling = self._sampling(extra)
+            head_num = int(extra.get("inference_head_num", 2))
+        except (TypeError, ValueError):
+            return None
+        return (sampling, head_num)
+
     def _coalesce_more(self, first: dict) -> tuple:
         """Pull more same-key batchable tasks for up to batch_window s.
         Returns (group_tail, leftover): a non-matching task ends coalescing
@@ -488,6 +503,12 @@ class TTSService:
             # pool thread so concurrent requests join the shared decode
             # instead of serializing behind the worker queue
             self._cont_pool.submit(self._run_continuous, task)
+        elif (self.batcher is not None
+              and self._stream_batchable(task) == self._continuous_key):
+            # streaming rides the slots too: the stream's decode joins the
+            # in-flight batch, so TTFT under concurrent load is bounded by
+            # the chunk cadence instead of the worker-queue depth
+            self._cont_pool.submit(self._run_continuous_stream, task)
         else:
             self.tasks.put(task)
         return tid
@@ -550,6 +571,53 @@ class TTSService:
             result = {"error": str(e)}
         with self.results_lock:
             self.results[tid] = result
+
+    def _run_continuous_stream(self, task: dict):
+        """Streaming over the shared decode slots (runtime/continuous.py
+        stream=True): chunk synthesis keeps the solo streamer's semantics
+        while the LLM decode is admitted into the in-flight batch.  Falls
+        back to the worker path (solo streaming) when a segment is outside
+        the slots' bucket ladders — nothing has been pushed to the chunk
+        queue at that point, so the fallback is seamless."""
+        import random as _random
+
+        q = task["chunk_queue"]
+        try:
+            segments = self.frontend.text_normalize(task["text"], split=True)
+            feats_list = [
+                self.frontend.frontend_sft(seg, task["speaker_id"])
+                for seg in segments
+            ]
+            for feats in feats_list:
+                sp = feats.get("prompt_speech_tokens")
+                if (len(feats["text_tokens"]) > self.batcher.prompt_buckets[-1]
+                        or (sp is not None and len(sp) > self.batcher.sp_buckets[-1])):
+                    self.tasks.put(task)
+                    return
+            sr = self.engine.cfg.sample_rate
+            for i, feats in enumerate(feats_list):
+                req = self.batcher.submit(
+                    feats["text_tokens"],
+                    feats.get("spk_embedding"),
+                    prompt_speech_tokens=feats.get("prompt_speech_tokens"),
+                    prompt_mel=feats.get("prompt_mel"),
+                    stream=True,
+                    tts_text_len=feats["tts_text_len"],
+                )
+                for wav in self.batcher.stream_result(req, timeout=self.timeout):
+                    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+                    q.put(pcm.tobytes())
+                if i < len(feats_list) - 1:
+                    pause = int(_random.uniform(0.05, 0.15) * sr)
+                    q.put(np.zeros(pause, "<i2").tobytes())
+            q.put(None)
+            with self.results_lock:
+                self.continuous_requests += 1
+        except Exception as e:
+            logger.exception("continuous stream task %s failed",
+                             task.get("task_id"))
+            q.put(e)
+            q.put(None)
 
     def wait(self, tid: str) -> dict:
         """Poll the result dict (router.py:248-295: 50 ms poll, 60 s timeout)."""
@@ -822,9 +890,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, _response(False, "missing fields",
                                       error="text + speaker_id required"))
             return
-        # streaming never rides the continuous slots, so it keeps the module
-        # default head count regardless of --continuous-heads
-        extra = {**DEFAULT_TTS_EXTRA, **(body.get("extra_params") or {})}
+        # merge the SERVICE defaults (not the module table): with continuous
+        # batching on, the default head count is the batcher's, so default
+        # streams ride the shared decode slots (service._run_continuous_stream)
+        extra = {**self.service.default_extra, **(body.get("extra_params") or {})}
         chunk_q: "queue.Queue" = queue.Queue()
         self.service.submit({
             "type": "tts_stream",

@@ -254,3 +254,108 @@ def test_continuous_many_concurrent(engine):
             assert len(wav) > 0 and stats["steps"] > 0
     finally:
         batcher.shutdown()
+
+
+def test_streaming_rides_slots(engine):
+    """A stream=True request through the shared decode slots yields the same
+    chunk boundaries, bit-identical tokens, and (near-)identical audio as the
+    solo StreamingSynthesizer session with the same rng.  (The solo first
+    chunk rides the fused TTFT program whose waveform is int16-quantized on
+    device, hence the small tolerance.)"""
+    from flowmirror_hydravox_tpu.config import SamplingConfig
+
+    # the batcher's default SamplingParams.make() values — the solo session
+    # must sample identically for token parity
+    match = SamplingConfig(top_p=0.8, top_k=25, win_size=10, tau_r=0.1)
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=2)
+    try:
+        text = np.arange(8, dtype=np.int32)
+        solo_chunks = list(engine.streaming().synthesize_stream(
+            text_tokens=text, tts_text_len=len(text), inference_head_num=2,
+            rng=jax.random.PRNGKey(33), max_token_text_ratio=8.0,
+            sampling=match,
+        ))
+        req = batcher.submit(
+            text, rng=jax.random.PRNGKey(33), stream=True,
+            max_token_text_ratio=8.0,
+        )
+        slot_chunks = list(batcher.stream_result(req, timeout=600.0))
+        assert req.stats is not None and req.stats["ttft"] > 0
+        # decode chain: submit rng splits exactly like synthesize_stream's
+        decode_rng = jax.random.split(jax.random.PRNGKey(33))[0]
+        solo = _solo_tokens(engine, text, decode_rng, head_num=2)
+        assert req.stats["tokens"] == solo.tolist()
+        assert len(slot_chunks) == len(solo_chunks), (
+            [len(c) for c in slot_chunks], [len(c) for c in solo_chunks])
+        for a, b in zip(slot_chunks, solo_chunks):
+            assert a.shape == b.shape
+            assert np.allclose(a, b, atol=2e-3), float(np.abs(a - b).max())
+    finally:
+        batcher.shutdown()
+
+
+def test_streaming_on_slots_concurrent(engine):
+    """Two streams decode concurrently on the slots; each stream's audio
+    still matches its own solo session (per-request carried HiFT caches and
+    rng chains don't cross-talk)."""
+    from flowmirror_hydravox_tpu.config import SamplingConfig
+
+    match = SamplingConfig(top_p=0.8, top_k=25, win_size=10, tau_r=0.1)
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=2)
+    try:
+        texts = [np.arange(8, dtype=np.int32), (np.arange(10) % 5).astype(np.int32)]
+        rngs = [44, 55]
+        solos = [
+            [c.copy() for c in engine.streaming().synthesize_stream(
+                text_tokens=t, tts_text_len=len(t), inference_head_num=2,
+                rng=jax.random.PRNGKey(s), max_token_text_ratio=8.0,
+                sampling=match)]
+            for t, s in zip(texts, rngs)
+        ]
+        reqs = [
+            batcher.submit(t, rng=jax.random.PRNGKey(s), stream=True,
+                           max_token_text_ratio=8.0)
+            for t, s in zip(texts, rngs)
+        ]
+        outs = [list(batcher.stream_result(r, timeout=600.0)) for r in reqs]
+        for got, want in zip(outs, solos):
+            assert len(got) == len(want)
+            for a, b in zip(got, want):
+                assert a.shape == b.shape
+                assert np.allclose(a, b, atol=2e-3), float(np.abs(a - b).max())
+    finally:
+        batcher.shutdown()
+
+
+def test_service_streaming_rides_slots(engine):
+    """A default-config tts_stream task is served through the decode slots
+    (continuous_requests increments — server._run_continuous_stream) and
+    yields valid 16-bit PCM chunks ending with the None sentinel."""
+    import queue as _q
+
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker(
+        "a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         continuous_slots=2, continuous_head_num=2)
+    try:
+        cq = _q.Queue()
+        service.submit({"type": "tts_stream", "text": "stream on slots",
+                        "speaker_id": "a", "chunk_queue": cq})
+        chunks = []
+        while True:
+            item = cq.get(timeout=600)
+            if item is None:
+                break
+            assert not isinstance(item, Exception), item
+            chunks.append(item)
+        assert chunks and all(isinstance(c, bytes) for c in chunks)
+        pcm = np.frombuffer(b"".join(chunks), dtype="<i2")
+        assert len(pcm) > 0
+        assert service.continuous_requests == 1
+    finally:
+        service.shutdown()
