@@ -340,8 +340,9 @@ def main():
     from flowmirror_hydravox_tpu.runtime.server import make_server
     from flowmirror_hydravox_tpu.tools.loadgen import run_load
 
-    def _with_server(slots, fn):
-        srv = make_server("127.0.0.1", 0, engine_f, fe, continuous_slots=slots)
+    def _with_server(slots, fn, head_num=2):
+        srv = make_server("127.0.0.1", 0, engine_f, fe, continuous_slots=slots,
+                          continuous_head_num=head_num)
         th = threading.Thread(target=srv.serve_forever, daemon=True)
         th.start()
         url = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -389,6 +390,21 @@ def main():
         "interchunk_gap_p95_ms": res["interchunk_gap_p95_ms"],
         "stream_requests": res["requests"], "errors": res["errors"],
         "bg_load": "6 closed-loop /tts workers", "target_ms": 200,
+    }))
+
+    # same scenario with continuous batching on (slots=4, head_num=4 so both
+    # the bg /tts load and the streams ride the shared decode slots): the
+    # stream's decode is admitted into the in-flight batch at a chunk
+    # boundary instead of waiting behind whole utterances in the worker
+    # queue, which is what bounds the TTFT tail under load
+    res_c = _with_server(4, _ttft_under_load, head_num=4)
+    print(json.dumps({
+        "aux": True, "metric": "ttft_under_load_http_continuous",
+        "ttft_p50_ms": res_c["ttft_p50_ms"], "ttft_p95_ms": res_c["ttft_p95_ms"],
+        "interchunk_gap_p95_ms": res_c["interchunk_gap_p95_ms"],
+        "stream_requests": res_c["requests"], "errors": res_c["errors"],
+        "bg_load": "6 closed-loop /tts workers on the same 4 slots",
+        "ttft_p95_window_ms": res["ttft_p95_ms"], "target_ms": 200,
     }))
 
     def _staggered(url):
