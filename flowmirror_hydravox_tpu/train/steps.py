@@ -119,23 +119,86 @@ def _apply_grads(state: TrainState, grads, optimizer) -> Tuple[TrainState, jnp.n
     return TrainState(new_params, new_opt, state.step + 1), gnorm
 
 
+def _value_and_grad_accum(loss_fn, params, batch, accum_steps: int, rng=None):
+    """Gradient accumulation over micro-batches inside ONE jitted step.
+
+    TPU-native equivalent of the reference's grad accumulation (DDP
+    `no_sync` + loss/accum scaling, train_utils.py:277-291; HF Trainer
+    `gradient_accumulation_steps`): the global batch (leading dim B) is
+    reshaped to (k, B//k, ...) and a `lax.scan` runs backward per
+    micro-batch, summing grads in f32 — peak activation memory is that of
+    one micro-batch, and XLA keeps the whole loop in one program (no k
+    host dispatches).  Returned grads are the mean over micro-batches,
+    cast back to the param dtype, so downstream (clip/adamw/moments) is
+    bit-compatible with the accum_steps=1 path.
+
+    loss_fn(params, micro_batch[, rng]) -> (loss, aux); loss must be a
+    per-micro-batch mean (same convention as the reference, which divides
+    each micro loss by accum_grad), so equal-size micro-batches average to
+    the full-batch loss.  rng, when given, is split per micro-batch.
+    """
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+    if accum_steps <= 1:
+        return (vg(params, batch, rng) if rng is not None else vg(params, batch))
+
+    k = int(accum_steps)
+
+    def _split(x):
+        if x.shape[0] % k:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by accum_steps {k}")
+        return x.reshape(k, x.shape[0] // k, *x.shape[1:])
+
+    micro = jax.tree.map(_split, batch)
+    xs = (micro, jax.random.split(rng, k)) if rng is not None else (micro,)
+
+    def body_fn(carry, mb_rng):
+        gsum, lsum, auxsum = carry
+        (loss, aux), g = vg(params, *mb_rng)
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), gsum, g)
+        auxsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), auxsum, aux)
+        return (gsum, lsum + loss.astype(jnp.float32), auxsum), None
+
+    # probe aux structure on micro-batch 0 shapes without running compute:
+    # eval_shape is free under tracing and keeps init zeros structurally right
+    mb0 = jax.tree.map(lambda x: x[0], micro)
+    aux_shape = jax.eval_shape(
+        lambda p: vg(p, mb0, rng)[0][1] if rng is not None else vg(p, mb0)[0][1],
+        params,
+    )
+    init = (
+        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+        jnp.float32(0.0),
+        jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), aux_shape),
+    )
+    (gsum, lsum, auxsum), _ = jax.lax.scan(body_fn, init, xs)
+    grads = jax.tree.map(lambda g, p: (g / k).astype(p.dtype), gsum, params)
+    loss = lsum / k
+    aux = jax.tree.map(lambda a: a / k, auxsum)
+    return (loss, aux), grads
+
+
 def llm_train_step(
     state: TrainState,
     batch: dict,
     cfg: LLMConfig,
     optimizer: optax.GradientTransformation,
+    accum_steps: int = 1,
 ) -> Tuple[TrainState, dict]:
     """batch: text_token (B, Lt), text_len (B,), speech_token (B, Ls),
-    speech_len (B,). Differentiable through forward_loss (MTP CE)."""
+    speech_len (B,). Differentiable through forward_loss (MTP CE).
+    accum_steps > 1 scans backward over B//accum_steps micro-batches
+    (_value_and_grad_accum) before one optimizer update."""
 
-    def loss_fn(params):
+    def loss_fn(params, mb):
         out = llm_model.forward_loss(
-            params, cfg, batch["text_token"], batch["text_len"],
-            batch["speech_token"], batch["speech_len"],
+            params, cfg, mb["text_token"], mb["text_len"],
+            mb["speech_token"], mb["speech_len"],
         )
         return out["loss"], out["acc"]
 
-    (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    (loss, acc), grads = _value_and_grad_accum(
+        loss_fn, state.params, batch, accum_steps)
     new_state, gnorm = _apply_grads(state, grads, optimizer)
     return new_state, {"loss": loss, "acc": acc, "grad_norm": gnorm}
 
@@ -149,6 +212,7 @@ def dpo_train_step(
     beta: float = 0.01,
     label_smoothing: float = 0.0,
     ipo: bool = False,
+    accum_steps: int = 1,
 ) -> Tuple[TrainState, dict]:
     """DPO step (reference bin/train.py:162-173 + train_utils.py:256-273):
     total loss = preference loss (beta=0.01) + SFT CE on the chosen sequence;
@@ -158,16 +222,17 @@ def dpo_train_step(
     rejected_token (B, Lr), rejected_len."""
     from ..models.llm_extras import dpo_loss as _dpo_loss, forward_dpo
 
-    args = (
-        batch["text_token"], batch["text_len"],
-        batch["chosen_token"], batch["chosen_len"],
-        batch["rejected_token"], batch["rejected_len"],
-    )
-    ref_out = forward_dpo(ref_params, cfg, *args)
-    ref_chosen = jax.lax.stop_gradient(ref_out["chosen_logps"])
-    ref_rejected = jax.lax.stop_gradient(ref_out["rejected_logps"])
-
-    def loss_fn(params):
+    def loss_fn(params, mb):
+        args = (
+            mb["text_token"], mb["text_len"],
+            mb["chosen_token"], mb["chosen_len"],
+            mb["rejected_token"], mb["rejected_len"],
+        )
+        # frozen-reference logps recomputed per micro-batch inside the same
+        # program (the scan keeps only one micro-batch's activations live)
+        ref_out = forward_dpo(ref_params, cfg, *args)
+        ref_chosen = jax.lax.stop_gradient(ref_out["chosen_logps"])
+        ref_rejected = jax.lax.stop_gradient(ref_out["rejected_logps"])
         out = forward_dpo(params, cfg, *args)
         pref, chosen_r, rejected_r = _dpo_loss(
             out["chosen_logps"], out["rejected_logps"], ref_chosen, ref_rejected,
@@ -184,7 +249,8 @@ def dpo_train_step(
         }
         return total, aux
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    (loss, aux), grads = _value_and_grad_accum(
+        loss_fn, state.params, batch, accum_steps)
     new_state, gnorm = _apply_grads(state, grads, optimizer)
     return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
 
@@ -195,17 +261,21 @@ def flow_train_step(
     rng: jax.Array,
     cfg: FlowConfig,
     optimizer: optax.GradientTransformation,
+    accum_steps: int = 1,
 ) -> Tuple[TrainState, dict]:
     """batch: speech_token (B, Lt), token_len, speech_feat (B, Tm, 80),
-    feat_len, embedding (B, 192)."""
+    feat_len, embedding (B, 192). accum_steps > 1 splits the rng per
+    micro-batch (each gets its own CFM noise/t draws)."""
 
-    def loss_fn(params):
-        return flow_model.compute_loss(
-            params, cfg, rng, batch["speech_token"], batch["token_len"],
-            batch["speech_feat"], batch["feat_len"], batch["embedding"],
+    def loss_fn(params, mb, r):
+        loss = flow_model.compute_loss(
+            params, cfg, r, mb["speech_token"], mb["token_len"],
+            mb["speech_feat"], mb["feat_len"], mb["embedding"],
         )
+        return loss, jnp.float32(0.0)
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    (loss, _), grads = _value_and_grad_accum(
+        loss_fn, state.params, batch, accum_steps, rng=rng)
     # rand_noise is a fixed buffer — zero its grad so it never trains
     grads = dict(grads)
     grads["rand_noise"] = jnp.zeros_like(grads["rand_noise"])

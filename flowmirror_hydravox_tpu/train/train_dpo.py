@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None)
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style optimizer-moment sharding over 'data'")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batch gradient accumulation inside the jitted "
+                        "step (lax.scan; reference train_utils.py:277-291)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -74,6 +77,10 @@ def main(argv=None):
     assert args.batch_size % n_data == 0, (
         f"batch_size {args.batch_size} not divisible by {n_data} data shards"
     )
+    if args.grad_accum > 1:
+        assert args.batch_size % args.grad_accum == 0, (
+            f"batch_size {args.batch_size} not divisible by "
+            f"grad_accum {args.grad_accum}")
 
     def load_weights(path, template):
         if path.endswith(".npz"):
@@ -120,6 +127,7 @@ def main(argv=None):
         lambda s, rp, b: dpo_train_step(
             s, rp, b, cfg, optimizer, beta=args.beta,
             label_smoothing=args.label_smoothing, ipo=args.ipo,
+            accum_steps=args.grad_accum,
         ),
         donate_argnums=(0,),
     )

@@ -44,6 +44,12 @@ def main(argv=None):
                    help="ZeRO-2-style optimizer-moment sharding over 'data'")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed init + hybrid ICI/DCN mesh")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batch gradient accumulation inside the jitted "
+                        "step (lax.scan; reference train_utils.py:277-291 / "
+                        "HF gradient_accumulation_steps). batch_size is the "
+                        "GLOBAL batch; backward runs on batch_size/grad_accum "
+                        "rows at a time")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -69,6 +75,11 @@ def main(argv=None):
     else:
         mesh = make_mesh(model=args.tensor_parallel)
     assert args.batch_size % mesh.shape["data"] == 0
+    if args.grad_accum > 1:
+        assert args.batch_type == "static", "--grad_accum needs static batches"
+        assert args.batch_size % args.grad_accum == 0, (
+            f"batch_size {args.batch_size} not divisible by "
+            f"grad_accum {args.grad_accum}")
 
     rng = jax.random.PRNGKey(args.seed)
     params = flow_model.init_params(rng, cfg, jnp.bfloat16)
@@ -106,7 +117,9 @@ def main(argv=None):
     logger.info("mesh %s  tp=%d  zero=%s", dict(mesh.shape),
                 args.tensor_parallel, args.shard_optimizer)
     step_fn = jax.jit(
-        lambda s, b, r: flow_train_step(s, b, r, cfg, optimizer), donate_argnums=(0,)
+        lambda s, b, r: flow_train_step(s, b, r, cfg, optimizer,
+                                        accum_steps=args.grad_accum),
+        donate_argnums=(0,),
     )
 
     m = full_cfg.mel

@@ -64,6 +64,12 @@ def main(argv=None):
                         "ICI/DCN mesh (reference train_utils.py:39-50 NCCL "
                         "equivalent; set COORDINATOR_ADDRESS/NUM_PROCESSES/"
                         "PROCESS_ID or run on Cloud TPU)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batch gradient accumulation inside the jitted "
+                        "step (lax.scan; reference train_utils.py:277-291 / "
+                        "HF gradient_accumulation_steps). batch_size is the "
+                        "GLOBAL batch; backward runs on batch_size/grad_accum "
+                        "rows at a time")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -91,6 +97,11 @@ def main(argv=None):
     assert args.batch_size % n_data == 0, (
         f"batch_size {args.batch_size} not divisible by {n_data} data shards"
     )
+    if args.grad_accum > 1:
+        assert args.batch_type == "static", "--grad_accum needs static batches"
+        assert args.batch_size % args.grad_accum == 0, (
+            f"batch_size {args.batch_size} not divisible by "
+            f"grad_accum {args.grad_accum}")
 
     rng = jax.random.PRNGKey(args.seed)
     params = llm_model.init_params(rng, cfg, jnp.bfloat16)
@@ -141,7 +152,9 @@ def main(argv=None):
                 args.tensor_parallel, args.shard_optimizer)
 
     step_fn = jax.jit(
-        lambda s, b: llm_train_step(s, b, cfg, optimizer), donate_argnums=(0,)
+        lambda s, b: llm_train_step(s, b, cfg, optimizer,
+                                    accum_steps=args.grad_accum),
+        donate_argnums=(0,),
     )
 
     assert args.train_data or args.shard_list, "--train_data or --shard_list required"

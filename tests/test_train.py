@@ -173,3 +173,109 @@ def test_shard_list_iterator_parquet_and_hf(tmp_path):
     r1 = {r["text"] for r in shard_list_iterator(str(lst), rank=1, world_size=2,
                                                  epochs=1, shuffle=False)}
     assert r0 | r1 == {"p0", "p1", "h0"} and not (r0 & r1)
+
+
+# -- gradient accumulation (reference train_utils.py:277-291 / HF
+#    gradient_accumulation_steps; here a lax.scan inside one jitted step) ----
+
+
+@pytest.mark.quick
+def test_grad_accum_llm_matches_full_batch():
+    """accum_steps=2 over equal-length micro-batches produces the same
+    update as the full-batch step (mean-of-micro-means == full mean when
+    every row has the same valid-token count)."""
+    params = llm_model.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=1,
+                                     total_steps=100))
+    batch = _batch(jax.random.PRNGKey(2), b=4)
+    s_full = init_state(params, opt)
+    s_acc = init_state(params, opt)
+    full = jax.jit(lambda s, b: llm_train_step(s, b, CFG, opt))
+    acc = jax.jit(lambda s, b: llm_train_step(s, b, CFG, opt, accum_steps=2))
+    n_full, m_full = full(s_full, batch)
+    n_acc, m_acc = acc(s_acc, batch)
+    assert abs(float(m_full["loss"]) - float(m_acc["loss"])) < 1e-5
+    assert np.isclose(float(m_full["grad_norm"]), float(m_acc["grad_norm"]),
+                      rtol=1e-4)
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         n_full.params, n_acc.params)
+    assert max(jax.tree.leaves(diffs)) < 2e-5, sorted(
+        jax.tree.leaves(diffs))[-3:]
+
+
+@pytest.mark.quick
+def test_grad_accum_flow_splits_rng_per_micro_batch():
+    """The flow accum path gives each micro-batch its own rng split; the
+    accumulated grads equal the hand-computed mean of per-micro grads."""
+    from flowmirror_hydravox_tpu.models import flow as flow_model
+    from flowmirror_hydravox_tpu.train.steps import _value_and_grad_accum
+
+    fcfg = tiny_config().flow
+    params = flow_model.init_params(jax.random.PRNGKey(0), fcfg, jnp.float32)
+    rng = jax.random.PRNGKey(5)
+    b, lt = 4, 8
+    key = jax.random.PRNGKey(3)
+    batch = {
+        "speech_token": jax.random.randint(key, (b, lt), 0, fcfg.vocab_size),
+        "token_len": jnp.full((b,), lt, jnp.int32),
+        "speech_feat": jax.random.normal(key, (b, 2 * lt, 80), jnp.float32),
+        "feat_len": jnp.full((b,), 2 * lt, jnp.int32),
+        "embedding": jax.random.normal(key, (b, 192), jnp.float32),
+    }
+
+    def loss_fn(p, mb, r):
+        loss = flow_model.compute_loss(
+            p, fcfg, r, mb["speech_token"], mb["token_len"],
+            mb["speech_feat"], mb["feat_len"], mb["embedding"])
+        return loss, jnp.float32(0.0)
+
+    (loss, _), grads = jax.jit(
+        lambda p, bt, r: _value_and_grad_accum(loss_fn, p, bt, 2, rng=r)
+    )(params, batch, rng)
+
+    rngs = jax.random.split(rng, 2)
+    micro = jax.tree.map(lambda x: x.reshape(2, 2, *x.shape[1:]), batch)
+    g_sum = None
+    l_sum = 0.0
+    for i in range(2):
+        mb = jax.tree.map(lambda x: x[i], micro)
+        (li, _), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, rngs[i])
+        l_sum += float(li)
+        g_sum = gi if g_sum is None else jax.tree.map(jnp.add, g_sum, gi)
+    want = jax.tree.map(lambda g: g / 2, g_sum)
+    assert abs(float(loss) - l_sum / 2) < 1e-5
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         grads, want)
+    assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+@pytest.mark.quick
+def test_grad_accum_dpo_matches_full_batch():
+    from flowmirror_hydravox_tpu.train.steps import dpo_train_step
+
+    params = llm_model.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    ref = llm_model.init_params(jax.random.PRNGKey(9), CFG, jnp.float32)
+    opt = make_optimizer(OptimConfig(learning_rate=1e-4, warmup_steps=1,
+                                     total_steps=100))
+    key = jax.random.PRNGKey(4)
+    b, lt, ls = 4, 6, 10
+    batch = {
+        "text_token": jax.random.randint(key, (b, lt), 0, 200),
+        "text_len": jnp.full((b,), lt, jnp.int32),
+        "chosen_token": jax.random.randint(key, (b, ls), 0, CFG.speech_token_size),
+        "chosen_len": jnp.full((b,), ls, jnp.int32),
+        "rejected_token": jax.random.randint(
+            jax.random.PRNGKey(7), (b, ls), 0, CFG.speech_token_size),
+        "rejected_len": jnp.full((b,), ls, jnp.int32),
+    }
+    full = jax.jit(lambda s, rp, bt: dpo_train_step(s, rp, bt, CFG, opt))
+    acc = jax.jit(lambda s, rp, bt: dpo_train_step(s, rp, bt, CFG, opt,
+                                                   accum_steps=2))
+    n1, m1 = full(init_state(params, opt), ref, batch)
+    n2, m2 = acc(init_state(params, opt), ref, batch)
+    for k in ("loss", "sft_loss", "dpo_loss", "dpo_acc"):
+        assert abs(float(m1[k]) - float(m2[k])) < 1e-5, (k, m1[k], m2[k])
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         n1.params, n2.params)
+    assert max(jax.tree.leaves(diffs)) < 2e-5

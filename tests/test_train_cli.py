@@ -169,3 +169,14 @@ def test_llm_cli_resume_continues_step_count(llm_ds, tmp_path):
     ])
     assert second["step"] == 4
     assert np.isfinite(second["metrics"]["loss"])
+
+
+def test_llm_cli_grad_accum_runs(llm_ds, tmp_path):
+    """--grad_accum 2 (lax.scan micro-batch accumulation inside the jitted
+    step) trains and logs finite metrics; the collator's variable-length
+    padding means micro-batch token weights differ from the full batch, so
+    this is a smoke + finiteness check (exact equality is unit-tested on
+    equal-length batches in test_train.py)."""
+    out = _run_llm(llm_ds, str(tmp_path / "ga"), ["--grad_accum", "2"])
+    assert out["step"] == 2
+    assert np.isfinite(out["metrics"]["loss"])
