@@ -45,10 +45,13 @@ def _time_steps(run_one, fetch, warm=1, iters=6):
     return (time.time() - t0) / iters
 
 
-def bench_llm(peak_flops: float):
+def bench_llm(peak_flops: float, accum: int = 1):
     """Production-shape MTP train step: a batch of long utterances — the
     shape the frame-budget batcher actually feeds, vs bench.py's
-    serving-scale B=8/Ls=256 point."""
+    serving-scale B=8/Ls=256 point.  --accum K scales the GLOBAL batch to
+    K x 16 while the compiled backward stays the B=16 micro program
+    (train/steps.py _value_and_grad_accum), sidestepping the host's
+    remote-compiler memory cap on bigger one-shot graphs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,7 +66,7 @@ def bench_llm(peak_flops: float):
     # like the fused GAN graph; tried B=16/750, B=8/750, B=16/375 — an infra
     # memory cap, not a framework limit); B=16 x 256 is the largest shape
     # that compiles there and doubles the bench.py point's batch
-    b, lt, ls = 16, 64, 256
+    b, lt, ls = 16 * accum, 64, 256
     params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(
         jax.random.PRNGKey(0))
     opt = make_optimizer(OptimConfig(warmup_steps=10, total_steps=1000))
@@ -76,7 +79,8 @@ def bench_llm(peak_flops: float):
             rng0.integers(0, cfg.llm.speech_token_size, (b, ls)), jnp.int32),
         "speech_len": jnp.full((b,), ls, jnp.int32),
     }
-    step = jax.jit(lambda s, bt: llm_train_step(s, bt, cfg.llm, opt),
+    step = jax.jit(lambda s, bt: llm_train_step(s, bt, cfg.llm, opt,
+                                                accum_steps=accum),
                    donate_argnums=(0,))
 
     holder = {"state": state, "m": None}
@@ -90,11 +94,12 @@ def bench_llm(peak_flops: float):
         + _flops_matmul_params(params["llm_decoder"])
     tok = b * (2 + lt + ls)
     flops = 6 * p_mm * tok
+    name = "train_step_llm_batch" if accum == 1 else f"train_step_llm_accum{accum}"
     return {
-        "metric": "train_step_llm_batch", "step_ms": round(step_s * 1000, 1),
+        "metric": name, "step_ms": round(step_s * 1000, 1),
         "tokens_per_sec": round(tok / step_s, 1),
         "mfu_pct": round(flops / step_s / peak_flops * 100, 1),
-        "batch": [b, lt, ls],
+        "batch": [b, lt, ls], "grad_accum": accum,
     }
 
 
@@ -266,6 +271,9 @@ def main(argv=None):
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="bf16 peak of the chip (v5e default)")
     p.add_argument("--cache_dir", default=None)
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation factor (llm only): global "
+                        "batch = 16*accum, backward compiled at micro B=16")
     args = p.parse_args(argv)
 
     import jax
@@ -277,7 +285,8 @@ def main(argv=None):
     fn = {"llm": bench_llm, "flow": bench_flow, "gan": bench_gan,
           "dpo": bench_dpo}[args.which]
     try:
-        out = fn(args.peak_tflops * 1e12)
+        out = (fn(args.peak_tflops * 1e12, accum=args.accum)
+               if args.which == "llm" else fn(args.peak_tflops * 1e12))
     except Exception as e:
         import traceback
 

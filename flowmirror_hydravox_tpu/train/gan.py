@@ -73,6 +73,42 @@ def multi_mel_loss(real: jnp.ndarray, fake: jnp.ndarray, sample_rate: int) -> jn
     return loss
 
 
+def _split_micro(tree, k: int):
+    """Reshape every leaf (B, ...) -> (k, B//k, ...) for accumulation."""
+    def _s(x):
+        if x.shape[0] % k:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by accum_steps {k}")
+        return x.reshape(k, x.shape[0] // k, *x.shape[1:])
+    return jax.tree.map(_s, tree)
+
+
+def _scan_accum(vg, params, xs, k: int, aux_stack_idx=None):
+    """Run value_and_grad over k micro-batches with lax.scan, summing grads
+    (f32) and scalar metrics; aux tensors listed in aux_stack_idx stack as
+    scan outputs (reference GAN accumulation: executor.train_one_epoc_gan +
+    batch_backward loss/accum scaling, train_utils.py:277-291)."""
+    def body(carry, x):
+        gsum, lsum, msum = carry
+        (loss, (stacked, scal)), g = vg(params, x)
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), gsum, g)
+        msum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), msum, scal)
+        return (gsum, lsum + loss.astype(jnp.float32), msum), stacked
+
+    x0 = jax.tree.map(lambda v: v[0], xs)
+    (_, (stack_shape, scal_shape)), _ = jax.eval_shape(
+        lambda p: vg(p, x0), params)
+    init = (
+        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+        jnp.float32(0.0),
+        jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), scal_shape),
+    )
+    (gsum, lsum, msum), stacked = jax.lax.scan(body, init, xs)
+    grads = jax.tree.map(lambda g, p: (g / k).astype(p.dtype), gsum, params)
+    scal = jax.tree.map(lambda a: a / k, msum)
+    return lsum / k, scal, grads, stacked
+
+
 def gan_gen_step(
     gen_state,
     disc_params,
@@ -84,23 +120,28 @@ def gan_gen_step(
     mel_weight: float = 45.0,
     tpr_weight: float = 1.0,
     tpr_tau: float = 0.04,
+    accum_steps: int = 1,
 ):
     """Generator half of the split two-program GAN step (see
     gan_train_step_split).  Returns (new_gen_state, fake_sg, metrics).
     The discriminator forward inside the loss is rematerialized
     (jax.checkpoint) so the generator backward does not keep both
-    discriminators' activations live."""
+    discriminators' activations live.  accum_steps > 1 scans the backward
+    over micro-batches (one micro-batch of GAN activations live at a time)
+    and returns the micro fakes restitched to (B, T) so the disc half can
+    re-split them identically."""
     from .steps import _apply_grads
 
-    mel = jnp.swapaxes(batch["speech_feat"], 1, 2)
-    real = batch["speech"]
-    pitch = batch.get("pitch_feat")
     disc_fwd = jax.checkpoint(lambda w: disc_model.forward(disc_params, w))
 
-    def gen_loss_fn(gp):
+    def gen_loss_fn(gp, mb_rng):
+        mb, r = mb_rng
+        mel = jnp.swapaxes(mb["speech_feat"], 1, 2)
+        real = mb["speech"]
+        pitch = mb.get("pitch_feat")
         f0 = hift_model.predict_f0(gp, mel)
         f0_up = jnp.repeat(f0, hift_cfg.upsample_scale, axis=-1)[..., None]
-        s, _ = hift_model.sine_source(rng, hift_cfg, f0_up)
+        s, _ = hift_model.sine_source(r, hift_cfg, f0_up)
         sine = jnp.tanh(hift_model.linear(gp["m_source_linear"], s))
         fake = hift_model.decode(gp, hift_cfg, mel, jnp.swapaxes(sine, 1, 2))
         real_scores, real_fmaps = disc_fwd(real)
@@ -113,8 +154,15 @@ def gan_gen_step(
         total = adv + fm + mel_l + tpr + f0_l
         return total, (fake, dict(adv=adv, fm=fm, mel=mel_l, tpr=tpr, f0=f0_l))
 
-    (g_loss, (fake, parts)), g_grads = jax.value_and_grad(
-        gen_loss_fn, has_aux=True)(gen_state.params)
+    vg = jax.value_and_grad(gen_loss_fn, has_aux=True)
+    if accum_steps <= 1:
+        (g_loss, (fake, parts)), g_grads = vg(gen_state.params, (batch, rng))
+    else:
+        k = int(accum_steps)
+        xs = (_split_micro(batch, k), jax.random.split(rng, k))
+        g_loss, parts, g_grads, fake_k = _scan_accum(
+            vg, gen_state.params, xs, k)
+        fake = fake_k.reshape(-1, *fake_k.shape[2:])  # (k, mb, T) -> (B, T)
     new_gen, g_norm = _apply_grads(gen_state, g_grads, gen_opt)
     metrics = {"gen_loss": g_loss, "gen_grad_norm": g_norm, **parts}
     return new_gen, jax.lax.stop_gradient(fake), metrics
@@ -128,19 +176,29 @@ def gan_disc_step(
     *,
     tpr_weight: float = 1.0,
     tpr_tau: float = 0.04,
+    accum_steps: int = 1,
 ):
-    """Discriminator half of the split step. Returns (new_disc_state, metrics)."""
+    """Discriminator half of the split step. Returns (new_disc_state, metrics).
+    accum_steps must match the gen half's so the micro boundaries of real
+    and fake line up (both reshape (B, T) -> (k, B//k, T) row-contiguously)."""
     from .steps import _apply_grads
 
-    def disc_loss_fn(dp):
-        real_scores, _ = disc_model.forward(dp, real)
-        fake_scores, _ = disc_model.forward(dp, fake_sg)
+    def disc_loss_fn(dp, rf):
+        r, f = rf
+        real_scores, _ = disc_model.forward(dp, r)
+        fake_scores, _ = disc_model.forward(dp, f)
         d = discriminator_loss(real_scores, fake_scores)
         if tpr_weight > 0:
             d = d + tpr_loss(real_scores, fake_scores, tpr_tau) * tpr_weight
-        return d
+        return d, (jnp.float32(0.0), {})
 
-    d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_state.params)
+    vg = jax.value_and_grad(disc_loss_fn, has_aux=True)
+    if accum_steps <= 1:
+        (d_loss, _), d_grads = vg(disc_state.params, (real, fake_sg))
+    else:
+        k = int(accum_steps)
+        xs = (_split_micro(real, k), _split_micro(fake_sg, k))
+        d_loss, _, d_grads, _ = _scan_accum(vg, disc_state.params, xs, k)
     new_disc, d_norm = _apply_grads(disc_state, d_grads, disc_opt)
     return new_disc, {"disc_loss": d_loss, "disc_grad_norm": d_norm}
 
@@ -157,50 +215,20 @@ def gan_train_step(
     mel_weight: float = 45.0,
     tpr_weight: float = 1.0,
     tpr_tau: float = 0.04,
+    accum_steps: int = 1,
 ) -> Tuple[object, object, dict]:
     """One generator + one discriminator update (executor.py:88-145 order:
-    generator first, then discriminator on the detached sample)."""
-    from .steps import TrainState, _apply_grads
-
-    mel = jnp.swapaxes(batch["speech_feat"], 1, 2)  # (B, 80, Tm)
-    real = batch["speech"]
-    pitch = batch.get("pitch_feat")
-
-    def gen_loss_fn(gp):
-        f0 = hift_model.predict_f0(gp, mel)
-        f0_up = jnp.repeat(f0, hift_cfg.upsample_scale, axis=-1)[..., None]
-        s, _ = hift_model.sine_source(rng, hift_cfg, f0_up)
-        sine = jnp.tanh(hift_model.linear(gp["m_source_linear"], s))
-        fake = hift_model.decode(gp, hift_cfg, mel, jnp.swapaxes(sine, 1, 2))
-
-        real_scores, real_fmaps = disc_model.forward(disc_state.params, real)
-        fake_scores, fake_fmaps = disc_model.forward(disc_state.params, fake)
-        adv = generator_adv_loss(fake_scores)
-        fm = feature_loss(real_fmaps, fake_fmaps)
-        mel_l = multi_mel_loss(real, fake, hift_cfg.sampling_rate) * mel_weight
-        tpr = tpr_loss(real_scores, fake_scores, tpr_tau) * tpr_weight
-        f0_l = jnp.mean(jnp.abs(f0 - pitch)) if pitch is not None else 0.0
-        total = adv + fm + mel_l + tpr + f0_l
-        return total, (fake, dict(adv=adv, fm=fm, mel=mel_l, tpr=tpr, f0=f0_l))
-
-    (g_loss, (fake, parts)), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-        gen_state.params
+    generator first, then discriminator on the detached sample).  Composes
+    the two split halves into one program — jit this whole function for the
+    fused single-dispatch form, or jit the halves separately when the host's
+    XLA compiler can't take the fused G+D graph (train_hift --split_step)."""
+    new_gen, fake_sg, gmetrics = gan_gen_step(
+        gen_state, disc_state.params, batch, rng, hift_cfg, gen_opt,
+        mel_weight=mel_weight, tpr_weight=tpr_weight, tpr_tau=tpr_tau,
+        accum_steps=accum_steps,
     )
-    new_gen, g_norm = _apply_grads(gen_state, g_grads, gen_opt)
-
-    fake_sg = jax.lax.stop_gradient(fake)
-
-    def disc_loss_fn(dp):
-        real_scores, _ = disc_model.forward(dp, real)
-        fake_scores, _ = disc_model.forward(dp, fake_sg)
-        d = discriminator_loss(real_scores, fake_scores)
-        if tpr_weight > 0:
-            d = d + tpr_loss(real_scores, fake_scores, tpr_tau) * tpr_weight
-        return d
-
-    d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_state.params)
-    new_disc, d_norm = _apply_grads(disc_state, d_grads, disc_opt)
-
-    metrics = {"gen_loss": g_loss, "disc_loss": d_loss,
-               "gen_grad_norm": g_norm, "disc_grad_norm": d_norm, **parts}
-    return new_gen, new_disc, metrics
+    new_disc, dmetrics = gan_disc_step(
+        disc_state, batch["speech"], fake_sg, disc_opt,
+        tpr_weight=tpr_weight, tpr_tau=tpr_tau, accum_steps=accum_steps,
+    )
+    return new_gen, new_disc, {**gmetrics, **dmetrics}

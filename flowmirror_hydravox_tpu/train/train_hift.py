@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style moment sharding over 'data' for both "
                         "the generator and discriminator optimizers")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batch gradient accumulation inside each "
+                        "jitted GAN step (lax.scan; reference executor "
+                        "train_one_epoc_gan + train_utils.py:277-291). The "
+                        "gen half hands per-micro fakes to the disc half")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -87,6 +92,9 @@ def main(argv=None):
     assert args.batch_size % n_data == 0, (
         f"batch_size {args.batch_size} not divisible by {n_data} data shards"
     )
+    assert args.batch_size % args.grad_accum == 0, (
+        f"batch_size {args.batch_size} not divisible by "
+        f"grad_accum {args.grad_accum}")
     repl = NamedSharding(mesh, P())
     gen_params = jax.device_put(gen_params, repl)
     disc_params = jax.device_put(disc_params, repl)
@@ -108,9 +116,9 @@ def main(argv=None):
         from .gan import gan_disc_step, gan_gen_step
 
         gen_fn = jax.jit(lambda gs, dp, batch, r: gan_gen_step(
-            gs, dp, batch, r, cfg, gen_opt))
+            gs, dp, batch, r, cfg, gen_opt, accum_steps=args.grad_accum))
         disc_fn = jax.jit(lambda ds, real, fake: gan_disc_step(
-            ds, real, fake, disc_opt))
+            ds, real, fake, disc_opt, accum_steps=args.grad_accum))
 
         def step_fn(gs, ds, batch, r):
             gs, fake_sg, gm = gen_fn(gs, ds.params, batch, r)
@@ -118,7 +126,9 @@ def main(argv=None):
             return gs, ds, {**gm, **dm}
     else:
         step_fn = jax.jit(
-            lambda gs, ds, batch, r: gan_train_step(gs, ds, batch, r, cfg, gen_opt, disc_opt)
+            lambda gs, ds, batch, r: gan_train_step(
+                gs, ds, batch, r, cfg, gen_opt, disc_opt,
+                accum_steps=args.grad_accum)
         )
 
     train_ds, _ = load_hf_dataset(args.train_data)

@@ -109,3 +109,75 @@ def test_gan_split_step_matches_fused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     for a, b in zip(jax.tree.leaves(split_d.params), jax.tree.leaves(fused_d.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gan_grad_accum_duplicated_micro_batches():
+    """accum_steps=2 on a batch whose two micro-batches are identical: the
+    disc update equals the unaccumulated update on the same batch (identical
+    micro losses average to the full loss, incl. the per-micro tpr median),
+    and the gen half's first-micro fake equals a solo accum=1 run on that
+    micro with the matching rng split — proving the scan plumbing hands each
+    micro its own rng and restitches fakes row-contiguously."""
+    t_mel = 8
+    gen_params = hift.init_params(jax.random.PRNGKey(0), HIFT_CFG, jnp.float32)
+    disc_params = disc.init_params(jax.random.PRNGKey(1))
+    gen_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10))
+    disc_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10))
+    rng = jax.random.PRNGKey(3)
+    micro = {
+        "speech_feat": jax.random.normal(rng, (2, t_mel, 80)) * 0.3,
+        "speech": jax.random.normal(rng, (2, t_mel * HIFT_CFG.upsample_scale)) * 0.1,
+        "pitch_feat": jnp.abs(jax.random.normal(rng, (2, t_mel))) * 100,
+    }
+    batch = jax.tree.map(lambda x: jnp.concatenate([x, x], 0), micro)
+
+    # gen half: accum=2 vs solo accum=1 on micro 0 with rngs[0]
+    rngs = jax.random.split(rng, 2)
+    acc_gen, fake_acc, gm = gan.gan_gen_step(
+        init_state(gen_params, gen_opt), disc_params, batch, rng, HIFT_CFG,
+        gen_opt, accum_steps=2)
+    solo_gen, fake_solo, _ = gan.gan_gen_step(
+        init_state(gen_params, gen_opt), disc_params, micro, rngs[0],
+        HIFT_CFG, gen_opt)
+    assert fake_acc.shape == (4, t_mel * HIFT_CFG.upsample_scale)
+    np.testing.assert_allclose(np.asarray(fake_acc[:2]), np.asarray(fake_solo),
+                               atol=1e-6)
+    assert np.isfinite(float(gm["gen_loss"]))
+
+    # disc half: identical micros -> accum=2 update == accum=1 update
+    d_acc, dm_acc = gan.gan_disc_step(
+        init_state(disc_params, disc_opt), batch["speech"],
+        jnp.concatenate([fake_solo, fake_solo], 0), disc_opt, accum_steps=2)
+    d_one, dm_one = gan.gan_disc_step(
+        init_state(disc_params, disc_opt), batch["speech"],
+        jnp.concatenate([fake_solo, fake_solo], 0), disc_opt)
+    np.testing.assert_allclose(float(dm_acc["disc_loss"]),
+                               float(dm_one["disc_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(d_acc.params), jax.tree.leaves(d_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gan_train_step_accum_runs():
+    t_mel = 8
+    gen_params = hift.init_params(jax.random.PRNGKey(0), HIFT_CFG, jnp.float32)
+    disc_params = disc.init_params(jax.random.PRNGKey(1))
+    # constant schedule: warmup_cosine is lr=0 at step 0 and this runs 1 step
+    gen_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0,
+                                         total_steps=10, schedule="constant"))
+    disc_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0,
+                                          total_steps=10, schedule="constant"))
+    rng = jax.random.PRNGKey(2)
+    batch = {
+        "speech_feat": jax.random.normal(rng, (4, t_mel, 80)) * 0.3,
+        "speech": jax.random.normal(rng, (4, t_mel * HIFT_CFG.upsample_scale)) * 0.1,
+        "pitch_feat": jnp.abs(jax.random.normal(rng, (4, t_mel))) * 100,
+    }
+    new_gen, new_disc, metrics = jax.jit(
+        lambda gs, ds, b, r: gan.gan_train_step(
+            gs, ds, b, r, HIFT_CFG, gen_opt, disc_opt, accum_steps=2)
+    )(init_state(gen_params, gen_opt), init_state(disc_params, disc_opt),
+      batch, rng)
+    for key in ("gen_loss", "disc_loss", "gen_grad_norm", "disc_grad_norm"):
+        assert np.isfinite(float(metrics[key])), key
+    dg = float(jnp.max(jnp.abs(new_gen.params["conv_pre"]["w"] - gen_params["conv_pre"]["w"])))
+    assert dg > 0
