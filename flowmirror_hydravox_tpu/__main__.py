@@ -70,6 +70,11 @@ def main(argv=None):
                         "vLLM-equivalent serving core). 0 = window coalescing")
     p.add_argument("--continuous-heads", type=int, default=2,
                    help="inference_head_num served by the continuous slots")
+    p.add_argument("--spec-decode", action="store_true",
+                   help="self-speculative MTP decoding for single-utterance "
+                        "requests: heads 1..K-1 draft, head 0 verifies — "
+                        "exact heads=1 output quality at up-to-K tokens/step "
+                        "(throughput scales with draft acceptance)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -141,7 +146,8 @@ def main(argv=None):
         mesh = make_mesh(model=1)
         logging.info("multi-chip serving mesh: %s", dict(mesh.shape))
     engine = Engine(cfg, llm_params, flow_params, hift_params,
-                    max_tokens=args.max_tokens, mesh=mesh, quantize=args.quantize)
+                    max_tokens=args.max_tokens, mesh=mesh, quantize=args.quantize,
+                    spec_decode=args.spec_decode)
     frontend = Frontend(cfg, tokenizer=tokenizer)
     if args.spk2info and os.path.exists(args.spk2info):
         frontend.load_spk2info(args.spk2info)

@@ -43,6 +43,9 @@ class HydraVox:
       tokenizer_path: optional explicit tokenizer asset.
       spk2info: optional speaker registry (.pt or .npz) to preload.
       prewarm: compile the hot bucket programs up front (like the server).
+      spec_decode: self-speculative MTP verification for single-utterance
+        decodes — exact heads=1 output distribution at up-to-K tokens/step
+        (llm.generate_speculative).
     """
 
     def __init__(
@@ -56,6 +59,7 @@ class HydraVox:
         max_tokens: int = 1024,
         prewarm: bool = False,
         dtype=jnp.bfloat16,
+        spec_decode: bool = False,
     ):
         from .__main__ import load_or_init
         from .config import HydraVoxConfig, tiny_config
@@ -88,7 +92,7 @@ class HydraVox:
         )
         self.engine = Engine(
             cfg, llm_params, flow_params, hift_params,
-            max_tokens=max_tokens, quantize=quantize,
+            max_tokens=max_tokens, quantize=quantize, spec_decode=spec_decode,
         )
         self.frontend = Frontend(cfg, tokenizer=tokenizer)
         if spk2info and os.path.exists(spk2info):

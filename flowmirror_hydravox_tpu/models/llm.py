@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import LLMConfig
 from ..ops.quant import matmul_q
-from ..ops.sampling import SamplingParams, ras_sample_heads
+from ..ops.sampling import SamplingParams, ras_dist, ras_sample_heads, sample_dist
 from . import qwen2
 
 IGNORE_ID = -1
@@ -246,6 +246,12 @@ class GenerateResult(NamedTuple):
     tokens: jnp.ndarray  # (max_tokens,) int32, valid prefix only
     num_tokens: jnp.ndarray  # scalar int32
     steps: jnp.ndarray  # scalar int32 — base-LLM forward count (for TPS metrics)
+
+
+class SpecResult(NamedTuple):
+    result: GenerateResult
+    accepted: jnp.ndarray  # scalar int32 — drafts accepted by the verifier
+    drafted: jnp.ndarray  # scalar int32 — drafts proposed (acceptance = a/d)
 
 
 def build_inference_prompt(
@@ -488,6 +494,182 @@ def generate_batched(
     final = jax.lax.while_loop(cond, body, state)
     return GenerateResult(
         tokens=final["tokens"][:, :max_tokens], num_tokens=final["num"], steps=final["steps"]
+    )
+
+
+def generate_speculative(
+    params: dict,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prompt_embeds: jnp.ndarray,  # (T_prompt, H) padded; true length below
+    prompt_len: jnp.ndarray,  # scalar int32
+    min_len: jnp.ndarray,  # scalar int32
+    max_len: jnp.ndarray,  # scalar int32
+    sampling: SamplingParams,
+    *,
+    num_heads: int,
+    max_tokens: int = 1024,
+    cache_len_cap: Optional[int] = None,
+) -> "SpecResult":
+    """Self-speculative MTP decode: heads=1 output distribution at near
+    multi-head speed.
+
+    The reference's MTP mode (llm_multi_head_v3.py:861-922) commits every
+    head's sample blindly, trading quality for K tokens/step.  This mode
+    instead uses heads 1..K-1 as *draft* proposals for the next K-1
+    positions and verifies them against head 0 — the sequential heads=1
+    distribution — with one KV-cached backbone forward over the K-token
+    block (speculative sampling, Leviathan et al. 2023, arXiv:2211.17192;
+    MTP-as-drafter as in DeepSeek-V3).  Per accept/reject theorem the
+    emitted sequence is distributed EXACTLY as sequential heads=1 RAS
+    decoding — bit-identical under deterministic sampling (top_k=1,
+    tau_r>1), regardless of draft quality.  Throughput scales with the
+    acceptance rate: each block forward costs ~1 decode step (HBM-bound at
+    B=1) and commits 1 (all drafts rejected) to K (all accepted + bonus
+    token from the verifier's own logits) tokens.
+
+    Loop invariant: `pend` is the newest emitted token — counted in
+    `tokens`/`num` but not yet in the KV cache; each step's block is
+    [pend, draft_1 .. draft_{K-1}], so the verifier hiddens double as the
+    drafting hidden for the next step and rejected drafts are shadowed by
+    the next block's cache write (forward_block_with_cache advance<K).
+    """
+    head_k = max(2, min(int(num_heads), cfg.head_num))
+    t_prompt, _ = prompt_embeds.shape
+    if cache_len_cap is None:
+        cache_len_cap = t_prompt + max_tokens + head_k
+    cache_len_cap = -(-cache_len_cap // 256) * 256
+    bb = cfg.backbone
+    emb_dtype = params["speech_embedding"].dtype
+    sts = cfg.speech_token_size
+    # stream only the needed head weights per step (see generate_until)
+    p_tgt = dict(params, mtp_block=jax.tree.map(lambda a: a[:1], params["mtp_block"]))
+    p_draft = dict(
+        params, mtp_block=jax.tree.map(lambda a: a[1:head_k], params["mtp_block"])
+    )
+    kd = head_k - 1  # number of drafts per step
+
+    cache = qwen2.init_kv_cache(bb, 1, cache_len_cap, dtype=prompt_embeds.dtype)
+    hidden, cache = qwen2.forward_block_with_cache(
+        params["backbone"], bb, prompt_embeds[None], cache, advance=prompt_len[None]
+    )
+    h0 = hidden[0, prompt_len - 1]
+
+    # first pending token ~ exact heads=1 distribution on the prompt hidden
+    rng, r0 = jax.random.split(rng)
+    buf = jnp.full((max_tokens + head_k,), -1, jnp.int32)
+    q0 = ras_dist(
+        mtp_logits(p_tgt, cfg, h0, 1)[0], buf, jnp.int32(0), sampling,
+        jnp.int32(0) < min_len, sts,
+    )
+    t0 = sample_dist(r0, q0)
+    stop0 = t0 >= sts
+    state = dict(
+        rng=rng,
+        cache=cache,
+        last_hidden=h0,
+        pend=t0,
+        tokens=jnp.where(stop0, buf, buf.at[0].set(t0)),
+        num=jnp.where(stop0, 0, 1).astype(jnp.int32),
+        steps=jnp.int32(0),
+        accepted=jnp.int32(0),  # accepted draft count (acceptance-rate metric)
+        drafted=jnp.int32(0),
+        finished=stop0 | (max_len < 1),
+    )
+
+    def cond(s):
+        return (~s["finished"]) & (s["num"] < max_len)
+
+    def body(s):
+        rng, r_draft, r_acc, r_res, r_bonus = jax.random.split(s["rng"], 5)
+        num, buf = s["num"], s["tokens"]
+        # counts[j] = tokens decoded before draft j's position, j = 0..kd-1
+        counts = num + jnp.arange(kd)
+
+        # --- draft: heads 1..K-1 on the last cached hidden, explicit dists
+        draft_logits = mtp_logits(p_draft, cfg, s["last_hidden"], kd)  # (kd, V)
+        p_dists = jax.vmap(
+            lambda lg, c: ras_dist(lg, buf, num, sampling, c < min_len, sts)
+        )(draft_logits, counts)
+        drafts = jax.vmap(sample_dist)(jax.random.split(r_draft, kd), p_dists)
+        buf_d = buf.at[num + jnp.arange(kd)].set(drafts)  # tentative history
+
+        # --- one backbone forward over [pend, drafts]; cache rows written at
+        # [len, len+K), length bumped after verification
+        block = jnp.concatenate([s["pend"][None], drafts])
+        emb = jnp.take(params["speech_embedding"], block, axis=0).astype(emb_dtype)
+        hidden_blk, cache_w = qwen2.forward_block_with_cache(
+            params["backbone"], bb, emb[None], s["cache"],
+            advance=jnp.zeros((1,), jnp.int32),
+        )
+        hs = hidden_blk[0]  # (K, H): hs[i] = hidden after block[0..i]
+
+        # --- verify: target = head0 on each in-block hidden (exact heads=1)
+        tgt_logits = mtp_logits(p_tgt, cfg, hs, 1)[0]  # (K, V)
+        q_dists = jax.vmap(
+            lambda lg, c: ras_dist(lg, buf_d, c, sampling, c < min_len, sts)
+        )(tgt_logits[:kd], counts)
+        u = jax.random.uniform(r_acc, (kd,))
+        p_d = jnp.take_along_axis(p_dists, drafts[:, None], axis=1)[:, 0]
+        q_d = jnp.take_along_axis(q_dists, drafts[:, None], axis=1)[:, 0]
+        accept = u * p_d < q_d  # u < q/p without the divide
+        n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32))).astype(jnp.int32)
+        all_acc = n_acc == kd
+
+        # rejected position: resample from the normalized residual max(q-p,0)
+        j = jnp.minimum(n_acc, kd - 1)
+        res = jnp.maximum(q_dists[j] - p_dists[j], 0.0)
+        z = jnp.sum(res)
+        r_tok = sample_dist(r_res, jnp.where(z > 1e-12, res / z, q_dists[j]))
+        # bonus token when every draft holds: head0 on the last block hidden
+        q_bonus = ras_dist(
+            tgt_logits[kd], buf_d, num + kd, sampling, (num + kd) < min_len, sts
+        )
+        b_tok = sample_dist(r_bonus, q_bonus)
+
+        # emitted this step: accepted drafts, then r (reject) or bonus (all-acc)
+        e = jnp.concatenate([drafts, b_tok[None]])  # (K,)
+        e = e.at[j + jnp.where(all_acc, 1, 0)].set(jnp.where(all_acc, b_tok, r_tok))
+        n_emit = jnp.where(all_acc, head_k, n_acc + 1)
+
+        # stop/budget bookkeeping (same contract as generate_until)
+        arange_k = jnp.arange(head_k)
+        valid = arange_k < n_emit
+        stop_seen = (e >= sts) & valid
+        before_stop = jnp.cumsum(stop_seen) == 0
+        n_ok = jnp.sum(before_stop & valid).astype(jnp.int32)
+        budget = jnp.maximum(max_len - num, 0)
+        n_commit = jnp.minimum(n_ok, budget)
+        finished = jnp.any(stop_seen) | (num + n_commit >= max_len)
+
+        wpos = num + arange_k
+        wmask = arange_k < n_commit
+        tokens = buf.at[wpos].set(jnp.where(wmask, e, buf[wpos]))
+        # cache keeps [pend, accepted drafts] = n_emit rows; the new pend
+        # (r or bonus) stays cache-pending for the next block
+        cache = qwen2.KVCache(
+            k=cache_w.k, v=cache_w.v, length=s["cache"].length + n_emit
+        )
+        return dict(
+            rng=rng, cache=cache,
+            last_hidden=hs[n_emit - 1],
+            pend=e[n_emit - 1],
+            tokens=tokens, num=num + n_commit,
+            steps=s["steps"] + 1,
+            accepted=s["accepted"] + n_acc,
+            drafted=s["drafted"] + kd,
+            finished=finished,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return SpecResult(
+        result=GenerateResult(
+            tokens=final["tokens"][:max_tokens],
+            num_tokens=final["num"],
+            steps=final["steps"],
+        ),
+        accepted=final["accepted"],
+        drafted=final["drafted"],
     )
 
 

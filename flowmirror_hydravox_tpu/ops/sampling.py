@@ -102,6 +102,58 @@ def ras_sample(
     return jnp.where(repeated, flat, candidate).astype(jnp.int32)
 
 
+def ras_dist(
+    logits: jnp.ndarray,  # (V,) raw logits
+    token_history: jnp.ndarray,  # (L,) int32 decoded tokens buffer (padded with -1)
+    num_decoded: jnp.ndarray,  # scalar int32
+    params: SamplingParams,
+    ignore_eos: jnp.ndarray,  # scalar bool
+    speech_token_size: int,
+) -> jnp.ndarray:
+    """Exact marginal distribution of `ras_sample` as an explicit (V,) vector.
+
+    ras_sample draws a candidate c from the nucleus distribution P_nuc and
+    falls back to the plain softmax P_flat iff c is window-repeated, so its
+    marginal is
+
+        P(x) = P_nuc(x) * [not repeated(x)] + (sum_c P_nuc(c) * repeated(c)) * P_flat(x).
+
+    Needed by speculative verification (models/llm.py generate_speculative),
+    where accept/reject tests require the target and draft *probabilities*,
+    not just samples.  Sampling categorically from this vector is
+    distribution-identical to calling ras_sample.
+    """
+    v = logits.shape[0]
+    token_ids = jnp.arange(v)
+    is_stop = token_ids >= speech_token_size
+    masked = jnp.where(ignore_eos & is_stop, -jnp.inf, logits.astype(jnp.float32))
+    probs = jax.nn.softmax(masked)
+
+    kmax = min(NUCLEUS_KMAX, v)
+    top_vals, top_idx = jax.lax.top_k(probs, kmax)
+    excl_cum = jnp.cumsum(top_vals) - top_vals
+    keep = (excl_cum < params.top_p) & (jnp.arange(kmax) < jnp.minimum(params.top_k, kmax))
+    kept = jnp.where(keep, top_vals, 0.0)
+    p_nuc_top = kept / jnp.maximum(jnp.sum(kept), 1e-30)
+    p_nuc = jnp.zeros((v,), jnp.float32).at[top_idx].add(p_nuc_top)
+
+    # repeated(x) for every vocab id: count of x in the last win_size decoded
+    hist_pos = jnp.arange(token_history.shape[0])
+    in_window = (hist_pos < num_decoded) & (hist_pos >= num_decoded - params.win_size)
+    counts = jnp.zeros((v,), jnp.float32).at[
+        jnp.clip(token_history, 0, v - 1)
+    ].add(in_window.astype(jnp.float32))
+    repeated = counts >= params.win_size.astype(jnp.float32) * params.tau_r
+
+    fallback_mass = jnp.sum(jnp.where(repeated, p_nuc, 0.0))
+    return jnp.where(repeated, 0.0, p_nuc) + fallback_mass * probs
+
+
+def sample_dist(rng: jax.Array, dist: jnp.ndarray) -> jnp.ndarray:
+    """Categorical draw from an explicit probability vector (V,)."""
+    return _gumbel_argmax(rng, jnp.log(jnp.maximum(dist, 1e-30)))
+
+
 def ras_sample_heads(
     rng: jax.Array,
     head_logits: jnp.ndarray,  # (K, V) — one row per MTP head

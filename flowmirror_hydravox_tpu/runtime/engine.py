@@ -63,6 +63,8 @@ class SynthesisResult:
     # kept for logging parity with the reference's stage breakdown
     flow_time: float = 0.0
     hift_time: float = 0.0
+    # spec_decode mode only: drafts accepted / drafts proposed (else -1)
+    spec_acceptance: float = -1.0
 
 
 class Engine:
@@ -82,6 +84,7 @@ class Engine:
         quantize: str | None = None,
         fused: bool = True,
         fused_est_ratio: float = 6.0,
+        spec_decode: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh for multi-chip serving — params
         replicate across the mesh and flash-batch rows shard over its 'data'
@@ -100,12 +103,21 @@ class Engine:
         packed transfer — saves a host round-trip per utterance; ~30 ms over
         the tunnel).  `fused_est_ratio`: speech-tokens-per-text-token estimate
         used to bucket the fused program's flow stage (overestimate wastes
-        flow compute, underestimate falls back to a two-stage redispatch)."""
+        flow compute, underestimate falls back to a two-stage redispatch).
+
+        `spec_decode`: single-utterance decodes run self-speculative MTP
+        verification (llm.generate_speculative) — heads 1..K-1 draft, head 0
+        verifies, output distribution EXACTLY equals heads=1 sequential
+        decoding (the reference's highest-fidelity mode) at up-to-K
+        tokens/step.  Batched (flash-batch) decodes keep the blind-MTP group
+        commit: rows desynchronize under per-row accept counts, which costs
+        more than speculation saves there."""
         self.cfg = cfg
         self.mesh = mesh
         self.quantize = quantize
         self.fused = fused
         self.fused_est_ratio = fused_est_ratio
+        self.spec_decode = spec_decode
         # dtype policy for hot-reloaded LLM weights (set_llm_params): follow
         # whatever the engine was constructed with (bf16 in serving, f32 in
         # CPU tests), captured before any quantization rewrites the tree
@@ -176,6 +188,27 @@ class Engine:
 
     # -- jit-cached stages ---------------------------------------------------
 
+    def _decode_body(self, cfg, rng, emb, plen, min_len, max_len, sampling,
+                     head_num: int, cache_cap: int, params):
+        """Traceable single-utterance decode: blind-MTP group commit
+        (default, the reference's MTP mode) or self-speculative verification
+        (spec_decode=True, exact heads=1 distribution).  Returns
+        (GenerateResult, (2,) int32 [accepted, drafted] — zeros when not
+        speculating) so callers pack one extra pair into the host transfer."""
+        if self.spec_decode and head_num >= 2:
+            spec = llm_model.generate_speculative(
+                params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                num_heads=head_num, max_tokens=self.max_tokens,
+                cache_len_cap=cache_cap,
+            )
+            return spec.result, jnp.stack([spec.accepted, spec.drafted])
+        res = llm_model.generate(
+            params, cfg, rng, emb, plen, min_len, max_len, sampling,
+            inference_head_num=head_num, max_tokens=self.max_tokens,
+            cache_len_cap=cache_cap,
+        )
+        return res, jnp.zeros((2,), jnp.int32)
+
     def _generate_fn(self, text_bucket: int, sp_bucket: int, head_num: int):
         """Jitted: text tokens + prompt speech tokens -> GenerateResult."""
         key = (text_bucket, sp_bucket, head_num)
@@ -188,16 +221,18 @@ class Engine:
                 emb, plen = llm_model.build_inference_prompt(
                     params, cfg, text_tokens, text_len, sp_tokens, sp_len
                 )
-                res = llm_model.generate(
-                    params, cfg, rng, emb, plen, min_len, max_len, sampling,
-                    inference_head_num=head_num, max_tokens=self.max_tokens,
-                    cache_len_cap=cache_cap,
+                res, spec_meta = self._decode_body(
+                    cfg, rng, emb, plen, min_len, max_len, sampling,
+                    head_num, cache_cap, params,
                 )
-                # (tokens, num, steps) packed into one int32 buffer: the host
-                # reads everything in ONE transfer (each tunnel round-trip
-                # costs ~30 ms); tokens also stay device-resident for stage 2
+                # (tokens, [acc, drafted], num, steps) packed into one int32
+                # buffer: the host reads everything in ONE transfer (each
+                # tunnel round-trip costs ~30 ms); tokens also stay
+                # device-resident for stage 2.  num/steps stay the LAST two
+                # entries so meta[-2]/meta[-1] parsing is mode-independent.
                 packed = jnp.concatenate(
-                    [res.tokens, jnp.stack([res.num_tokens, res.steps])]
+                    [res.tokens, spec_meta,
+                     jnp.stack([res.num_tokens, res.steps])]
                 )
                 return res, packed
 
@@ -289,10 +324,9 @@ class Engine:
                 emb, plen = llm_model.build_inference_prompt(
                     llm_params, cfg, text_tokens, text_len, sp_tokens, sp_len
                 )
-                res = llm_model.generate(
-                    llm_params, cfg, rng, emb, plen, min_len, max_len, sampling,
-                    inference_head_num=head_num, max_tokens=self.max_tokens,
-                    cache_len_cap=cache_cap,
+                res, spec_meta = self._decode_body(
+                    cfg, rng, emb, plen, min_len, max_len, sampling,
+                    head_num, cache_cap, llm_params,
                 )
                 wav_i16, _ = synth_body(
                     flow_params, hift_params, res.tokens, res.num_tokens,
@@ -304,7 +338,8 @@ class Engine:
                     wav_i16.reshape(-1, 2), jnp.int32
                 ).reshape(-1)
                 packed = jnp.concatenate(
-                    [wav32, res.tokens, jnp.stack([res.num_tokens, res.steps])]
+                    [wav32, res.tokens, spec_meta,
+                     jnp.stack([res.num_tokens, res.steps])]
                 )
                 return res, packed
 
@@ -630,12 +665,12 @@ class Engine:
         for heads in head_nums:
             for tbkt in text_buckets:
                 gen = self._generate_fn(tbkt, 0, heads)
-                r = gen(
+                _, packed = gen(
                     self.llm_params, rng, jnp.zeros((tbkt,), jnp.int32),
                     jnp.int32(min(8, tbkt)), jnp.zeros((0,), jnp.int32), jnp.int32(0),
                     jnp.int32(2), jnp.int32(4), sp,
                 )
-                jax.block_until_ready(r.tokens)
+                jax.block_until_ready(packed)
         for tok_bkt in token_buckets:
             synth = self._synth_fn(tok_bkt, 0, 0)
             w, _ = synth(
@@ -894,6 +929,10 @@ class Engine:
         tokens = meta[: self.max_tokens][:n_tok]
         total = time.time() - t_start
         dur = len(wav) / cfg.sample_rate if len(wav) else 1e-9
+        spec_acceptance = -1.0
+        if self.spec_decode and head_num >= 2:
+            # packed layout keeps [accepted, drafted] just before num/steps
+            spec_acceptance = float(meta[-4]) / max(float(meta[-3]), 1.0)
         result = SynthesisResult(
             audio=wav.astype(np.float32),
             speech_tokens=tokens,
@@ -905,6 +944,7 @@ class Engine:
             tps=n_tok / llm_time if llm_time > 0 else 0.0,
             rtf=total / dur,
             steps=steps,
+            spec_acceptance=spec_acceptance,
         )
         logger.info(
             "synth: %d tokens in %d steps, tps=%.1f rtf=%.4f (llm %.3fs flow+hift %.3fs)",

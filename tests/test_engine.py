@@ -247,6 +247,45 @@ def test_fused_matches_two_stage(engine):
     np.testing.assert_allclose(res_f.audio, res_t.audio, atol=1e-6)
 
 
+def test_spec_decode_engine_path(engine):
+    """spec_decode=True: the fused single-dispatch program runs speculative
+    verification — valid tokens/audio, acceptance stat surfaced; both fused
+    and two-stage spec paths agree bit-for-bit (same rng stream)."""
+    spec = Engine(
+        engine.cfg, engine.llm_params, engine.flow_params, engine.hift_params,
+        max_tokens=64, prompt_buckets=(64, 128), token_buckets=(64, 128),
+        mel_buckets=(128, 256), spec_decode=True,
+    )
+    kwargs = dict(
+        text_tokens=np.arange(10, dtype=np.int32), tts_text_len=10,
+        inference_head_num=3, rng=jax.random.PRNGKey(7),
+    )
+    res = spec.synthesize(**kwargs)
+    n_tok = len(res.speech_tokens)
+    assert n_tok >= 10  # min_len = 2x text len... at least min ratio tokens
+    assert (np.asarray(res.speech_tokens) < engine.cfg.llm.speech_token_size).all()
+    spt = engine.cfg.flow.token_mel_ratio * engine.cfg.hift.upsample_scale
+    assert res.audio.shape == (n_tok * spt,)
+    assert np.isfinite(res.audio).all()
+    assert 0.0 <= res.spec_acceptance <= 1.0
+    # speculation emits >= 1 token per backbone block forward
+    assert res.steps <= n_tok + 1
+
+    spec2 = Engine(
+        engine.cfg, engine.llm_params, engine.flow_params, engine.hift_params,
+        max_tokens=64, prompt_buckets=(64, 128), token_buckets=(64, 128),
+        mel_buckets=(128, 256), spec_decode=True, fused=False,
+    )
+    res2 = spec2.synthesize(**kwargs)
+    np.testing.assert_array_equal(res.speech_tokens, res2.speech_tokens)
+    # one int16 PCM step: fused (estimated bucket) vs two-stage (realized
+    # bucket) accumulate f32 in different orders (see fallback test below)
+    np.testing.assert_allclose(res.audio, res2.audio, atol=1.01 / 32767.0)
+    # non-spec engines report no acceptance
+    base = engine.synthesize(**kwargs)
+    assert base.spec_acceptance == -1.0
+
+
 def test_fused_underestimate_falls_back(engine):
     """A too-small fused bucket estimate must redispatch stage 2 correctly
     (and still match the well-estimated fused output bit-for-bit)."""

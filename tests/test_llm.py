@@ -186,6 +186,82 @@ def test_generate_matches_naive_recompute(params):
     assert len(got) <= 30
 
 
+def test_speculative_greedy_matches_heads1(params):
+    """Deterministic sampling (top_k=1 nucleus, tau_r>1 so the repetition
+    fallback never fires): generate_speculative must emit the bit-identical
+    token sequence to sequential heads=1 decoding regardless of draft quality
+    — the speculative accept/reject is exact at every position."""
+    det = SamplingParams.make(top_p=0.5, top_k=1, win_size=10, tau_r=2.0)
+    text = jax.random.randint(jax.random.PRNGKey(5), (6,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(6), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    base = llm.generate(
+        params, CFG, jax.random.PRNGKey(1), emb, plen, jnp.int32(4), jnp.int32(24),
+        det, inference_head_num=1, max_tokens=32,
+    )
+    spec = llm.generate_speculative(
+        params, CFG, jax.random.PRNGKey(2), emb, plen, jnp.int32(4), jnp.int32(24),
+        det, num_heads=3, max_tokens=32,
+    )
+    got_base = list(np.asarray(base.tokens[: int(base.num_tokens)]))
+    got_spec = list(np.asarray(spec.result.tokens[: int(spec.result.num_tokens)]))
+    assert got_base == got_spec, f"base={got_base} spec={got_spec}"
+    assert len(got_base) >= 4
+    # speculation never takes more backbone forwards than sequential decode
+    assert int(spec.result.steps) <= int(base.steps) + 1
+    assert int(spec.drafted) == int(spec.result.steps) * 2  # K-1 = 2 per step
+
+
+def test_speculative_stochastic_contract(params):
+    """RAS sampling on: emitted ids are valid speech tokens, min/max length
+    respected, acceptance bookkeeping consistent."""
+    text = jax.random.randint(jax.random.PRNGKey(9), (4,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(4), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    spec = llm.generate_speculative(
+        params, CFG, jax.random.PRNGKey(3), emb, plen, jnp.int32(8), jnp.int32(20),
+        SamplingParams.make(), num_heads=3, max_tokens=32,
+    )
+    n = int(spec.result.num_tokens)
+    assert 8 <= n <= 20
+    toks = np.asarray(spec.result.tokens[:n])
+    assert (toks >= 0).all() and (toks < CFG.speech_token_size).all()
+    assert 0 <= int(spec.accepted) <= int(spec.drafted)
+
+
+def test_speculative_distribution_matches_heads1(params):
+    """Statistical check of the exactness theorem under full RAS sampling:
+    the marginal distribution of the token at position 1 (the first position
+    that exercises draft verification) must match sequential heads=1 decoding.
+    2000 seeds each; total-variation distance bounded by sampling noise."""
+    text = jax.random.randint(jax.random.PRNGKey(5), (4,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(4), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    n = 2000
+    sampling = SamplingParams.make()
+
+    base_fn = jax.jit(jax.vmap(lambda r: llm.generate(
+        params, CFG, r, emb, plen, jnp.int32(2), jnp.int32(4),
+        sampling, inference_head_num=1, max_tokens=8, cache_len_cap=256,
+    ).tokens[1]))
+    spec_fn = jax.jit(jax.vmap(lambda r: llm.generate_speculative(
+        params, CFG, r, emb, plen, jnp.int32(2), jnp.int32(4),
+        sampling, num_heads=3, max_tokens=8, cache_len_cap=256,
+    ).result.tokens[1]))
+
+    seeds = jax.random.split(jax.random.PRNGKey(0), n)
+    t_base = np.asarray(base_fn(seeds))
+    t_spec = np.asarray(spec_fn(jax.random.split(jax.random.PRNGKey(1), n)))
+    v = CFG.vocab_size
+    f_base = np.bincount(t_base, minlength=v) / n
+    f_spec = np.bincount(t_spec, minlength=v) / n
+    tv = 0.5 * np.abs(f_base - f_spec).sum()
+    assert tv < 0.12, f"TV distance {tv:.3f} between spec and heads=1 marginals"
+
+
 def test_generate_respects_min_len(params):
     """With ignore_eos active below min_len, at least min_len tokens emerge."""
     rng = jax.random.PRNGKey(11)

@@ -6,7 +6,13 @@ import pytest
 import jax.numpy as jnp
 import numpy as np
 
-from flowmirror_hydravox_tpu.ops.sampling import SamplingParams, nucleus_sample, ras_sample
+from flowmirror_hydravox_tpu.ops.sampling import (
+    SamplingParams,
+    nucleus_sample,
+    ras_dist,
+    ras_sample,
+    sample_dist,
+)
 
 pytestmark = pytest.mark.quick
 
@@ -94,3 +100,60 @@ def test_repetition_fallback_triggers():
         for i in range(20)
     }
     assert draws0 == {5}
+
+
+def test_ras_dist_matches_empirical_sampler():
+    """ras_dist is the exact marginal of ras_sample — compare against the
+    empirical frequency of many draws in a regime that exercises all three
+    terms (nucleus truncation, eos mask, repetition fallback)."""
+    sts = 12  # ids 12..15 are stop ids
+    v = 16
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal(v).astype(np.float32) * 2.0)
+    params = SamplingParams.make(top_p=0.8, top_k=4, win_size=6, tau_r=0.3)
+    # repeat the argmax enough to trigger the fallback path for it
+    top = int(jnp.argmax(logits))
+    hist = jnp.full((32,), -1, jnp.int32).at[jnp.arange(4)].set(top)
+    num = jnp.int32(4)
+
+    for ignore_eos in (False, True):
+        dist = np.asarray(
+            ras_dist(logits, hist, num, params, jnp.bool_(ignore_eos), sts)
+        )
+        assert dist.shape == (v,)
+        np.testing.assert_allclose(dist.sum(), 1.0, atol=1e-5)
+        if ignore_eos:
+            assert (dist[sts:] == 0).all()
+
+        n = 8000
+        draws = jax.vmap(
+            lambda r: ras_sample(r, logits, hist, num, params,
+                                 jnp.bool_(ignore_eos), sts)
+        )(jax.random.split(jax.random.PRNGKey(0), n))
+        freq = np.bincount(np.asarray(draws), minlength=v) / n
+        np.testing.assert_allclose(freq, dist, atol=0.02)
+
+        # sample_dist draws the same distribution
+        draws2 = jax.vmap(lambda r: sample_dist(r, jnp.asarray(dist)))(
+            jax.random.split(jax.random.PRNGKey(1), n)
+        )
+        freq2 = np.bincount(np.asarray(draws2), minlength=v) / n
+        np.testing.assert_allclose(freq2, dist, atol=0.02)
+
+
+def test_ras_dist_no_fallback_is_pure_nucleus():
+    """With nothing repeated, ras_dist must equal the renormalized nucleus
+    distribution: zero outside the kept set, probs/Z inside."""
+    v = 20
+    logits = jnp.asarray(np.linspace(3.0, -3.0, v).astype(np.float32))
+    params = SamplingParams.make(top_p=0.5, top_k=8, win_size=10, tau_r=0.5)
+    hist = jnp.full((16,), -1, jnp.int32)
+    dist = np.asarray(ras_dist(logits, hist, jnp.int32(0), params,
+                               jnp.bool_(False), v))
+    probs = np.asarray(jax.nn.softmax(logits))
+    # oracle kept set (reference membership rule)
+    kept = sorted(oracle_nucleus_set(probs, 0.5, 8))
+    z = probs[kept].sum()
+    expect = np.zeros(v)
+    expect[kept] = probs[kept] / z
+    np.testing.assert_allclose(dist, expect, atol=1e-6)
