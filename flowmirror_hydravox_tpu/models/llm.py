@@ -497,7 +497,7 @@ def generate_batched(
     )
 
 
-def generate_speculative(
+def init_spec_state(
     params: dict,
     cfg: LLMConfig,
     rng: jax.Array,
@@ -510,44 +510,20 @@ def generate_speculative(
     num_heads: int,
     max_tokens: int = 1024,
     cache_len_cap: Optional[int] = None,
-) -> "SpecResult":
-    """Self-speculative MTP decode: heads=1 output distribution at near
-    multi-head speed.
-
-    The reference's MTP mode (llm_multi_head_v3.py:861-922) commits every
-    head's sample blindly, trading quality for K tokens/step.  This mode
-    instead uses heads 1..K-1 as *draft* proposals for the next K-1
-    positions and verifies them against head 0 — the sequential heads=1
-    distribution — with one KV-cached backbone forward over the K-token
-    block (speculative sampling, Leviathan et al. 2023, arXiv:2211.17192;
-    MTP-as-drafter as in DeepSeek-V3).  Per accept/reject theorem the
-    emitted sequence is distributed EXACTLY as sequential heads=1 RAS
-    decoding — bit-identical under deterministic sampling (top_k=1,
-    tau_r>1), regardless of draft quality.  Throughput scales with the
-    acceptance rate: each block forward costs ~1 decode step (HBM-bound at
-    B=1) and commits 1 (all drafts rejected) to K (all accepted + bonus
-    token from the verifier's own logits) tokens.
-
-    Loop invariant: `pend` is the newest emitted token — counted in
-    `tokens`/`num` but not yet in the KV cache; each step's block is
-    [pend, draft_1 .. draft_{K-1}], so the verifier hiddens double as the
-    drafting hidden for the next step and rejected drafts are shadowed by
-    the next block's cache write (forward_block_with_cache advance<K).
-    """
+) -> dict:
+    """Prefill + first pending token for speculative decoding (the spec
+    counterpart of init_generate_state; same resumable-pytree contract, so
+    streaming can pause/resume at chunk targets with the cache device-
+    resident).  The first token is sampled from head 0 on the prompt hidden
+    — the exact heads=1 distribution."""
     head_k = max(2, min(int(num_heads), cfg.head_num))
     t_prompt, _ = prompt_embeds.shape
     if cache_len_cap is None:
         cache_len_cap = t_prompt + max_tokens + head_k
     cache_len_cap = -(-cache_len_cap // 256) * 256
     bb = cfg.backbone
-    emb_dtype = params["speech_embedding"].dtype
     sts = cfg.speech_token_size
-    # stream only the needed head weights per step (see generate_until)
     p_tgt = dict(params, mtp_block=jax.tree.map(lambda a: a[:1], params["mtp_block"]))
-    p_draft = dict(
-        params, mtp_block=jax.tree.map(lambda a: a[1:head_k], params["mtp_block"])
-    )
-    kd = head_k - 1  # number of drafts per step
 
     cache = qwen2.init_kv_cache(bb, 1, cache_len_cap, dtype=prompt_embeds.dtype)
     hidden, cache = qwen2.forward_block_with_cache(
@@ -555,7 +531,6 @@ def generate_speculative(
     )
     h0 = hidden[0, prompt_len - 1]
 
-    # first pending token ~ exact heads=1 distribution on the prompt hidden
     rng, r0 = jax.random.split(rng)
     buf = jnp.full((max_tokens + head_k,), -1, jnp.int32)
     q0 = ras_dist(
@@ -564,7 +539,7 @@ def generate_speculative(
     )
     t0 = sample_dist(r0, q0)
     stop0 = t0 >= sts
-    state = dict(
+    return dict(
         rng=rng,
         cache=cache,
         last_hidden=h0,
@@ -577,8 +552,37 @@ def generate_speculative(
         finished=stop0 | (max_len < 1),
     )
 
+
+def generate_spec_until(
+    params: dict,
+    cfg: LLMConfig,
+    state: dict,
+    target_num: jnp.ndarray,  # scalar int32 — run until num >= target or done
+    min_len: jnp.ndarray,
+    max_len: jnp.ndarray,
+    sampling: SamplingParams,
+    *,
+    num_heads: int,
+) -> dict:
+    """Speculative decode loop (see generate_speculative).  Like
+    generate_until, runs until `target_num` tokens are available or
+    generation finishes — pass target_num == max_len for one-shot decoding,
+    smaller targets for streaming chunks (pausing does not change the rng
+    stream, so chunked output equals one-shot output token-for-token).
+    """
+    head_k = max(2, min(int(num_heads), cfg.head_num))
+    bb = cfg.backbone
+    emb_dtype = params["speech_embedding"].dtype
+    sts = cfg.speech_token_size
+    # stream only the needed head weights per step (see generate_until)
+    p_tgt = dict(params, mtp_block=jax.tree.map(lambda a: a[:1], params["mtp_block"]))
+    p_draft = dict(
+        params, mtp_block=jax.tree.map(lambda a: a[1:head_k], params["mtp_block"])
+    )
+    kd = head_k - 1  # number of drafts per step
+
     def cond(s):
-        return (~s["finished"]) & (s["num"] < max_len)
+        return (~s["finished"]) & (s["num"] < target_num)
 
     def body(s):
         rng, r_draft, r_acc, r_res, r_bonus = jax.random.split(s["rng"], 5)
@@ -661,7 +665,54 @@ def generate_speculative(
             finished=finished,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def generate_speculative(
+    params: dict,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prompt_embeds: jnp.ndarray,  # (T_prompt, H) padded; true length below
+    prompt_len: jnp.ndarray,  # scalar int32
+    min_len: jnp.ndarray,  # scalar int32
+    max_len: jnp.ndarray,  # scalar int32
+    sampling: SamplingParams,
+    *,
+    num_heads: int,
+    max_tokens: int = 1024,
+    cache_len_cap: Optional[int] = None,
+) -> "SpecResult":
+    """Self-speculative MTP decode: heads=1 output distribution at near
+    multi-head speed.
+
+    The reference's MTP mode (llm_multi_head_v3.py:861-922) commits every
+    head's sample blindly, trading quality for K tokens/step.  This mode
+    instead uses heads 1..K-1 as *draft* proposals for the next K-1
+    positions and verifies them against head 0 — the sequential heads=1
+    distribution — with one KV-cached backbone forward over the K-token
+    block (speculative sampling, Leviathan et al. 2023, arXiv:2211.17192;
+    MTP-as-drafter as in DeepSeek-V3).  Per accept/reject theorem the
+    emitted sequence is distributed EXACTLY as sequential heads=1 RAS
+    decoding — bit-identical under deterministic sampling (top_k=1,
+    tau_r>1), regardless of draft quality.  Throughput scales with the
+    acceptance rate: each block forward costs ~1 decode step (HBM-bound at
+    B=1) and commits 1 (all drafts rejected) to K (all accepted + bonus
+    token from the verifier's own logits) tokens.
+
+    Loop invariant: `pend` is the newest emitted token — counted in
+    `tokens`/`num` but not yet in the KV cache; each step's block is
+    [pend, draft_1 .. draft_{K-1}], so the verifier hiddens double as the
+    drafting hidden for the next step and rejected drafts are shadowed by
+    the next block's cache write (forward_block_with_cache advance<K).
+    """
+    state = init_spec_state(
+        params, cfg, rng, prompt_embeds, prompt_len, min_len, max_len, sampling,
+        num_heads=num_heads, max_tokens=max_tokens, cache_len_cap=cache_len_cap,
+    )
+    final = generate_spec_until(
+        params, cfg, state, max_len, min_len, max_len, sampling,
+        num_heads=num_heads,
+    )
     return SpecResult(
         result=GenerateResult(
             tokens=final["tokens"][:max_tokens],

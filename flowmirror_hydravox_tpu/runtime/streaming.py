@@ -59,11 +59,23 @@ class StreamingSynthesizer:
 
     # -- jit-cached stages ---------------------------------------------------
 
+    def _spec(self, head_num: int) -> bool:
+        """Speculative decoding rides the same resumable-state streaming
+        machinery: spec state is a pytree with the same num/tokens/finished
+        fields, and pausing at chunk targets does not change the rng stream."""
+        return bool(getattr(self.engine, "spec_decode", False)) and head_num >= 2
+
     def _generate_until_fn(self, head_num: int):
         if head_num not in self._gen_until_cache:
             cfg = self.cfg.llm
+            spec = self._spec(head_num)
 
             def fn(params, state, target, min_len, max_len, sampling):
+                if spec:
+                    return llm_model.generate_spec_until(
+                        params, cfg, state, target, min_len, max_len, sampling,
+                        num_heads=head_num,
+                    )
                 return llm_model.generate_until(
                     params, cfg, state, target, min_len, max_len, sampling,
                     inference_head_num=head_num,
@@ -71,6 +83,28 @@ class StreamingSynthesizer:
 
             self._gen_until_cache[head_num] = jax.jit(fn, donate_argnums=(1,))
         return self._gen_until_cache[head_num]
+
+    def _decode_init_until(self, params, cfg, rng, emb, plen, target, min_len,
+                           max_len, sampling, head_num: int, cap: int):
+        """Traceable prefill + decode-to-target in either mode."""
+        if self._spec(head_num):
+            state = llm_model.init_spec_state(
+                params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                num_heads=head_num, max_tokens=self.engine.max_tokens,
+                cache_len_cap=cap,
+            )
+            return llm_model.generate_spec_until(
+                params, cfg, state, target, min_len, max_len, sampling,
+                num_heads=head_num,
+            )
+        state = llm_model.init_generate_state(
+            params, cfg, rng, emb, plen, inference_head_num=head_num,
+            max_tokens=self.engine.max_tokens, cache_len_cap=cap,
+        )
+        return llm_model.generate_until(
+            params, cfg, state, target, min_len, max_len, sampling,
+            inference_head_num=head_num,
+        )
 
     def _init_fn(self, text_bucket: int, sp_bucket: int, head_num: int):
         """Jitted prompt assembly + KV prefill + decode to the first hop —
@@ -86,13 +120,9 @@ class StreamingSynthesizer:
                 emb, plen = llm_model.build_inference_prompt(
                     params, cfg, text_tokens, text_len, sp_tokens, sp_len
                 )
-                state = llm_model.init_generate_state(
-                    params, cfg, rng, emb, plen, inference_head_num=head_num,
-                    max_tokens=self.engine.max_tokens, cache_len_cap=cap,
-                )
-                return llm_model.generate_until(
-                    params, cfg, state, target, min_len, max_len, sampling,
-                    inference_head_num=head_num,
+                return self._decode_init_until(
+                    params, cfg, rng, emb, plen, target, min_len, max_len,
+                    sampling, head_num, cap,
                 )
 
             self._gen_until_cache[key] = jax.jit(fn)
@@ -128,13 +158,9 @@ class StreamingSynthesizer:
             emb, plen = llm_model.build_inference_prompt(
                 llm_params, cfg, text_tokens, text_len, sp_tokens, sp_len
             )
-            state = llm_model.init_generate_state(
-                llm_params, cfg, rng, emb, plen, inference_head_num=head_num,
-                max_tokens=self.engine.max_tokens, cache_len_cap=cap,
-            )
-            state = llm_model.generate_until(
-                llm_params, cfg, state, target, min_len, max_len, sampling,
-                inference_head_num=head_num,
+            state = self._decode_init_until(
+                llm_params, cfg, rng, emb, plen, target, min_len, max_len,
+                sampling, head_num, cap,
             )
 
             # flow token sequence: [prompt speech tokens, first_target generated]

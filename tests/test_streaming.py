@@ -92,3 +92,59 @@ def test_stream_token_parity_with_oneshot(engine):
     a = np.asarray(oneshot.tokens[: int(oneshot.num_tokens)])
     b = np.asarray(state["tokens"][: int(state["num"])])
     np.testing.assert_array_equal(a, b)
+
+
+def test_spec_stream_token_parity_with_oneshot(engine):
+    """Speculative decode is a resumable state machine too: pausing at chunk
+    targets must not change the emitted sequence (same rng stream), and a
+    spec_decode engine must stream end-to-end."""
+    from flowmirror_hydravox_tpu.models.llm import (
+        generate_spec_until, generate_speculative, init_spec_state,
+    )
+    from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
+
+    cfg = engine.cfg.llm
+    rng = jax.random.PRNGKey(13)
+    text = jnp.arange(6, dtype=jnp.int32)
+    emb, plen = llm.build_inference_prompt(
+        engine.llm_params, cfg, text, jnp.int32(6), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    sp = SamplingParams.make()
+    mn, mx = jnp.int32(4), jnp.int32(30)
+
+    oneshot = generate_speculative(
+        engine.llm_params, cfg, rng, emb, plen, mn, mx, sp,
+        num_heads=3, max_tokens=40,
+    )
+    state = init_spec_state(
+        engine.llm_params, cfg, rng, emb, plen, mn, mx, sp,
+        num_heads=3, max_tokens=40,
+    )
+    for target in (7, 14, 21, 30):
+        state = generate_spec_until(
+            engine.llm_params, cfg, state, jnp.int32(target), mn, mx, sp,
+            num_heads=3,
+        )
+        if bool(state["finished"]):
+            break
+    a = np.asarray(oneshot.result.tokens[: int(oneshot.result.num_tokens)])
+    b = np.asarray(state["tokens"][: int(state["num"])])
+    np.testing.assert_array_equal(a, b)
+
+    # e2e: the streaming synthesizer rides the spec state machine
+    spec_engine = Engine(
+        engine.cfg, engine.llm_params, engine.flow_params, engine.hift_params,
+        max_tokens=64, prompt_buckets=(64, 128), token_buckets=(64, 128),
+        mel_buckets=(128, 256), spec_decode=True,
+    )
+    synth = StreamingSynthesizer(spec_engine, token_hop_len=8, mel_cache_len=4)
+    chunks = list(
+        synth.synthesize_stream(
+            text_tokens=np.arange(12, dtype=np.int32), tts_text_len=12,
+            inference_head_num=3, rng=jax.random.PRNGKey(5),
+        )
+    )
+    total = np.concatenate(chunks)
+    assert len(chunks) >= 1 and np.isfinite(total).all()
+    spt = engine.cfg.flow.token_mel_ratio * engine.cfg.hift.upsample_scale
+    assert len(total) % spt == 0 and len(total) // spt >= 12
