@@ -553,6 +553,68 @@ def init_spec_state(
     )
 
 
+def _spec_draft_row(rng, draft_logits, buf, num, sampling, min_len, sts):
+    """Per-row draft sampling with explicit distributions.  draft_logits:
+    (kd, V) from heads 1..K-1 on the last cached hidden.  Returns
+    (drafts (kd,), p_dists (kd, V), buf_d with drafts tentatively written)."""
+    kd = draft_logits.shape[0]
+    counts = num + jnp.arange(kd)  # tokens decoded before each draft position
+    p_dists = jax.vmap(
+        lambda lg, c: ras_dist(lg, buf, num, sampling, c < min_len, sts)
+    )(draft_logits, counts)
+    drafts = jax.vmap(sample_dist)(jax.random.split(rng, kd), p_dists)
+    buf_d = buf.at[num + jnp.arange(kd)].set(drafts)
+    return drafts, p_dists, buf_d
+
+
+def _spec_verify_row(r_acc, r_res, r_bonus, tgt_logits, drafts, p_dists, buf_d,
+                     num, min_len, max_len, sampling, sts):
+    """Per-row speculative accept/reject + emission bookkeeping (shared by
+    the solo and flash-batch loops; vmap over rows for the latter).
+
+    tgt_logits: (K, V) = head 0 on each in-block hidden.  Returns
+    (e (K,) emitted tokens, n_emit, n_commit, n_acc, finished)."""
+    kd = drafts.shape[0]
+    head_k = kd + 1
+    counts = num + jnp.arange(kd)
+    q_dists = jax.vmap(
+        lambda lg, c: ras_dist(lg, buf_d, c, sampling, c < min_len, sts)
+    )(tgt_logits[:kd], counts)
+    u = jax.random.uniform(r_acc, (kd,))
+    p_d = jnp.take_along_axis(p_dists, drafts[:, None], axis=1)[:, 0]
+    q_d = jnp.take_along_axis(q_dists, drafts[:, None], axis=1)[:, 0]
+    accept = u * p_d < q_d  # u < q/p without the divide
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32))).astype(jnp.int32)
+    all_acc = n_acc == kd
+
+    # rejected position: resample from the normalized residual max(q-p,0)
+    j = jnp.minimum(n_acc, kd - 1)
+    res = jnp.maximum(q_dists[j] - p_dists[j], 0.0)
+    z = jnp.sum(res)
+    r_tok = sample_dist(r_res, jnp.where(z > 1e-12, res / z, q_dists[j]))
+    # bonus token when every draft holds: head0 on the last block hidden
+    q_bonus = ras_dist(
+        tgt_logits[kd], buf_d, num + kd, sampling, (num + kd) < min_len, sts
+    )
+    b_tok = sample_dist(r_bonus, q_bonus)
+
+    # emitted this step: accepted drafts, then r (reject) or bonus (all-acc)
+    e = jnp.concatenate([drafts, b_tok[None]])  # (K,)
+    e = e.at[j + jnp.where(all_acc, 1, 0)].set(jnp.where(all_acc, b_tok, r_tok))
+    n_emit = jnp.where(all_acc, head_k, n_acc + 1)
+
+    # stop/budget bookkeeping (same contract as generate_until)
+    arange_k = jnp.arange(head_k)
+    valid = arange_k < n_emit
+    stop_seen = (e >= sts) & valid
+    before_stop = jnp.cumsum(stop_seen) == 0
+    n_ok = jnp.sum(before_stop & valid).astype(jnp.int32)
+    budget = jnp.maximum(max_len - num, 0)
+    n_commit = jnp.minimum(n_ok, budget)
+    finished = jnp.any(stop_seen) | (num + n_commit >= max_len)
+    return e, n_emit, n_commit, n_acc, finished
+
+
 def generate_spec_until(
     params: dict,
     cfg: LLMConfig,
@@ -587,16 +649,12 @@ def generate_spec_until(
     def body(s):
         rng, r_draft, r_acc, r_res, r_bonus = jax.random.split(s["rng"], 5)
         num, buf = s["num"], s["tokens"]
-        # counts[j] = tokens decoded before draft j's position, j = 0..kd-1
-        counts = num + jnp.arange(kd)
 
         # --- draft: heads 1..K-1 on the last cached hidden, explicit dists
         draft_logits = mtp_logits(p_draft, cfg, s["last_hidden"], kd)  # (kd, V)
-        p_dists = jax.vmap(
-            lambda lg, c: ras_dist(lg, buf, num, sampling, c < min_len, sts)
-        )(draft_logits, counts)
-        drafts = jax.vmap(sample_dist)(jax.random.split(r_draft, kd), p_dists)
-        buf_d = buf.at[num + jnp.arange(kd)].set(drafts)  # tentative history
+        drafts, p_dists, buf_d = _spec_draft_row(
+            r_draft, draft_logits, buf, num, sampling, min_len, sts
+        )
 
         # --- one backbone forward over [pend, drafts]; cache rows written at
         # [len, len+K), length bumped after verification
@@ -610,42 +668,12 @@ def generate_spec_until(
 
         # --- verify: target = head0 on each in-block hidden (exact heads=1)
         tgt_logits = mtp_logits(p_tgt, cfg, hs, 1)[0]  # (K, V)
-        q_dists = jax.vmap(
-            lambda lg, c: ras_dist(lg, buf_d, c, sampling, c < min_len, sts)
-        )(tgt_logits[:kd], counts)
-        u = jax.random.uniform(r_acc, (kd,))
-        p_d = jnp.take_along_axis(p_dists, drafts[:, None], axis=1)[:, 0]
-        q_d = jnp.take_along_axis(q_dists, drafts[:, None], axis=1)[:, 0]
-        accept = u * p_d < q_d  # u < q/p without the divide
-        n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32))).astype(jnp.int32)
-        all_acc = n_acc == kd
-
-        # rejected position: resample from the normalized residual max(q-p,0)
-        j = jnp.minimum(n_acc, kd - 1)
-        res = jnp.maximum(q_dists[j] - p_dists[j], 0.0)
-        z = jnp.sum(res)
-        r_tok = sample_dist(r_res, jnp.where(z > 1e-12, res / z, q_dists[j]))
-        # bonus token when every draft holds: head0 on the last block hidden
-        q_bonus = ras_dist(
-            tgt_logits[kd], buf_d, num + kd, sampling, (num + kd) < min_len, sts
+        e, n_emit, n_commit, n_acc, finished = _spec_verify_row(
+            r_acc, r_res, r_bonus, tgt_logits, drafts, p_dists, buf_d,
+            num, min_len, max_len, sampling, sts,
         )
-        b_tok = sample_dist(r_bonus, q_bonus)
 
-        # emitted this step: accepted drafts, then r (reject) or bonus (all-acc)
-        e = jnp.concatenate([drafts, b_tok[None]])  # (K,)
-        e = e.at[j + jnp.where(all_acc, 1, 0)].set(jnp.where(all_acc, b_tok, r_tok))
-        n_emit = jnp.where(all_acc, head_k, n_acc + 1)
-
-        # stop/budget bookkeeping (same contract as generate_until)
         arange_k = jnp.arange(head_k)
-        valid = arange_k < n_emit
-        stop_seen = (e >= sts) & valid
-        before_stop = jnp.cumsum(stop_seen) == 0
-        n_ok = jnp.sum(before_stop & valid).astype(jnp.int32)
-        budget = jnp.maximum(max_len - num, 0)
-        n_commit = jnp.minimum(n_ok, budget)
-        finished = jnp.any(stop_seen) | (num + n_commit >= max_len)
-
         wpos = num + arange_k
         wmask = arange_k < n_commit
         tokens = buf.at[wpos].set(jnp.where(wmask, e, buf[wpos]))
@@ -666,6 +694,159 @@ def generate_spec_until(
         )
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def generate_batched_speculative(
+    params: dict,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prompt_embeds: jnp.ndarray,  # (B, T_prompt, H) padded
+    prompt_len: jnp.ndarray,  # (B,)
+    min_len: jnp.ndarray,  # (B,)
+    max_len: jnp.ndarray,  # (B,)
+    sampling: SamplingParams,
+    *,
+    num_heads: int,
+    max_tokens: int = 1024,
+    cache_len_cap: Optional[int] = None,
+) -> "SpecResult":
+    """Flash-batch speculative decode: every row drafts with heads 1..K-1 and
+    verifies against head 0 independently (the per-row math is the solo
+    loop's `_spec_draft_row`/`_spec_verify_row`, vmapped), sharing each
+    weight read across the batch like generate_batched.  Rows commit 1..K
+    tokens per block forward and desynchronize in emitted count; per-row
+    cache lengths absorb that (`forward_block_with_cache` advance is (B,)).
+    Emitted sequences are per-row exact heads=1 distributions — greedy mode
+    is bit-identical to solo decoding of each row.
+
+    Returns SpecResult whose .result carries (B, max_tokens) tokens and (B,)
+    num_tokens; accepted/drafted sum over rows for the batch acceptance rate.
+    """
+    head_k = max(2, min(int(num_heads), cfg.head_num))
+    b, t_prompt, h = prompt_embeds.shape
+    if cache_len_cap is None:
+        cache_len_cap = t_prompt + max_tokens + head_k
+    cache_len_cap = -(-cache_len_cap // 256) * 256
+    bb = cfg.backbone
+    emb_dtype = params["speech_embedding"].dtype
+    sts = cfg.speech_token_size
+    p_tgt = dict(params, mtp_block=jax.tree.map(lambda a: a[:1], params["mtp_block"]))
+    p_draft = dict(
+        params, mtp_block=jax.tree.map(lambda a: a[1:head_k], params["mtp_block"])
+    )
+    kd = head_k - 1
+
+    cache = qwen2.init_kv_cache(bb, b, cache_len_cap, dtype=prompt_embeds.dtype)
+    hidden, cache = qwen2.forward_block_with_cache(
+        params["backbone"], bb, prompt_embeds, cache, advance=prompt_len
+    )
+    last_hidden = jnp.take_along_axis(
+        hidden, (prompt_len - 1)[:, None, None], axis=1
+    )[:, 0]  # (B, H)
+
+    # first pending token per row ~ exact heads=1 distribution
+    rng, r0 = jax.random.split(rng)
+    buf = jnp.full((b, max_tokens + head_k), -1, jnp.int32)
+    q0 = jax.vmap(
+        lambda lg, hist, mn: ras_dist(
+            lg, hist, jnp.int32(0), sampling, jnp.int32(0) < mn, sts
+        )
+    )(mtp_logits(p_tgt, cfg, last_hidden, 1)[0], buf, min_len)  # (B, V)
+    t0 = jax.vmap(sample_dist)(jax.random.split(r0, b), q0)  # (B,)
+    stop0 = (t0 >= sts) | (max_len < 1)
+    buf = jnp.where(stop0[:, None], buf, buf.at[:, 0].set(t0))
+
+    state = dict(
+        rng=rng,
+        cache=cache,
+        last_hidden=last_hidden,
+        pend=t0,
+        tokens=buf,
+        num=jnp.where(stop0, 0, 1).astype(jnp.int32),
+        steps=jnp.int32(0),
+        accepted=jnp.int32(0),
+        drafted=jnp.int32(0),
+        finished=stop0,
+    )
+
+    def cond(s):
+        return ~jnp.all(s["finished"])
+
+    def body(s):
+        rng, r_draft, r_acc, r_res, r_bonus = jax.random.split(s["rng"], 5)
+        num, buf = s["num"], s["tokens"]
+        active = ~s["finished"]
+
+        draft_logits = mtp_logits(p_draft, cfg, s["last_hidden"], kd)  # (kd, B, V)
+        drafts, p_dists, buf_d = jax.vmap(
+            lambda r, lg, hist, n, mn: _spec_draft_row(
+                r, lg, hist, n, sampling, mn, sts
+            )
+        )(
+            jax.random.split(r_draft, b), jnp.swapaxes(draft_logits, 0, 1),
+            buf, num, min_len,
+        )  # (B, kd), (B, kd, V), (B, L)
+
+        block = jnp.concatenate([s["pend"][:, None], drafts], axis=1)  # (B, K)
+        emb = jnp.take(params["speech_embedding"], block, axis=0).astype(emb_dtype)
+        hidden_blk, cache_w = qwen2.forward_block_with_cache(
+            params["backbone"], bb, emb, s["cache"],
+            advance=jnp.zeros((b,), jnp.int32),
+        )  # (B, K, H)
+
+        tgt_logits = mtp_logits(p_tgt, cfg, hidden_blk, 1)[0]  # (B, K, V)
+        e, n_emit, n_commit, n_acc, fin_row = jax.vmap(
+            lambda ra, rr, rb, tl, d, pd, bd, n, mn, mx: _spec_verify_row(
+                ra, rr, rb, tl, d, pd, bd, n, mn, mx, sampling, sts
+            )
+        )(
+            jax.random.split(r_acc, b), jax.random.split(r_res, b),
+            jax.random.split(r_bonus, b), tgt_logits, drafts, p_dists, buf_d,
+            num, min_len, max_len,
+        )  # (B, K), (B,), (B,), (B,), (B,)
+
+        n_emit = jnp.where(active, n_emit, 0)
+        n_commit = jnp.where(active, n_commit, 0)
+        finished = s["finished"] | (active & fin_row)
+
+        arange_k = jnp.arange(head_k)
+        wpos = num[:, None] + arange_k[None, :]  # (B, K)
+        wmask = arange_k[None, :] < n_commit[:, None]
+        cur = jnp.take_along_axis(buf, wpos, axis=1)
+        tokens = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+            buf, wpos, jnp.where(wmask, e, cur)
+        )
+        cache = qwen2.KVCache(
+            k=cache_w.k, v=cache_w.v, length=s["cache"].length + n_emit
+        )
+        idx_last = jnp.maximum(n_emit - 1, 0)
+        h_next = jnp.take_along_axis(
+            hidden_blk, idx_last[:, None, None], axis=1
+        )[:, 0]
+        last_hidden = jnp.where(active[:, None], h_next, s["last_hidden"])
+        pend = jnp.where(
+            active, jnp.take_along_axis(e, idx_last[:, None], axis=1)[:, 0],
+            s["pend"],
+        )
+        return dict(
+            rng=rng, cache=cache, last_hidden=last_hidden, pend=pend,
+            tokens=tokens, num=num + n_commit,
+            steps=s["steps"] + 1,
+            accepted=s["accepted"] + jnp.sum(jnp.where(active, n_acc, 0)),
+            drafted=s["drafted"] + jnp.sum(jnp.where(active, kd, 0)),
+            finished=finished,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return SpecResult(
+        result=GenerateResult(
+            tokens=final["tokens"][:, :max_tokens],
+            num_tokens=final["num"],
+            steps=final["steps"],
+        ),
+        accepted=final["accepted"],
+        drafted=final["drafted"],
+    )
 
 
 def generate_speculative(

@@ -105,13 +105,15 @@ class Engine:
         used to bucket the fused program's flow stage (overestimate wastes
         flow compute, underestimate falls back to a two-stage redispatch).
 
-        `spec_decode`: single-utterance decodes run self-speculative MTP
-        verification (llm.generate_speculative) — heads 1..K-1 draft, head 0
-        verifies, output distribution EXACTLY equals heads=1 sequential
-        decoding (the reference's highest-fidelity mode) at up-to-K
-        tokens/step.  Batched (flash-batch) decodes keep the blind-MTP group
-        commit: rows desynchronize under per-row accept counts, which costs
-        more than speculation saves there."""
+        `spec_decode`: decodes run self-speculative MTP verification — heads
+        1..K-1 draft, head 0 verifies, output distribution EXACTLY equals
+        heads=1 sequential decoding (the reference's highest-fidelity mode)
+        at up-to-K tokens per block forward.  Covers single-utterance
+        (llm.generate_speculative), streaming (generate_spec_until), and
+        flash-batch (generate_batched_speculative — rows verify
+        independently with per-row cache lengths).  The continuous batcher
+        keeps blind-MTP slots (fixed hop scheduling assumes a constant
+        tokens-per-step)."""
         self.cfg = cfg
         self.mesh = mesh
         self.quantize = quantize
@@ -346,6 +348,31 @@ class Engine:
             self._gen_cache[key] = jax.jit(fn)
         return self._gen_cache[key]
 
+    def _batch_decode_body(self, cfg, rng, emb, plen, min_len, max_len,
+                           sampling, head_num: int, cache_cap: int, params,
+                           batch: int):
+        """Traceable flash-batch decode: blind-MTP group commit (default) or
+        per-row speculative verification (spec_decode=True — see _decode_body;
+        rows verify independently, generate_batched_speculative).  Returns
+        (GenerateResult, (B, 2) int32 [accepted, drafted] — batch totals
+        broadcast per row, zeros when not speculating)."""
+        if self.spec_decode and head_num >= 2:
+            spec = llm_model.generate_batched_speculative(
+                params, cfg, rng, emb, plen, min_len, max_len, sampling,
+                num_heads=head_num, max_tokens=self.max_tokens,
+                cache_len_cap=cache_cap,
+            )
+            meta = jnp.broadcast_to(
+                jnp.stack([spec.accepted, spec.drafted]), (batch, 2)
+            )
+            return spec.result, meta
+        res = llm_model.generate_batched(
+            params, cfg, rng, emb, plen, min_len, max_len, sampling,
+            inference_head_num=head_num, max_tokens=self.max_tokens,
+            cache_len_cap=cache_cap,
+        )
+        return res, jnp.zeros((batch, 2), jnp.int32)
+
     def _batch_gen_fn(self, batch: int, text_bucket: int, sp_bucket: int, head_num: int):
         """Jitted batched generate — the 'flash batch' decode."""
         key = ("batch", batch, text_bucket, sp_bucket, head_num)
@@ -360,14 +387,15 @@ class Engine:
                         params, cfg, tt, tl, sp_tokens, sp_len
                     )
                 )(text_tokens, text_len)
-                res = llm_model.generate_batched(
-                    params, cfg, rng, emb, plen, min_len, max_len, sampling,
-                    inference_head_num=head_num, max_tokens=self.max_tokens,
-                    cache_len_cap=cache_cap,
+                res, spec_meta = self._batch_decode_body(
+                    cfg, rng, emb, plen, min_len, max_len, sampling,
+                    head_num, cache_cap, params, batch,
                 )
+                # num/steps stay the LAST two columns (meta[:, -2:] parsing)
                 packed = jnp.concatenate(
                     [
                         res.tokens,
+                        spec_meta,
                         res.num_tokens[:, None],
                         jnp.full((batch, 1), res.steps, jnp.int32),
                     ],
@@ -449,10 +477,9 @@ class Engine:
                         llm_params, cfg, tt, tl, sp_tokens, sp_len
                     )
                 )(text_tokens, text_len)
-                res = llm_model.generate_batched(
-                    llm_params, cfg, rng, emb, plen, min_len, max_len, sampling,
-                    inference_head_num=head_num, max_tokens=self.max_tokens,
-                    cache_len_cap=cache_cap,
+                res, spec_meta = self._batch_decode_body(
+                    cfg, rng, emb, plen, min_len, max_len, sampling,
+                    head_num, cache_cap, llm_params, batch,
                 )
                 wav_i16 = synth_body(
                     flow_params, hift_params, res.tokens, res.num_tokens,
@@ -465,6 +492,7 @@ class Engine:
                     [
                         wav32,
                         res.tokens,
+                        spec_meta,
                         res.num_tokens[:, None],
                         jnp.full((batch, 1), res.steps, jnp.int32),
                     ],
@@ -628,6 +656,9 @@ class Engine:
             tokens=[int(n) for n in nums], steps=steps,
             rtf=total / max(dur, 1e-9),
         )
+        if self.spec_decode and head_num >= 2:
+            # packed layout keeps [accepted, drafted] just before num/steps
+            stats["spec_acceptance"] = float(meta[0, -4]) / max(float(meta[0, -3]), 1.0)
         logger.info(
             "flash batch x%d: %s tokens, rtf=%.4f (llm %.3fs synth %.3fs)",
             bsz, stats["tokens"], stats["rtf"], llm_time, synth_time,

@@ -128,3 +128,33 @@ def test_fused_batch_matches_two_stage():
     assert stats_f["tokens"] == stats_t["tokens"]
     for a, b in zip(wavs_f, wavs_t):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_engine_synthesize_batch_spec_decode():
+    """spec_decode engine: the flash-batch path runs per-row speculative
+    verification — valid per-row audio, acceptance surfaced in stats, fused
+    and two-stage agree."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = (
+        llm.init_params(k1, CFG.llm, jnp.float32),
+        flow.init_params(k2, CFG.flow, jnp.float32),
+        hift.init_params(k3, CFG.hift, jnp.float32),
+    )
+    mk = lambda fused: Engine(  # noqa: E731
+        CFG, *params, max_tokens=48, prompt_buckets=(32, 64),
+        token_buckets=(64, 128), mel_buckets=(128,), fused=fused,
+        spec_decode=True,
+    )
+    texts = [np.arange(8, dtype=np.int32), np.arange(12, dtype=np.int32) % 7]
+    kwargs = dict(inference_head_num=3, rng=jax.random.PRNGKey(3),
+                  min_token_text_ratio=2.0, max_token_text_ratio=3.0)
+    wavs_f, stats_f = mk(True).synthesize_batch(texts, **kwargs)
+    wavs_t, stats_t = mk(False).synthesize_batch(texts, **kwargs)
+    assert stats_f["tokens"] == stats_t["tokens"]
+    assert 0.0 <= stats_f["spec_acceptance"] <= 1.0
+    assert stats_f["spec_acceptance"] == stats_t["spec_acceptance"]
+    spt = CFG.flow.token_mel_ratio * CFG.hift.upsample_scale
+    for w, n in zip(wavs_f, stats_f["tokens"]):
+        assert len(w) == n * spt and np.isfinite(w).all()
+    for a, b in zip(wavs_f, wavs_t):
+        np.testing.assert_allclose(a, b, atol=1.01 / 32767.0)

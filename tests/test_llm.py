@@ -262,6 +262,61 @@ def test_speculative_distribution_matches_heads1(params):
     assert tv < 0.12, f"TV distance {tv:.3f} between spec and heads=1 marginals"
 
 
+def test_batched_speculative_greedy_matches_solo(params):
+    """Flash-batch speculative decode, deterministic sampling: every row must
+    emit exactly the solo speculative (== heads=1) sequence for its prompt —
+    per-row cache lengths and the vmapped verify keep rows independent."""
+    det = SamplingParams.make(top_p=0.5, top_k=1, win_size=10, tau_r=2.0)
+    texts = [
+        jax.random.randint(jax.random.PRNGKey(s), (6,), 0, 200) for s in (5, 17, 29)
+    ]
+    embs, plens = [], []
+    for t in texts:
+        e, p = llm.build_inference_prompt(
+            params, CFG, t, jnp.int32(6), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+        )
+        embs.append(e)
+        plens.append(p)
+    batch = llm.generate_batched_speculative(
+        params, CFG, jax.random.PRNGKey(1), jnp.stack(embs),
+        jnp.stack(plens), jnp.full((3,), 4, jnp.int32),
+        jnp.asarray([24, 17, 24], jnp.int32),  # row 1 gets a tighter budget
+        det, num_heads=3, max_tokens=32,
+    )
+    assert int(batch.drafted) >= int(batch.accepted) >= 0
+    for i in range(3):
+        solo = llm.generate_speculative(
+            params, CFG, jax.random.PRNGKey(2), embs[i], plens[i],
+            jnp.int32(4), jnp.int32([24, 17, 24][i]), det, num_heads=3,
+            max_tokens=32,
+        )
+        want = list(np.asarray(solo.result.tokens[: int(solo.result.num_tokens)]))
+        got = list(np.asarray(batch.result.tokens[i][: int(batch.result.num_tokens[i])]))
+        assert got == want, f"row {i}: batch={got} solo={want}"
+
+
+def test_batched_speculative_stochastic_contract(params):
+    text = jax.random.randint(jax.random.PRNGKey(3), (4,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(4), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    b = 4
+    spec = llm.generate_batched_speculative(
+        params, CFG, jax.random.PRNGKey(0),
+        jnp.broadcast_to(emb, (b, *emb.shape)), jnp.full((b,), plen),
+        jnp.full((b,), 6, jnp.int32), jnp.full((b,), 20, jnp.int32),
+        SamplingParams.make(), num_heads=3, max_tokens=32,
+    )
+    nums = np.asarray(spec.result.num_tokens)
+    assert ((nums >= 6) & (nums <= 20)).all()
+    toks = np.asarray(spec.result.tokens)
+    for i in range(b):
+        row = toks[i, : nums[i]]
+        assert (row >= 0).all() and (row < CFG.speech_token_size).all()
+    # same rng for every identical row would be wrong — rows draw their own
+    assert len({tuple(toks[i, : nums[i]]) for i in range(b)}) > 1
+
+
 def test_generate_respects_min_len(params):
     """With ignore_eos active below min_len, at least min_len tokens emerge."""
     rng = jax.random.PRNGKey(11)
