@@ -538,7 +538,9 @@ def init_spec_state(
         jnp.int32(0) < min_len, sts,
     )
     t0 = sample_dist(r0, q0)
-    stop0 = t0 >= sts
+    # a zero-length budget commits nothing (matches the blind paths and the
+    # batched spec init, where max_len < 1 folds into the stop condition)
+    stop0 = (t0 >= sts) | (max_len < 1)
     return dict(
         rng=rng,
         cache=cache,
@@ -549,7 +551,7 @@ def init_spec_state(
         steps=jnp.int32(0),
         accepted=jnp.int32(0),  # accepted draft count (acceptance-rate metric)
         drafted=jnp.int32(0),
-        finished=stop0 | (max_len < 1),
+        finished=stop0,
     )
 
 

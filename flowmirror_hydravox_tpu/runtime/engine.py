@@ -311,7 +311,10 @@ class Engine:
 
         sp_bucket: LLM prefix speech tokens; fsp_bucket: flow prompt tokens
         (they differ in cross-lingual/instruct2 modes, cli/frontend.py:186-209).
-        Returns (GenerateResult, packed int32 (t_wav//2 + max_tokens + head + 2,))."""
+        Returns (GenerateResult, packed int32
+        (t_wav//2 + max_tokens + 2 + 2,)): wav32, tokens, [accepted, drafted]
+        spec pair (zeros when not speculating), then num and steps LAST —
+        parse counts with meta[-2:]/meta[-4:-2], never positive offsets."""
         key = ("fused", text_bucket, sp_bucket, fsp_bucket, head_num,
                token_bucket, pm_bucket)
         if key not in self._gen_cache:
@@ -460,8 +463,9 @@ class Engine:
     def _fused_batch_fn(self, batch: int, text_bucket: int, sp_bucket: int,
                         head_num: int, token_bucket: int, pm_bucket: int):
         """Jitted single-dispatch flash batch: batched decode + flow + HiFT in
-        one program, one packed (B, t_wav//2 + max_tokens + head + 2) int32
-        transfer (see _fused_fn for the rationale and fallback contract)."""
+        one program, one packed (B, t_wav//2 + max_tokens + 2 + 2) int32
+        transfer — per row: wav32, tokens, [accepted, drafted], num, steps
+        (see _fused_fn for the rationale, layout rule, and fallback contract)."""
         key = ("fused_batch", batch, text_bucket, sp_bucket, head_num,
                token_bucket, pm_bucket)
         if key not in self._gen_cache:

@@ -96,6 +96,19 @@ class TTSService:
         # under client values, so the continuous head count must BE the
         # default head count or no request would ever match the slots
         self.default_extra = dict(DEFAULT_TTS_EXTRA)
+        if continuous_slots > 0 and getattr(engine, "spec_decode", False):
+            # the continuous batcher serves blind-MTP slots (fixed-hop
+            # scheduling assumes constant tokens-per-step) — with spec_decode
+            # on, requests matching the slot config would silently get the
+            # blind-commit output distribution instead of the verified
+            # heads=1 one the operator asked for.  Refuse the combination.
+            raise ValueError(
+                "--continuous-batching and --spec-decode are incompatible: "
+                "continuous slots decode blind-MTP, which would silently "
+                "bypass speculative verification for matching requests. "
+                "Drop one of the two flags (window coalescing + spec-decode "
+                "keeps the exact heads=1 distribution for batched traffic)."
+            )
         if continuous_slots > 0:
             from concurrent.futures import ThreadPoolExecutor
 

@@ -359,3 +359,22 @@ def test_service_streaming_rides_slots(engine):
         assert service.continuous_requests == 1
     finally:
         service.shutdown()
+
+
+def test_service_rejects_spec_decode_with_continuous(engine):
+    """--spec-decode + --continuous-batching is refused at startup: slots
+    decode blind-MTP and would silently bypass speculative verification."""
+    import pytest as _pytest
+
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend
+    from flowmirror_hydravox_tpu.runtime.engine import Engine
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    spec_engine = Engine(
+        engine.cfg, engine.llm_params, engine.flow_params, engine.hift_params,
+        max_tokens=engine.max_tokens, prompt_buckets=engine.prompt_buckets,
+        token_buckets=engine.token_buckets, mel_buckets=engine.mel_buckets,
+        spec_decode=True,
+    )
+    with _pytest.raises(ValueError, match="incompatible"):
+        TTSService(spec_engine, Frontend(engine.cfg), continuous_slots=2)

@@ -295,6 +295,26 @@ def test_batched_speculative_greedy_matches_solo(params):
         assert got == want, f"row {i}: batch={got} solo={want}"
 
 
+def test_speculative_zero_budget_commits_nothing(params):
+    """max_len=0 (empty tts text): spec paths must emit zero tokens like the
+    blind paths — the first pend must not leak past the budget."""
+    text = jax.random.randint(jax.random.PRNGKey(3), (4,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(4), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    solo = llm.generate_speculative(
+        params, CFG, jax.random.PRNGKey(0), emb, plen, jnp.int32(0),
+        jnp.int32(0), SamplingParams.make(), num_heads=3, max_tokens=16,
+    )
+    assert int(solo.result.num_tokens) == 0
+    batch = llm.generate_batched_speculative(
+        params, CFG, jax.random.PRNGKey(0), emb[None], plen[None],
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+        SamplingParams.make(), num_heads=3, max_tokens=16,
+    )
+    assert int(batch.result.num_tokens[0]) == 0
+
+
 def test_batched_speculative_stochastic_contract(params):
     text = jax.random.randint(jax.random.PRNGKey(3), (4,), 0, 200)
     emb, plen = llm.build_inference_prompt(
