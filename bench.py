@@ -143,34 +143,40 @@ def main():
     # give a structural acceptance floor; trained MTP heads (the reference
     # ships them trained) push acceptance — and tok/s — toward the heads=4
     # blind-commit rate while keeping heads=1 quality.
-    engine_s = Engine(cfg, llm_params, flow_params, hift_params,
-                      max_tokens=max_gen, fused=False, spec_decode=True)
+    try:
+        engine_s = Engine(cfg, llm_params, flow_params, hift_params,
+                          max_tokens=max_gen, fused=False, spec_decode=True)
 
-    def run_s(rng):
-        text = np.arange(text_len, dtype=np.int32) % 1000
-        return engine_s.synthesize(
-            text_tokens=text, tts_text_len=text_len, inference_head_num=4,
-            min_token_text_ratio=n_tokens / text_len,
-            max_token_text_ratio=n_tokens / text_len, rng=rng,
-        )
+        def run_s(rng):
+            text = np.arange(text_len, dtype=np.int32) % 1000
+            return engine_s.synthesize(
+                text_tokens=text, tts_text_len=text_len, inference_head_num=4,
+                min_token_text_ratio=n_tokens / text_len,
+                max_token_text_ratio=n_tokens / text_len, rng=rng,
+            )
 
-    run_s(jax.random.PRNGKey(40))  # compile
-    best_s = None
-    for i in range(3):
-        rs = run_s(jax.random.PRNGKey(320 + i))
-        if best_s is None or rs.tps > best_s.tps:
-            best_s = rs
-    print(json.dumps({
-        "aux": True, "metric": "spec_decode_tokens_per_sec_heads4",
-        "value": round(best_s.tps, 2), "unit": "tok/s",
-        "acceptance": round(best_s.spec_acceptance, 3),
-        "tokens_per_step": round(
-            len(best_s.speech_tokens) / max(best_s.steps, 1), 2),
-        "llm_time_s": round(best_s.llm_time, 4),
-        "note": "exact heads=1 output distribution (verified drafts); "
-                "compare speech_tokens_per_sec_heads1",
-    }))
-    del engine_s
+        run_s(jax.random.PRNGKey(40))  # compile
+        best_s = None
+        for i in range(3):
+            rs = run_s(jax.random.PRNGKey(320 + i))
+            if best_s is None or rs.tps > best_s.tps:
+                best_s = rs
+        print(json.dumps({
+            "aux": True, "metric": "spec_decode_tokens_per_sec_heads4",
+            "value": round(best_s.tps, 2), "unit": "tok/s",
+            "acceptance": round(best_s.spec_acceptance, 3),
+            "tokens_per_step": round(
+                len(best_s.speech_tokens) / max(best_s.steps, 1), 2),
+            "llm_time_s": round(best_s.llm_time, 4),
+            "note": "exact heads=1 output distribution (verified drafts); "
+                    "compare speech_tokens_per_sec_heads1",
+        }))
+        del engine_s
+    except Exception as e:  # aux metric must never kill the headline run
+        print(json.dumps({
+            "aux": True, "metric": "spec_decode_tokens_per_sec_heads4",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
 
     # TTFT: time to the first streamed ~1 s chunk at heads=4
     synth = engine.streaming()
