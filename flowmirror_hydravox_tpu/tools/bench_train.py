@@ -282,6 +282,10 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", args.cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.accum != 1 and args.which != "llm":
+        p.error("--accum is implemented for --which llm only; the GAN/flow/"
+                "dpo benches run at accum=1 (don't silently report a "
+                "different configuration than requested)")
     fn = {"llm": bench_llm, "flow": bench_flow, "gan": bench_gan,
           "dpo": bench_dpo}[args.which]
     try:

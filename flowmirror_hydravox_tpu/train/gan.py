@@ -83,11 +83,14 @@ def _split_micro(tree, k: int):
     return jax.tree.map(_s, tree)
 
 
-def _scan_accum(vg, params, xs, k: int, aux_stack_idx=None):
+def _scan_accum(vg, params, xs, k: int):
     """Run value_and_grad over k micro-batches with lax.scan, summing grads
-    (f32) and scalar metrics; aux tensors listed in aux_stack_idx stack as
-    scan outputs (reference GAN accumulation: executor.train_one_epoc_gan +
-    batch_backward loss/accum scaling, train_utils.py:277-291)."""
+    (f32) and scalar metrics; the FIRST aux element stacks as a scan output
+    (the GAN gen half's per-micro fakes), the second averages as metrics.
+    The GAN twin of steps._value_and_grad_accum (same f32-sum scan,
+    eval_shape zero-init, mean-over-micros convention — keep the two
+    bit-compatible); reference GAN accumulation: executor.train_one_epoc_gan
+    + batch_backward loss/accum scaling, train_utils.py:277-291."""
     def body(carry, x):
         gsum, lsum, msum = carry
         (loss, (stacked, scal)), g = vg(params, x)
@@ -150,7 +153,10 @@ def gan_gen_step(
         fm = feature_loss(real_fmaps, fake_fmaps)
         mel_l = multi_mel_loss(real, fake, hift_cfg.sampling_rate) * mel_weight
         tpr = tpr_loss(real_scores, fake_scores, tpr_tau) * tpr_weight
-        f0_l = jnp.mean(jnp.abs(f0 - pitch)) if pitch is not None else 0.0
+        # jnp scalar (not Python 0.0): the accum scan's metric summing calls
+        # .astype on every aux leaf, and carries must be arrays either way
+        f0_l = (jnp.mean(jnp.abs(f0 - pitch)) if pitch is not None
+                else jnp.float32(0.0))
         total = adv + fm + mel_l + tpr + f0_l
         return total, (fake, dict(adv=adv, fm=fm, mel=mel_l, tpr=tpr, f0=f0_l))
 
@@ -221,7 +227,15 @@ def gan_train_step(
     generator first, then discriminator on the detached sample).  Composes
     the two split halves into one program — jit this whole function for the
     fused single-dispatch form, or jit the halves separately when the host's
-    XLA compiler can't take the fused G+D graph (train_hift --split_step)."""
+    XLA compiler can't take the fused G+D graph (train_hift --split_step).
+
+    Note the composition inherits the gen half's disc-forward remat
+    (jax.checkpoint): the gen backward recomputes both discriminator
+    forwards instead of holding their activations.  That trades a little
+    recompute for the bounded memory that lets the big G+D graphs compile
+    at all — deliberate, since the fused form targets exactly the memory-
+    constrained case (the earlier activation-holding fused step is what
+    killed the remote compiler)."""
     new_gen, fake_sg, gmetrics = gan_gen_step(
         gen_state, disc_state.params, batch, rng, hift_cfg, gen_opt,
         mel_weight=mel_weight, tpr_weight=tpr_weight, tpr_tau=tpr_tau,

@@ -92,9 +92,10 @@ def main(argv=None):
     assert args.batch_size % n_data == 0, (
         f"batch_size {args.batch_size} not divisible by {n_data} data shards"
     )
-    assert args.batch_size % args.grad_accum == 0, (
-        f"batch_size {args.batch_size} not divisible by "
-        f"grad_accum {args.grad_accum}")
+    assert args.batch_size % (args.grad_accum * n_data) == 0, (
+        f"batch_size {args.batch_size} must divide evenly into "
+        f"grad_accum {args.grad_accum} micro-batches of whole "
+        f"{n_data}-way data shards (micro rows stay shardable over 'data')")
     repl = NamedSharding(mesh, P())
     gen_params = jax.device_put(gen_params, repl)
     disc_params = jax.device_put(disc_params, repl)

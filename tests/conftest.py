@@ -18,5 +18,25 @@ jax.config.update("jax_platforms", "cpu")
 import pathlib
 import sys
 
+import pytest
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The full tier compiles several hundred XLA:CPU programs into one
+    process; past ~190 tests the CPU client's JIT state can segfault on the
+    NEXT compile (observed twice at the same point, while the same module
+    passes solo — an upstream XLA:CPU issue, not a framework bug).  Bounding
+    the number of live executables per module avoids it and caps suite RSS;
+    module-scoped engine fixtures simply recompile on first use, which they
+    already do from cold."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

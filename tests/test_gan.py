@@ -157,6 +157,28 @@ def test_gan_grad_accum_duplicated_micro_batches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_gan_gen_step_accum_without_pitch():
+    """The accum scan sums aux metrics with .astype — a batch without
+    pitch_feat must still work (f0 loss term is a jnp scalar, not a Python
+    float)."""
+    t_mel = 8
+    gen_params = hift.init_params(jax.random.PRNGKey(0), HIFT_CFG, jnp.float32)
+    disc_params = disc.init_params(jax.random.PRNGKey(1))
+    gen_opt = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0,
+                                         total_steps=10, schedule="constant"))
+    rng = jax.random.PRNGKey(4)
+    batch = {
+        "speech_feat": jax.random.normal(rng, (4, t_mel, 80)) * 0.3,
+        "speech": jax.random.normal(rng, (4, t_mel * HIFT_CFG.upsample_scale)) * 0.1,
+    }
+    new_gen, fake_sg, metrics = gan.gan_gen_step(
+        init_state(gen_params, gen_opt), disc_params, batch, rng, HIFT_CFG,
+        gen_opt, accum_steps=2)
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert float(metrics["f0"]) == 0.0
+    assert fake_sg.shape == (4, t_mel * HIFT_CFG.upsample_scale)
+
+
 def test_gan_train_step_accum_runs():
     t_mel = 8
     gen_params = hift.init_params(jax.random.PRNGKey(0), HIFT_CFG, jnp.float32)
