@@ -337,6 +337,61 @@ def test_batched_speculative_stochastic_contract(params):
     assert len({tuple(toks[i, : nums[i]]) for i in range(b)}) > 1
 
 
+def test_speculative_acceptance_rises_with_training():
+    """Evidence for the spec-decode design claim: MTP heads trained on the
+    standard multi-head CE (head k predicts position +k — exactly the draft
+    skill) push draft acceptance up.  Train a tiny model on a deterministic
+    cyclic token pattern and compare acceptance before vs after under
+    deterministic sampling; untrained acceptance is near-chance while the
+    trained model's drafts track the learned pattern."""
+    from flowmirror_hydravox_tpu.train.steps import (
+        OptimConfig, init_state, llm_train_step, make_optimizer,
+    )
+
+    sts = CFG.speech_token_size
+    params0 = llm.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    det = SamplingParams.make(top_p=0.5, top_k=1, win_size=10, tau_r=2.0)
+    text = jnp.zeros((2,), jnp.int32)
+    emb, plen = llm.build_inference_prompt(
+        params0, CFG, text, jnp.int32(2), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+
+    def acceptance(p):
+        spec = llm.generate_speculative(
+            p, CFG, jax.random.PRNGKey(1), emb, plen, jnp.int32(24),
+            jnp.int32(24), det, num_heads=3, max_tokens=32,
+        )
+        return float(spec.accepted) / max(float(spec.drafted), 1.0)
+
+    acc_before = acceptance(params0)
+
+    # corpus: speech_token[t] = (start + t) % sts — next-token and
+    # next-next-token are pure offsets, learnable by heads 0..2
+    b, ls = 8, 24
+    rng = np.random.default_rng(0)
+    opt = make_optimizer(OptimConfig(learning_rate=3e-3, warmup_steps=5,
+                                     total_steps=200, schedule="constant"))
+    state = init_state(params0, opt)
+    step = jax.jit(lambda s, bt: llm_train_step(s, bt, CFG, opt))
+    for i in range(120):
+        starts = rng.integers(0, sts, (b, 1))
+        batch = {
+            "text_token": np.zeros((b, 2), np.int32),
+            "text_len": np.full((b,), 2, np.int32),
+            "speech_token": ((starts + np.arange(ls)[None, :]) % sts).astype(np.int32),
+            "speech_len": np.full((b,), ls, np.int32),
+        }
+        state, metrics = step(state, jax.tree.map(jnp.asarray, batch))
+    assert float(metrics["acc"]) > 0.9, "tiny model failed to learn the cycle"
+
+    acc_after = acceptance(state.params)
+    # untrained: drafts are arbitrary argmaxes (~1/sts chance); trained: the
+    # heads predict the learned cycle so most drafts verify
+    assert acc_after > max(0.5, acc_before + 0.3), (
+        f"acceptance before={acc_before:.2f} after={acc_after:.2f}"
+    )
+
+
 def test_generate_respects_min_len(params):
     """With ignore_eos active below min_len, at least min_len tokens emerge."""
     rng = jax.random.PRNGKey(11)
