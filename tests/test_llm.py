@@ -337,6 +337,40 @@ def test_batched_speculative_stochastic_contract(params):
     assert len({tuple(toks[i, : nums[i]]) for i in range(b)}) > 1
 
 
+def test_speculative_joint_sequence_distribution_matches(params):
+    """Stronger than the position-1 marginal check: the JOINT distribution
+    over whole 3-token sequences must match sequential heads=1 decoding
+    (the spec theorem composes per-position exactness through the sampled
+    prefix).  top_k=3 keeps the support small enough to estimate."""
+    sp = SamplingParams.make(top_p=1.0, top_k=3, win_size=10, tau_r=2.0)
+    text = jax.random.randint(jax.random.PRNGKey(5), (4,), 0, 200)
+    emb, plen = llm.build_inference_prompt(
+        params, CFG, text, jnp.int32(4), jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    )
+    n, v = 3000, CFG.vocab_size
+
+    base_fn = jax.jit(jax.vmap(lambda r: llm.generate(
+        params, CFG, r, emb, plen, jnp.int32(3), jnp.int32(3),
+        sp, inference_head_num=1, max_tokens=8, cache_len_cap=256,
+    ).tokens[:3]))
+    spec_fn = jax.jit(jax.vmap(lambda r: llm.generate_speculative(
+        params, CFG, r, emb, plen, jnp.int32(3), jnp.int32(3),
+        sp, num_heads=3, max_tokens=8, cache_len_cap=256,
+    ).result.tokens[:3]))
+
+    t_base = np.asarray(base_fn(jax.random.split(jax.random.PRNGKey(0), n)))
+    t_spec = np.asarray(spec_fn(jax.random.split(jax.random.PRNGKey(1), n)))
+    assert (t_base >= 0).all() and (t_spec >= 0).all()  # all runs hit 3 tokens
+
+    from collections import Counter
+    c_base = Counter(map(tuple, t_base))
+    c_spec = Counter(map(tuple, t_spec))
+    keys = set(c_base) | set(c_spec)
+    assert len(keys) <= 3 ** 3 + 10  # top_k=3 per step bounds the support
+    tv = 0.5 * sum(abs(c_base.get(k, 0) - c_spec.get(k, 0)) for k in keys) / n
+    assert tv < 0.12, f"joint TV distance {tv:.3f}"
+
+
 def test_speculative_acceptance_rises_with_training():
     """Evidence for the spec-decode design claim: MTP heads trained on the
     standard multi-head CE (head k predicts position +k — exactly the draft
