@@ -102,8 +102,14 @@ def _spell_number(match: re.Match, zh: bool) -> str:
     return num_to_words_zh(int(s)) if zh else num_to_words_en(int(s))
 
 
-_SYMBOLS_ZH = {"%": "百分之", "+": "加", "=": "等于", "℃": "摄氏度", "$": "美元", "￥": "元"}
-_SYMBOLS_EN = {"%": " percent", "+": " plus ", "=": " equals ", "℃": " degrees celsius", "$": " dollars"}
+_SYMBOLS_ZH = {
+    "%": "百分之", "+": "加", "=": "等于", "℃": "摄氏度", "°C": "摄氏度",
+    "$": "美元", "￥": "元",
+}
+_SYMBOLS_EN = {
+    "%": " percent", "+": " plus ", "=": " equals ", "℃": " degrees celsius",
+    "°C": " degrees celsius", "°F": " degrees fahrenheit", "$": " dollars",
+}
 
 # digit-wise zh reading; phone numbers read 1 as 幺 (wetext convention)
 _ZH_DIGITS_PHONE = "零幺二三四五六七八九"
@@ -134,6 +140,53 @@ def num_to_ordinal_en(n: int) -> str:
     return num_to_words_en(n - n % 10) + "-" + num_to_ordinal_en(n % 10)
 
 
+def num_to_year_en(y: int) -> str:
+    """Conventional English year reading: 1984 -> nineteen eighty-four,
+    1905 -> nineteen oh five, 1900 -> nineteen hundred, 2000 -> two
+    thousand, 2005 -> two thousand five, 2024 -> twenty twenty-four."""
+    hi, lo = divmod(y, 100)
+    if y % 1000 == 0:
+        return num_to_words_en(y)
+    if hi % 10 == 0 and lo < 10:  # x00x: 2005-style reads through the thousand
+        return num_to_words_en(hi * 100) + " " + num_to_words_en(lo)
+    if lo == 0:
+        return num_to_words_en(hi) + " hundred"
+    if lo < 10:
+        return num_to_words_en(hi) + " oh " + num_to_words_en(lo)
+    return num_to_words_en(hi) + " " + num_to_words_en(lo)
+
+
+# value-1 exact forms stay singular ("1 km" -> one kilometer)
+_EN_UNITS = {
+    "km/h": "kilometers per hour", "mph": "miles per hour",
+    "km": "kilometers", "cm": "centimeters", "mm": "millimeters",
+    "kg": "kilograms", "mg": "milligrams", "lb": "pounds", "oz": "ounces",
+    "GHz": "gigahertz", "MHz": "megahertz", "kHz": "kilohertz", "Hz": "hertz",
+    "TB": "terabytes", "GB": "gigabytes", "MB": "megabytes", "KB": "kilobytes",
+    "ms": "milliseconds",
+}
+_EN_UNIT_RE = re.compile(
+    r"(\d+(?:\.\d+)?)\s*(" + "|".join(re.escape(u) for u in _EN_UNITS) + r")(?![A-Za-z])"
+)
+
+# keithito-class salutation/title abbreviations (serving TN; the Matcha text
+# cleaner keeps its own table for checkpoint-symbol compatibility)
+_EN_ABBREV = {
+    "mr": "mister", "mrs": "misess", "dr": "doctor", "st": "saint",
+    "jr": "junior", "sr": "senior", "prof": "professor", "gen": "general",
+    "capt": "captain", "sgt": "sergeant", "lt": "lieutenant",
+    "col": "colonel", "maj": "major", "rev": "reverend", "hon": "honorable",
+    "vs": "versus",
+}
+_EN_ABBREV_RE = re.compile(
+    r"\b(" + "|".join(_EN_ABBREV) + r")\.(?=\s|$)", re.IGNORECASE
+)
+
+
+def _en_digitwise(digits: str) -> str:
+    return " ".join(_EN_ONES[int(d)] for d in digits)
+
+
 def _en_time(h: int, m: int) -> str:
     hour = num_to_words_en(h if 1 <= h <= 12 else (h - 12 if h > 12 else 12))
     if m == 0:
@@ -160,6 +213,12 @@ def _normalize_zh(text: str) -> str:
     text = re.sub(
         r"(?<!\d)(\d{10,12})(?!\d)", lambda m: _zh_digitwise(m.group(1), phone=True), text
     )
+    # separated mobile format 138-1234-5678 (also spaces): digit-wise with 幺
+    text = re.sub(
+        r"(?<!\d)(\d{3})[- ](\d{4})[- ](\d{4})(?!\d)",
+        lambda m: "".join(_zh_digitwise(g, phone=True) for g in m.groups()),
+        text,
+    )
     # time H:MM / H：MM -> H点MM分 (zero-minutes -> 整)
     def _zh_time(m):
         h, mm = int(m.group(1)), int(m.group(2))
@@ -174,12 +233,18 @@ def _normalize_zh(text: str) -> str:
     )
     # ranges a~b / a-b between digits -> a到b
     text = re.sub(r"(\d+(?:\.\d+)?)[~～—-](\d+(?:\.\d+)?)", r"\1到\2", text)
+    # scores 3:2 -> 3比2 (single-digit right side cannot be a clock time)
+    text = re.sub(r"(?<!\d)(\d{1,2})[:：](\d)(?!\d)", r"\1比\2", text)
+    # negative numbers (ranges already rewritten above, so a bare -N is a sign)
+    text = re.sub(r"(?<![\d~～—\-.])[-−](\d+(?:\.\d+)?)", r"负\1", text)
     # percentages read prefix ("百分之NN")
     text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + m.group(1), text)
     return text
 
 
 def _normalize_en(text: str) -> str:
+    # salutation/title abbreviations: "Dr. Smith" -> "doctor Smith"
+    text = _EN_ABBREV_RE.sub(lambda m: _EN_ABBREV[m.group(1).lower()], text)
     # money: $5.30 -> five dollars and thirty cents; $5 -> five dollars
     def _en_money(m):
         dollars = int(m.group(1))
@@ -202,6 +267,38 @@ def _normalize_en(text: str) -> str:
         lambda m: _en_time(int(m.group(1)), int(m.group(2))),
         text,
     )
+    # units: 5 km -> five kilometers, 1 kg -> one kilogram
+    def _en_unit(m):
+        unit = _EN_UNITS[m.group(2)]
+        if float(m.group(1)) == 1.0:
+            if " per " in unit:
+                unit = unit.replace("s per ", " per ", 1)
+            elif unit.endswith("s"):
+                unit = unit[:-1]
+        return m.group(1) + " " + unit
+    text = _EN_UNIT_RE.sub(_en_unit, text)
+    # phone-like groups: 555-123-4567 / 555.1234 runs -> digit-wise
+    text = re.sub(
+        r"(?<!\d)(\d{3})[-.](\d{3,4})[-.](\d{4})(?!\d)",
+        lambda m: ", ".join(_en_digitwise(g) for g in m.groups()),
+        text,
+    )
+    text = re.sub(r"(?<!\d)(\d{10,11})(?!\d)", lambda m: _en_digitwise(m.group(1)), text)
+    # decades: 1980s -> nineteen eighties, 90s -> nineties
+    def _en_decade(m):
+        hi, tens = divmod(int(m.group(1)), 10)
+        return num_to_words_en(hi) + " " + _EN_TENS[tens][:-1] + "ies"
+    text = re.sub(r"(?<!\d)((?:1[5-9]|20)\d)0s\b", _en_decade, text)
+    text = re.sub(
+        r"(?<!\d)([2-9])0s\b", lambda m: _EN_TENS[int(m.group(1))][:-1] + "ies", text
+    )
+    # bare 4-digit years 1500-2099 read pairwise (inflect, the reference's en
+    # fallback, has no year rule at all — this is wetext-class behavior)
+    text = re.sub(
+        r"(?<![\d.])((?:1[5-9]|20)\d{2})(?![\d.])",
+        lambda m: num_to_year_en(int(m.group(1))),
+        text,
+    )
     return text
 
 
@@ -210,9 +307,11 @@ def normalize(text: str) -> str:
 
     fmtn-equivalent rule set (the proprietary wheel is absent from the
     snapshot; the reference's fallback is wetext+inflect,
-    cli/frontend.py:124-155): grouped digits, money, years, phone numbers,
-    clock times, fractions, ranges, percentages, ordinals, generic number
-    spell-out (en + zh), symbol expansion, whitespace cleanup."""
+    cli/frontend.py:124-155): grouped digits, money, years (zh digit-wise,
+    en pairwise), decades, phone numbers (bare + separated), clock times,
+    scores, fractions, ranges, negatives, percentages, ordinals, units,
+    title abbreviations, generic number spell-out (en + zh), symbol
+    expansion, whitespace cleanup."""
     zh = _has_cjk(text)
     text = text.strip()
     # strip digit-grouping commas (1,234,567)

@@ -61,6 +61,41 @@ def test_normalize_en_rules():
     assert text_norm.normalize("About 1,234 people") == "About one thousand two hundred thirty-four people"
 
 
+def test_normalize_en_years_units_phones():
+    """wetext-class extensions past the reference's inflect fallback."""
+    assert text_norm.normalize("Born in 1984") == "Born in nineteen eighty-four"
+    assert text_norm.normalize("Back in 1905") == "Back in nineteen oh five"
+    assert text_norm.normalize("By 1900") == "By nineteen hundred"
+    assert text_norm.normalize("In 2000") == "In two thousand"
+    assert text_norm.normalize("In 2005") == "In two thousand five"
+    assert text_norm.normalize("In 2024") == "In twenty twenty-four"
+    assert text_norm.normalize("The 1980s rocked") == "The nineteen eighties rocked"
+    assert text_norm.normalize("The 90s rocked") == "The nineties rocked"
+    assert (
+        text_norm.normalize("Call 555-123-4567")
+        == "Call five five five, one two three, four five six seven"
+    )
+    assert text_norm.normalize("He ran 5 km") == "He ran five kilometers"
+    assert text_norm.normalize("Add 1 kg") == "Add one kilogram"
+    assert text_norm.normalize("At 60 km/h") == "At sixty kilometers per hour"
+    assert text_norm.normalize("Dr. Who vs. Mr. Bean") == "doctor Who versus mister Bean"
+    # decimals must not trip the year rule
+    assert text_norm.normalize("pi is 3.1592") == "pi is three point one five nine two"
+
+
+def test_normalize_zh_scores_negatives_phones():
+    assert text_norm.normalize("比分3:2获胜") == "比分三比二获胜"
+    assert text_norm.normalize("气温-5℃") == "气温负五摄氏度"
+    assert text_norm.normalize("下降了-3.5%") == "下降了负百分之三点五"
+    assert text_norm.normalize("温度25°C") == "温度二十五摄氏度"
+    assert (
+        text_norm.normalize("电话138-1234-5678")
+        == "电话幺三八幺二三四五六七八"
+    )
+    # range still wins over the negative-sign rule
+    assert text_norm.normalize("大约3-5天") == "大约三到五天"
+
+
 def test_split_and_merge():
     text = "第一句话说完了。第二句话也说完了！短。"
     segs = text_norm.split_text_by_punctuation(text, max_length=30, min_length=5)
