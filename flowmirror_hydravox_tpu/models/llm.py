@@ -205,12 +205,19 @@ def forward_loss(
     text_len: jnp.ndarray,
     speech_token: jnp.ndarray,
     speech_len: jnp.ndarray,
+    backbone_forward=None,
 ) -> dict:
     """Training loss: mean over heads of label-smoothed CE on shifted targets
-    (llm_multi_head_v3.py:766-828). Returns {'loss', 'acc'}."""
+    (llm_multi_head_v3.py:766-828). Returns {'loss', 'acc'}.
+
+    `backbone_forward(params, cfg, embeds, lengths)` overrides the stock
+    full-sequence forward — used by parallel/pipeline.py to run the layer
+    stack GPipe-pipelined over a 'stage' mesh axis."""
+    if backbone_forward is None:
+        backbone_forward = qwen2.forward
     lm_input, lm_len = build_lm_input(params, cfg, text_token, text_len, speech_token, speech_len)
     t_total = lm_input.shape[1]
-    hidden = qwen2.forward(params["backbone"], cfg.backbone, lm_input, lm_len)
+    hidden = backbone_forward(params["backbone"], cfg.backbone, lm_input, lm_len)
     logits = mtp_logits(params, cfg, hidden, cfg.head_num)  # (K, B, T, V)
     targets = build_lm_targets(cfg, text_len, speech_token, speech_len, t_total)  # (K, B, T)
 

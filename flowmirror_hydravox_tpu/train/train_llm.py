@@ -64,6 +64,14 @@ def main(argv=None):
                         "ICI/DCN mesh (reference train_utils.py:39-50 NCCL "
                         "equivalent; set COORDINATOR_ADDRESS/NUM_PROCESSES/"
                         "PROCESS_ID or run on Cloud TPU)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="GPipe pipeline stages over the 'stage' mesh axis: "
+                        "backbone layers are stage-sharded and microbatches "
+                        "flow via ppermute (parallel/pipeline.py). Exclusive "
+                        "with --tensor_parallel")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = number of stages). "
+                        "Each DP shard's rows must divide by this")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batch gradient accumulation inside the jitted "
                         "step (lax.scan; reference train_utils.py:277-291 / "
@@ -86,7 +94,15 @@ def main(argv=None):
     from .steps import OptimConfig, init_state, llm_train_step, make_optimizer
 
     cfg = (tiny_config() if args.tiny else HydraVoxConfig()).llm
-    if args.multihost:
+    pp = args.pipeline_parallel
+    if pp > 1:
+        assert args.tensor_parallel == 1, "--pipeline_parallel is exclusive with --tensor_parallel"
+        assert not args.multihost, "--pipeline_parallel: single-controller meshes only for now"
+        assert args.grad_accum == 1, "GPipe microbatching replaces --grad_accum (use --pp_microbatches)"
+        from ..parallel.pipeline import make_pp_mesh
+
+        mesh = make_pp_mesh(stages=pp)
+    elif args.multihost:
         from ..parallel.mesh import init_distributed, make_multihost_mesh
 
         init_distributed()
@@ -125,7 +141,14 @@ def main(argv=None):
     )
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))
-    param_sharding = named(mesh, llm_param_specs()) if args.tensor_parallel > 1 else repl
+    if pp > 1:
+        from ..parallel.pipeline import pp_param_shardings
+
+        param_sharding = pp_param_shardings(mesh, params)
+    elif args.tensor_parallel > 1:
+        param_sharding = named(mesh, llm_param_specs())
+    else:
+        param_sharding = repl
 
     # Place params first: optimizer.init builds moments with zeros_like, so
     # they inherit the param layout (TP-sharded or replicated).
@@ -148,14 +171,23 @@ def main(argv=None):
         state = state._replace(
             opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))
         )
-    logger.info("mesh %s  tp=%d  zero=%s", dict(mesh.shape),
-                args.tensor_parallel, args.shard_optimizer)
+    logger.info("mesh %s  tp=%d  pp=%d  zero=%s", dict(mesh.shape),
+                args.tensor_parallel, pp, args.shard_optimizer)
 
-    step_fn = jax.jit(
-        lambda s, b: llm_train_step(s, b, cfg, optimizer,
-                                    accum_steps=args.grad_accum),
-        donate_argnums=(0,),
-    )
+    if pp > 1:
+        from ..parallel.pipeline import make_pp_llm_step
+
+        micro = args.pp_microbatches or pp
+        assert (args.batch_size // n_data) % micro == 0, (
+            f"per-DP-shard batch {args.batch_size // n_data} not divisible "
+            f"by pp_microbatches {micro}")
+        step_fn = make_pp_llm_step(mesh, cfg, optimizer, microbatches=micro)
+    else:
+        step_fn = jax.jit(
+            lambda s, b: llm_train_step(s, b, cfg, optimizer,
+                                        accum_steps=args.grad_accum),
+            donate_argnums=(0,),
+        )
 
     assert args.train_data or args.shard_list, "--train_data or --shard_list required"
     tokenizer = get_tokenizer(args.tokenizer_path)

@@ -73,6 +73,19 @@ def test_llm_cli_tp_zero_matches_replicated(llm_ds, tmp_path):
     assert shardings and any("data" in str(s.spec) for s in shardings), shardings
 
 
+def test_llm_cli_pp_matches_replicated(llm_ds, tmp_path):
+    """GPipe pipeline CLI (--pipeline_parallel, parallel/pipeline.py) equals
+    the replicated DP run — beyond-parity scaling mode, stock step is the
+    oracle."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ref = _run_llm(llm_ds, str(tmp_path / "dp"), [])
+    got = _run_llm(llm_ds, str(tmp_path / "pp"),
+                   ["--pipeline_parallel", "2", "--pp_microbatches", "2"])
+    assert ref["step"] == got["step"] == 2
+    assert abs(ref["metrics"]["loss"] - got["metrics"]["loss"]) < 1e-3, (ref, got)
+
+
 def test_flow_cli_tp_zero_runs(flow_ds, tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
