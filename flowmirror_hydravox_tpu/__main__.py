@@ -71,10 +71,11 @@ def main(argv=None):
     p.add_argument("--continuous-heads", type=int, default=2,
                    help="inference_head_num served by the continuous slots")
     p.add_argument("--spec-decode", action="store_true",
-                   help="self-speculative MTP decoding for single-utterance "
-                        "requests: heads 1..K-1 draft, head 0 verifies — "
-                        "exact heads=1 output quality at up-to-K tokens/step "
-                        "(throughput scales with draft acceptance)")
+                   help="self-speculative MTP decoding: heads 1..K-1 draft, "
+                        "head 0 verifies — exact heads=1 output quality at "
+                        "up-to-K tokens/step (throughput scales with draft "
+                        "acceptance). Applies to every serving path, "
+                        "including --continuous-batching slots")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 

@@ -22,6 +22,13 @@ the solo decode loop splits its key (models/llm.py generate_until), so a
 request admitted with rng R produces bit-identical tokens to
 `llm.generate(..., rng=R)` run solo (tests/test_continuous.py).
 
+`spec_decode=True` switches the slots from blind multi-head commits to
+draft-and-verify speculative decoding (heads 1..K-1 draft, head 0 verifies
+— the exact heads=1 output distribution, models/llm.py
+generate_spec_until): slots then commit 1..K tokens per block forward and
+desynchronize in progress, which the per-slot bookkeeping already absorbs;
+tokens are bit-identical to `llm.generate_speculative(..., rng=R)`.
+
 Synthesis (flow+HiFT) of finished rows reuses the Engine's jitted synth
 programs; decode and synthesis interleave on the device stream.
 """
@@ -56,7 +63,9 @@ class _Request:
                  #   carried flow/HiFT streaming state (never touched by the
                  #   decode loop); hift_rng matches the solo streamer's split
                  "stream", "chunk_q", "hift_rng", "prompt_pad",
-                 "sched_offset", "token_offset", "hift_cache", "t_first")
+                 "sched_offset", "token_offset", "hift_cache", "t_first",
+                 # spec-decode slots: (accepted, drafted) at finish
+                 "spec_pair")
 
     def __init__(self, text_tokens, spk_embedding, min_len, max_len, rng, sampling,
                  prompt_speech_tokens=None, prompt_mel=None, stream=False,
@@ -82,6 +91,7 @@ class _Request:
         self.token_offset = 0
         self.hift_cache = None
         self.t_first = None
+        self.spec_pair = None
 
 
 class ContinuousBatcher:
@@ -95,17 +105,32 @@ class ContinuousBatcher:
         head_num: int = 4,
         prompt_buckets=None,
         sampling: Optional[SamplingParams] = None,
+        spec_decode: bool = False,
     ):
         """One batcher serves ONE (head_num, sampling) configuration — the
         chunk program shares the base step across slots, so requests with a
         different head count or sampling params must go through the regular
-        Engine paths instead."""
+        Engine paths instead.
+
+        `spec_decode=True` makes the slots draft with MTP heads 1..K-1 and
+        verify against head 0 (the exact heads=1 output distribution —
+        models/llm.py generate_spec_until) instead of blindly committing
+        every head's sample.  Slots desynchronize in tokens-per-step (1..K
+        commits per block forward) but the chunk scheduling already handles
+        per-slot progress; per-slot rng chains replicate the solo spec
+        loop's splits, so tokens stay bit-identical to
+        `llm.generate_speculative(..., rng=R)`."""
         self.engine = engine
         self.cfg = engine.cfg.llm
         self.sampling = sampling or SamplingParams.make()
         self.slots = slots
         self.chunk_steps = chunk_steps
+        self.spec = bool(spec_decode)
         self.head_k = max(1, min(int(head_num), self.cfg.head_num))
+        if self.spec and self.head_k < 2:
+            raise ValueError(
+                "spec_decode slots need head_num >= 2 (heads 1..K-1 draft, "
+                "head 0 verifies)")
         self.max_tokens = engine.max_tokens
         # default text ladder covers up to 128 tokens (ordinary sentences and
         # the reference's ~80-token paragraph segments); longer segments fall
@@ -154,7 +179,7 @@ class ContinuousBatcher:
         dtype = self.engine.llm_params["speech_embedding"].dtype
         s, k = self.slots, self.head_k
         key0 = jax.random.PRNGKey(0)
-        return dict(
+        state = dict(
             cache=qwen2.init_kv_cache(bb, s, self.cache_cap, dtype=dtype),
             last_hidden=jnp.zeros((s, bb.hidden_size), dtype),
             tokens=jnp.full((s, self.max_tokens + k), -1, jnp.int32),
@@ -165,6 +190,16 @@ class ContinuousBatcher:
             rngs=jnp.tile(key0[None], (s, 1)),
             finished=jnp.ones((s,), bool),
         )
+        if self.spec:
+            # pend = newest emitted token not yet in the KV cache (the solo
+            # spec loop's invariant); accepted/drafted feed the per-request
+            # acceptance-rate stat
+            state.update(
+                pend=jnp.zeros((s,), jnp.int32),
+                accepted=jnp.zeros((s,), jnp.int32),
+                drafted=jnp.zeros((s,), jnp.int32),
+            )
+        return state
 
     def _admit_fn(self, bucket: int, sp_bucket: int = 0):
         """Jitted: prefill one request into slot `i` of the shared state.
@@ -197,17 +232,49 @@ class ContinuousBatcher:
                 length=state["cache"].length.at[slot].set(plen),
             )
             k = self.head_k
+            h0 = hidden[0, plen - 1]
+            buf = jnp.full((self.max_tokens + k,), -1, jnp.int32)
+            if not self.spec:
+                return dict(
+                    cache=cache,
+                    last_hidden=state["last_hidden"].at[slot].set(h0),
+                    tokens=state["tokens"].at[slot].set(buf),
+                    num=state["num"].at[slot].set(0),
+                    steps=state["steps"].at[slot].set(0),
+                    min_len=state["min_len"].at[slot].set(min_len),
+                    max_len=state["max_len"].at[slot].set(max_len),
+                    rngs=state["rngs"].at[slot].set(rng),
+                    finished=state["finished"].at[slot].set(False),
+                )
+            # spec admit = init_spec_state for this row: first token from
+            # head 0 on the prompt hidden (exact heads=1), same rng split
+            from ..ops.sampling import ras_dist, sample_dist
+
+            sts = cfg.speech_token_size
+            p_tgt = dict(
+                params, mtp_block=jax.tree.map(lambda a: a[:1], params["mtp_block"])
+            )
+            rng2, r0 = jax.random.split(rng)
+            q0 = ras_dist(
+                llm_model.mtp_logits(p_tgt, cfg, h0, 1)[0], buf, jnp.int32(0),
+                self.sampling, jnp.int32(0) < min_len, sts,
+            )
+            t0 = sample_dist(r0, q0)
+            stop0 = (t0 >= sts) | (max_len < 1)
             return dict(
                 cache=cache,
-                last_hidden=state["last_hidden"].at[slot].set(hidden[0, plen - 1]),
+                last_hidden=state["last_hidden"].at[slot].set(h0),
                 tokens=state["tokens"].at[slot].set(
-                    jnp.full((self.max_tokens + k,), -1, jnp.int32)),
-                num=state["num"].at[slot].set(0),
+                    jnp.where(stop0, buf, buf.at[0].set(t0))),
+                num=state["num"].at[slot].set(jnp.where(stop0, 0, 1)),
                 steps=state["steps"].at[slot].set(0),
                 min_len=state["min_len"].at[slot].set(min_len),
                 max_len=state["max_len"].at[slot].set(max_len),
-                rngs=state["rngs"].at[slot].set(rng),
-                finished=state["finished"].at[slot].set(False),
+                rngs=state["rngs"].at[slot].set(rng2),
+                finished=state["finished"].at[slot].set(stop0),
+                pend=state["pend"].at[slot].set(t0),
+                accepted=state["accepted"].at[slot].set(0),
+                drafted=state["drafted"].at[slot].set(0),
             )
 
         self._admit_cache[key] = jax.jit(fn, donate_argnums=(1,))
@@ -216,6 +283,9 @@ class ContinuousBatcher:
     def _chunk_fn(self):
         """Jitted: run up to chunk_steps group-decode steps over all slots."""
         if self._chunk_jit is not None:
+            return self._chunk_jit
+        if self.spec:
+            self._chunk_jit = jax.jit(self._spec_chunk_body(), donate_argnums=(1,))
             return self._chunk_jit
         cfg, bb = self.cfg, self.cfg.backbone
         k = self.head_k
@@ -290,6 +360,116 @@ class ContinuousBatcher:
 
         self._chunk_jit = jax.jit(fn, donate_argnums=(1,))
         return self._chunk_jit
+
+    def _spec_chunk_body(self):
+        """Chunk program for spec_decode slots: per-slot draft/verify steps
+        (the solo loop's _spec_draft_row/_spec_verify_row vmapped over slots,
+        like llm.generate_batched_speculative but with per-slot rng chains
+        and resumable slot state).  Each block forward commits 1..K tokens
+        per active slot; meta gains accepted/drafted columns before
+        [num, steps, finished]."""
+        cfg, bb = self.cfg, self.cfg.backbone
+        k = self.head_k
+        kd = k - 1
+        s_n = self.slots
+        sts = cfg.speech_token_size
+
+        def fn(params, state, sampling: SamplingParams):
+            p_tgt = dict(
+                params, mtp_block=jax.tree.map(lambda a: a[:1], params["mtp_block"])
+            )
+            p_draft = dict(
+                params, mtp_block=jax.tree.map(lambda a: a[1:k], params["mtp_block"])
+            )
+            emb_dtype = params["speech_embedding"].dtype
+
+            def cond(carry):
+                it, s = carry
+                return (it < self.chunk_steps) & ~jnp.all(s["finished"])
+
+            def body(carry):
+                it, s = carry
+                active = ~s["finished"]
+                num, buf = s["num"], s["tokens"]
+                # same 5-way split order as generate_spec_until, per slot
+                splits = jax.vmap(lambda r: jax.random.split(r, 5))(s["rngs"])
+                new_rngs = jnp.where(active[:, None], splits[:, 0], s["rngs"])
+                r_draft, r_acc = splits[:, 1], splits[:, 2]
+                r_res, r_bonus = splits[:, 3], splits[:, 4]
+
+                draft_logits = llm_model.mtp_logits(
+                    p_draft, cfg, s["last_hidden"], kd)  # (kd, S, V)
+                drafts, p_dists, buf_d = jax.vmap(
+                    lambda r, lg, hist, n, mn: llm_model._spec_draft_row(
+                        r, lg, hist, n, sampling, mn, sts)
+                )(r_draft, jnp.swapaxes(draft_logits, 0, 1), buf, num,
+                  s["min_len"])  # (S, kd), (S, kd, V), (S, L)
+
+                block = jnp.concatenate([s["pend"][:, None], drafts], axis=1)
+                emb = jnp.take(
+                    params["speech_embedding"], block, axis=0).astype(emb_dtype)
+                hidden_blk, cache_w = qwen2.forward_block_with_cache(
+                    params["backbone"], bb, emb, s["cache"],
+                    advance=jnp.zeros((s_n,), jnp.int32),
+                )  # (S, K, H)
+
+                tgt_logits = llm_model.mtp_logits(p_tgt, cfg, hidden_blk, 1)[0]
+                e, n_emit, n_commit, n_acc, fin_row = jax.vmap(
+                    lambda ra, rr, rb, tl, d, pd, bd, n, mn, mx:
+                        llm_model._spec_verify_row(
+                            ra, rr, rb, tl, d, pd, bd, n, mn, mx, sampling, sts)
+                )(r_acc, r_res, r_bonus, tgt_logits, drafts, p_dists, buf_d,
+                  num, s["min_len"], s["max_len"])
+
+                n_emit = jnp.where(active, n_emit, 0)
+                n_commit = jnp.where(active, n_commit, 0)
+                finished = s["finished"] | (active & fin_row)
+
+                arange_k = jnp.arange(k)
+                wpos = num[:, None] + arange_k[None, :]
+                wmask = arange_k[None, :] < n_commit[:, None]
+                cur = jnp.take_along_axis(buf, wpos, axis=1)
+                tokens = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+                    buf, wpos, jnp.where(wmask, e, cur))
+                cache = qwen2.KVCache(
+                    k=cache_w.k, v=cache_w.v,
+                    length=s["cache"].length + n_emit,
+                )
+                idx_last = jnp.maximum(n_emit - 1, 0)
+                h_next = jnp.take_along_axis(
+                    hidden_blk, idx_last[:, None, None], axis=1)[:, 0]
+                last_hidden = jnp.where(
+                    active[:, None], h_next, s["last_hidden"])
+                pend = jnp.where(
+                    active,
+                    jnp.take_along_axis(e, idx_last[:, None], axis=1)[:, 0],
+                    s["pend"],
+                )
+                return it + 1, dict(
+                    cache=cache, last_hidden=last_hidden, tokens=tokens,
+                    num=num + n_commit,
+                    steps=s["steps"] + jnp.where(active, 1, 0),
+                    min_len=s["min_len"], max_len=s["max_len"],
+                    rngs=new_rngs, finished=finished, pend=pend,
+                    accepted=s["accepted"] + jnp.where(active, n_acc, 0),
+                    drafted=s["drafted"] + jnp.where(active, kd, 0),
+                )
+
+            _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+            meta = jnp.concatenate(
+                [
+                    final["tokens"],
+                    final["accepted"][:, None],
+                    final["drafted"][:, None],
+                    final["num"][:, None],
+                    final["steps"][:, None],
+                    final["finished"].astype(jnp.int32)[:, None],
+                ],
+                axis=1,
+            )
+            return final, meta
+
+        return fn
 
     # -- host loop -----------------------------------------------------------
 
@@ -503,6 +683,10 @@ class ContinuousBatcher:
             num = int(meta[i, -3])
             steps = int(meta[i, -2])
             fin = bool(meta[i, -1])
+            if self.spec and fin:
+                # acceptance-rate stat (spec meta layout adds the pair
+                # before [num, steps, finished])
+                req.spec_pair = (int(meta[i, -5]), int(meta[i, -4]))
             if req.stream:
                 # emit every full hop the slot has accumulated (same chunk
                 # boundaries as the solo streamer's loop), then the finalize
@@ -556,6 +740,10 @@ class ContinuousBatcher:
                     latency=time.time() - req.t_submit,
                     synth_time=synth_time, chunk_time=chunk_time,
                 )
+                if req.spec_pair is not None:
+                    acc, drafted = req.spec_pair
+                    req.stats["spec_acceptance"] = (
+                        acc / drafted if drafted else 0.0)
             except Exception as e:
                 logger.exception("continuous synth failed")
                 req.error = str(e)
@@ -586,6 +774,10 @@ class ContinuousBatcher:
                     latency=time.time() - req.t_submit,
                     ttft=req.t_first - req.t_submit, chunk_time=chunk_time,
                 )
+                if req.spec_pair is not None:
+                    acc, drafted = req.spec_pair
+                    req.stats["spec_acceptance"] = (
+                        acc / drafted if drafted else 0.0)
                 req.chunk_q.put(None)
                 req.done.set()
         except Exception as e:

@@ -96,18 +96,12 @@ class TTSService:
         # under client values, so the continuous head count must BE the
         # default head count or no request would ever match the slots
         self.default_extra = dict(DEFAULT_TTS_EXTRA)
-        if continuous_slots > 0 and getattr(engine, "spec_decode", False):
-            # the continuous batcher serves blind-MTP slots (fixed-hop
-            # scheduling assumes constant tokens-per-step) — with spec_decode
-            # on, requests matching the slot config would silently get the
-            # blind-commit output distribution instead of the verified
-            # heads=1 one the operator asked for.  Refuse the combination.
+        spec = bool(getattr(engine, "spec_decode", False))
+        if continuous_slots > 0 and spec and continuous_head_num < 2:
             raise ValueError(
-                "--continuous-batching and --spec-decode are incompatible: "
-                "continuous slots decode blind-MTP, which would silently "
-                "bypass speculative verification for matching requests. "
-                "Drop one of the two flags (window coalescing + spec-decode "
-                "keeps the exact heads=1 distribution for batched traffic)."
+                "--spec-decode with --continuous-batching needs "
+                "--continuous-head-num >= 2 (heads 1..K-1 draft, head 0 "
+                "verifies)"
             )
         if continuous_slots > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -123,6 +117,9 @@ class TTSService:
                 sampling=SamplingParams.make(
                     default.top_p, default.top_k, default.win_size, default.tau_r
                 ),
+                # with --spec-decode the slots draft-and-verify too, so every
+                # serving path keeps the exact heads=1 output distribution
+                spec_decode=spec,
             )
             # bounded frontend/wait threads for the continuous fast path (the
             # batcher itself bounds decode concurrency by its slot count)

@@ -361,12 +361,105 @@ def test_service_streaming_rides_slots(engine):
         service.shutdown()
 
 
-def test_service_rejects_spec_decode_with_continuous(engine):
-    """--spec-decode + --continuous-batching is refused at startup: slots
-    decode blind-MTP and would silently bypass speculative verification."""
-    import pytest as _pytest
+def _solo_spec_tokens(engine, text, rng, head_num, min_ratio=2.0, max_ratio=8.0):
+    cfg = engine.cfg.llm
+    bucket = 32 if len(text) <= 32 else 64
+    padded = np.zeros((bucket,), np.int32)
+    padded[: len(text)] = text
+    emb, plen = llm.build_inference_prompt(
+        engine.llm_params, cfg, jnp.asarray(padded), jnp.int32(len(text)),
+        jnp.zeros((0,), jnp.int32), jnp.int32(0),
+    )
+    res = llm.generate_speculative(
+        engine.llm_params, cfg, rng, emb, plen,
+        jnp.int32(int(len(text) * min_ratio)),
+        jnp.int32(min(int(len(text) * max_ratio), 64)),
+        SamplingParams.make(),
+        num_heads=head_num, max_tokens=64,
+    )
+    n = int(res.result.num_tokens)
+    acc, dr = int(res.accepted), int(res.drafted)
+    return np.asarray(res.result.tokens)[:n], (acc / dr if dr else 0.0)
 
-    from flowmirror_hydravox_tpu.frontend.frontend import Frontend
+
+@pytest.mark.quick
+def test_spec_slots_match_solo_speculative(engine):
+    """spec_decode slots produce bit-identical tokens (and acceptance rate)
+    to llm.generate_speculative with the same rng — the continuous batcher
+    no longer trades the verified heads=1 distribution for slot residency."""
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=3,
+                                spec_decode=True)
+    try:
+        texts = [np.arange(6, dtype=np.int32), np.arange(9, dtype=np.int32) % 7]
+        rngs = [jax.random.PRNGKey(11), jax.random.PRNGKey(22)]
+        reqs = [
+            batcher.submit(t, rng=r, min_token_text_ratio=2.0,
+                           max_token_text_ratio=8.0)
+            for t, r in zip(texts, rngs)
+        ]
+        for req, text, rng in zip(reqs, texts, rngs):
+            wav, stats = batcher.result(req, timeout=600.0)
+            solo, acc = _solo_spec_tokens(engine, text, rng, head_num=3)
+            assert stats["tokens"] == solo.tolist(), (stats["tokens"], solo)
+            assert stats["spec_acceptance"] == pytest.approx(acc)
+            assert len(wav) > 0 and np.isfinite(wav).all()
+    finally:
+        batcher.shutdown()
+
+
+def test_spec_slots_admit_mid_flight(engine):
+    """Spec slots desynchronize (1..K commits per block) — a request admitted
+    mid-flight still matches its solo spec decode bit-for-bit."""
+    import time
+
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=2, head_num=3,
+                                spec_decode=True)
+    try:
+        t1 = np.arange(12, dtype=np.int32)
+        r1 = batcher.submit(t1, rng=jax.random.PRNGKey(5),
+                            min_token_text_ratio=4.0, max_token_text_ratio=5.0)
+        deadline = time.time() + 120
+        while batcher._slot_req[0] is None and time.time() < deadline:
+            time.sleep(0.01)
+        t2 = np.arange(5, dtype=np.int32)
+        r2 = batcher.submit(t2, rng=jax.random.PRNGKey(6),
+                            min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+        _, stats1 = batcher.result(r1, timeout=600.0)
+        _, stats2 = batcher.result(r2, timeout=600.0)
+        assert stats1["tokens"] == _solo_spec_tokens(
+            engine, t1, jax.random.PRNGKey(5), 3, 4.0, 5.0)[0].tolist()
+        assert stats2["tokens"] == _solo_spec_tokens(
+            engine, t2, jax.random.PRNGKey(6), 3, 2.0, 4.0)[0].tolist()
+    finally:
+        batcher.shutdown()
+
+
+def test_streaming_rides_spec_slots(engine):
+    """A stream=True request on spec_decode slots: chunks arrive, the token
+    stream is bit-identical to the solo speculative decode of the same
+    decode-chain rng, and the acceptance stat lands in req.stats."""
+    batcher = ContinuousBatcher(engine, slots=2, chunk_steps=4, head_num=3,
+                                spec_decode=True)
+    try:
+        text = np.arange(8, dtype=np.int32)
+        req = batcher.submit(text, rng=jax.random.PRNGKey(33), stream=True,
+                             max_token_text_ratio=8.0)
+        chunks = list(batcher.stream_result(req, timeout=600.0))
+        assert chunks and all(np.isfinite(c).all() for c in chunks)
+        decode_rng = jax.random.split(jax.random.PRNGKey(33))[0]
+        solo, acc = _solo_spec_tokens(engine, text, decode_rng, head_num=3)
+        assert req.stats["tokens"] == solo.tolist()
+        assert req.stats["spec_acceptance"] == pytest.approx(acc)
+        assert req.stats["ttft"] > 0
+    finally:
+        batcher.shutdown()
+
+
+def test_service_spec_decode_with_continuous(engine):
+    """--spec-decode + --continuous-batching now compose: matching requests
+    ride the slots AND keep the verified heads=1 distribution (the former
+    blind-MTP incompatibility rejection is gone)."""
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
     from flowmirror_hydravox_tpu.runtime.engine import Engine
     from flowmirror_hydravox_tpu.runtime.server import TTSService
 
@@ -376,5 +469,24 @@ def test_service_rejects_spec_decode_with_continuous(engine):
         token_buckets=engine.token_buckets, mel_buckets=engine.mel_buckets,
         spec_decode=True,
     )
-    with _pytest.raises(ValueError, match="incompatible"):
-        TTSService(spec_engine, Frontend(engine.cfg), continuous_slots=2)
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker(
+        "a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(spec_engine, frontend, request_timeout=600.0,
+                         continuous_slots=2, continuous_head_num=2)
+    try:
+        assert service.batcher is not None and service.batcher.spec
+        tid = service.submit({"type": "tts", "text": "spec on slots",
+                              "speaker_id": "a"})
+        res = service.wait(tid)
+        assert "output_audio" in res and len(res["output_audio"]) > 0, res
+        assert service.continuous_requests == 1
+        # head_num 1 cannot draft: still refused up front
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="head"):
+            TTSService(spec_engine, frontend, continuous_slots=2,
+                       continuous_head_num=1)
+    finally:
+        service.shutdown()
