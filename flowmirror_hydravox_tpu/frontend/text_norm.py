@@ -231,8 +231,8 @@ def _normalize_zh(text: str) -> str:
         lambda m: num_to_words_zh(int(m.group(2))) + "分之" + num_to_words_zh(int(m.group(1))),
         text,
     )
-    # ranges a~b / a-b between digits -> a到b
-    text = re.sub(r"(\d+(?:\.\d+)?)[~～—-](\d+(?:\.\d+)?)", r"\1到\2", text)
+    # ranges a~b / a-b between digits -> a到b (incl. U+2212 minus)
+    text = re.sub(r"(\d+(?:\.\d+)?)[~～—−-](\d+(?:\.\d+)?)", r"\1到\2", text)
     # scores 3:2 -> 3比2 (single-digit right side cannot be a clock time)
     text = re.sub(r"(?<!\d)(\d{1,2})[:：](\d)(?!\d)", r"\1比\2", text)
     # negative numbers (ranges already rewritten above, so a bare -N is a sign)
@@ -284,18 +284,30 @@ def _normalize_en(text: str) -> str:
         text,
     )
     text = re.sub(r"(?<!\d)(\d{10,11})(?!\d)", lambda m: _en_digitwise(m.group(1)), text)
-    # decades: 1980s -> nineteen eighties, 90s -> nineties
+    return text
+
+
+def _en_years_decades(text: str) -> str:
+    """Year/decade reading — runs BEFORE digit-grouping commas are stripped,
+    so an explicit cardinal like '1,984 people' keeps its cardinal reading
+    (only a bare 4-digit run can be a year)."""
+    # decades: 1980s -> nineteen eighties, 90s -> nineties; x00s/x10s fall
+    # through to the year rule below ('1900s' -> nineteen hundreds,
+    # '2010s' -> twenty tens via the trailing s)
     def _en_decade(m):
         hi, tens = divmod(int(m.group(1)), 10)
         return num_to_words_en(hi) + " " + _EN_TENS[tens][:-1] + "ies"
-    text = re.sub(r"(?<!\d)((?:1[5-9]|20)\d)0s\b", _en_decade, text)
+    text = re.sub(r"(?<!\d)((?:1[5-9]|20)[2-9])0s\b", _en_decade, text)
     text = re.sub(
         r"(?<!\d)([2-9])0s\b", lambda m: _EN_TENS[int(m.group(1))][:-1] + "ies", text
     )
     # bare 4-digit years 1500-2099 read pairwise (inflect, the reference's en
-    # fallback, has no year rule at all — this is wetext-class behavior)
+    # fallback, has no year rule at all — this is wetext-class behavior).
+    # Lookarounds: no digit/dot/dash/currency before (phone groups, decimals,
+    # '$1984' stays money), no following digits incl. '.5' decimals — but a
+    # sentence-final '1984.' still reads as a year
     text = re.sub(
-        r"(?<![\d.])((?:1[5-9]|20)\d{2})(?![\d.])",
+        r"(?<![\d.\-$€£￥¥])((?:1[5-9]|20)\d{2})(?!\.?\d|st\b|nd\b|rd\b|th\b)",
         lambda m: num_to_year_en(int(m.group(1))),
         text,
     )
@@ -314,6 +326,9 @@ def normalize(text: str) -> str:
     expansion, whitespace cleanup."""
     zh = _has_cjk(text)
     text = text.strip()
+    if not zh:
+        # before comma stripping: '1,984' must stay a cardinal
+        text = _en_years_decades(text)
     # strip digit-grouping commas (1,234,567)
     text = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", text)
     text = _normalize_zh(text) if zh else _normalize_en(text)

@@ -100,7 +100,7 @@ class TTSService:
         if continuous_slots > 0 and spec and continuous_head_num < 2:
             raise ValueError(
                 "--spec-decode with --continuous-batching needs "
-                "--continuous-head-num >= 2 (heads 1..K-1 draft, head 0 "
+                "--continuous-heads >= 2 (heads 1..K-1 draft, head 0 "
                 "verifies)"
             )
         if continuous_slots > 0:

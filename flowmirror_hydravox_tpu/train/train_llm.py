@@ -99,6 +99,9 @@ def main(argv=None):
         assert args.tensor_parallel == 1, "--pipeline_parallel is exclusive with --tensor_parallel"
         assert not args.multihost, "--pipeline_parallel: single-controller meshes only for now"
         assert args.grad_accum == 1, "GPipe microbatching replaces --grad_accum (use --pp_microbatches)"
+        assert args.batch_type == "static", (
+            "--pipeline_parallel needs static batches: dynamic frame-budget "
+            "batches vary in row count and break the microbatch divisibility")
         from ..parallel.pipeline import make_pp_mesh
 
         mesh = make_pp_mesh(stages=pp)

@@ -81,6 +81,19 @@ def test_normalize_en_years_units_phones():
     assert text_norm.normalize("Dr. Who vs. Mr. Bean") == "doctor Who versus mister Bean"
     # decimals must not trip the year rule
     assert text_norm.normalize("pi is 3.1592") == "pi is three point one five nine two"
+    # review-fix edges: x00s/x10s decades, sentence-final years, grouped
+    # cardinals stay cardinal, currency/ordinal/phone contexts beat the year
+    assert text_norm.normalize("The 2010s were wild") == "The twenty tens were wild"
+    assert text_norm.normalize("The 1900s ended") == "The nineteen hundreds ended"
+    assert text_norm.normalize("Born in 1984.") == "Born in nineteen eighty-four."
+    assert (text_norm.normalize("About 1,984 people")
+            == "About one thousand nine hundred eighty-four people")
+    assert (text_norm.normalize("It cost $1984")
+            == "It cost one thousand nine hundred eighty-four dollars")
+    assert (text_norm.normalize("the 1984th item")
+            == "the one thousand nine hundred eighty-fourth item")
+    assert (text_norm.normalize("Call 555-123-1984")
+            == "Call five five five, one two three, one nine eight four")
 
 
 def test_normalize_zh_scores_negatives_phones():
@@ -92,8 +105,9 @@ def test_normalize_zh_scores_negatives_phones():
         text_norm.normalize("电话138-1234-5678")
         == "电话幺三八幺二三四五六七八"
     )
-    # range still wins over the negative-sign rule
+    # range still wins over the negative-sign rule (ASCII and U+2212)
     assert text_norm.normalize("大约3-5天") == "大约三到五天"
+    assert text_norm.normalize("大约3−5天") == "大约三到五天"
 
 
 def test_split_and_merge():
