@@ -62,6 +62,10 @@ class TrainingManager:
             cmd.append("--shard_optimizer")
         if req.get("tensor_parallel") and model_type in ("llm", "flow"):
             cmd += ["--tensor_parallel", str(req["tensor_parallel"])]
+        if req.get("pipeline_parallel") and model_type == "llm":
+            cmd += ["--pipeline_parallel", str(req["pipeline_parallel"])]
+            if req.get("pp_microbatches"):
+                cmd += ["--pp_microbatches", str(req["pp_microbatches"])]
         if req.get("phoneme_aug") and model_type == "llm":
             cmd.append("--phoneme_aug")
         if model_type == "llm":

@@ -157,6 +157,7 @@ INDEX_HTML = """<!DOCTYPE html>
   </div>
   <div class="row">
    <div><label data-i18n="tr_tp"></label><input id="tr-tp" type="number" value="1" min="1"/></div>
+   <div><label data-i18n="tr_pp"></label><input id="tr-pp" type="number" value="1" min="1"/></div>
    <div><label data-i18n="tr_zero"></label><select id="tr-zero">
     <option value="0" data-i18n="no"></option><option value="1" data-i18n="yes"></option></select></div>
    <div><label data-i18n="tr_phoneme"></label><select id="tr-phoneme">
@@ -236,7 +237,8 @@ const I18N = {
   tr_ckpt: "Init checkpoint (optional)", tr_start: "Start training", tr_stop: "Stop",
   tr_advanced: "Advanced parameters", tr_max_steps: "Max steps",
   tr_warmup: "Warmup steps", tr_epochs: "Epochs", tr_save_steps: "Save every",
-  tr_tp: "Tensor parallel", tr_zero: "Shard optimizer (ZeRO)",
+  tr_tp: "Tensor parallel", tr_pp: "Pipeline stages",
+  tr_zero: "Shard optimizer (ZeRO)",
   tr_phoneme: "Phoneme augmentation",
   refresh: "Refresh", mo_path: "Path", mo_kind: "Kind", mo_modified: "Modified",
   mo_convert: "Convert checkpoint", mo_action: "Action", mo_src: "Source path",
@@ -275,7 +277,8 @@ const I18N = {
   tr_ckpt: "初始权重 (可选)", tr_start: "开始训练", tr_stop: "停止",
   tr_advanced: "高级参数", tr_max_steps: "最大步数",
   tr_warmup: "预热步数", tr_epochs: "训练轮数", tr_save_steps: "保存间隔",
-  tr_tp: "张量并行", tr_zero: "优化器分片 (ZeRO)",
+  tr_tp: "张量并行", tr_pp: "流水线并行级数",
+  tr_zero: "优化器分片 (ZeRO)",
   tr_phoneme: "音素增强",
   refresh: "刷新", mo_path: "路径", mo_kind: "类型", mo_modified: "修改时间",
   mo_convert: "权重转换", mo_action: "操作", mo_src: "源路径",
@@ -427,6 +430,7 @@ $('tr-go').onclick = async () => {
     epochs: +$('tr-epochs').value || null,
     save_steps: +$('tr-savesteps').value || 2000,
     tensor_parallel: +$('tr-tp').value > 1 ? +$('tr-tp').value : null,
+    pipeline_parallel: +$('tr-pp').value > 1 ? +$('tr-pp').value : null,
     shard_optimizer: $('tr-zero').value === '1',
     phoneme_aug: $('tr-phoneme').value === '1'});
   if (!r.success) { $('tr-status').textContent = T('error') + ': ' + r.error; return; }

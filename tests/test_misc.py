@@ -302,6 +302,14 @@ def test_training_command_model_family_mapping():
     for frag in ("--warmup_steps 7", "--tensor_parallel 2", "--shard_optimizer",
                  "--phoneme_aug", "--max_steps 11"):
         assert frag in joined, frag
+    # pipeline parallelism passes through for the LLM trainer only
+    cmd_pp = " ".join(tm.build_command({**base, "model_type": "llm",
+                                        "pipeline_parallel": 2,
+                                        "pp_microbatches": 4}))
+    assert "--pipeline_parallel 2" in cmd_pp and "--pp_microbatches 4" in cmd_pp
+    cmd_fp = " ".join(tm.build_command({**base, "model_type": "flow",
+                                        "pipeline_parallel": 2}))
+    assert "--pipeline_parallel" not in cmd_fp
     # hift must NOT receive flags its CLI lacks
     cmd_h = " ".join(tm.build_command({**base, "model_type": "hift",
                                        "model_checkpoint": "x", "epochs": 2,
