@@ -743,6 +743,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, _response(
                 True, "ok", data={"trainings": training_manager.list_trainings()}
             ))
+        elif self.path == "/api/v1/samples":
+            # reference-sample browser (inference_tab.py:23-71)
+            from . import samples
+
+            self._send(200, _response(True, "ok", data={
+                "root": samples.samples_root(),
+                "samples": samples.list_samples(),
+            }))
         elif self.path in ("/health", "/"):
             if self.path == "/" and getattr(self.service, "serve_ui", False):
                 self._send_ui()
@@ -780,6 +788,17 @@ class _Handler(BaseHTTPRequestHandler):
                 self._handle_vc(body)
             elif self.path == "/api/v1/load_pt":
                 self._handle_load_pt(body)
+            elif self.path == "/api/v1/samples/load":
+                # one reference sample as base64 + transcript
+                # (inference_tab.py:308-334 load_reference_sample)
+                from . import samples
+
+                try:
+                    data = samples.load_sample(str(body.get("path", "")))
+                except ValueError as e:
+                    self._send(400, _response(False, "bad sample path", error=str(e)))
+                    return
+                self._send(200, _response(True, "ok", data=data))
             elif self.path == "/api/v1/speakers/add":
                 if not body.get("audio_base64") or not body.get("speaker_id"):
                     self._send(400, _response(False, "missing fields",

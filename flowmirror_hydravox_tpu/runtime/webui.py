@@ -80,6 +80,10 @@ INDEX_HTML = """<!DOCTYPE html>
  <label data-i18n="zs_prompt_text"></label><input id="zs-prompt-text"/>
  <label data-i18n="zs_prompt_audio"></label><input id="zs-file" type="file" accept=".wav,audio/wav"/>
  <div class="row">
+  <div><label data-i18n="zs_sample"></label><select id="zs-sample"></select></div>
+  <div style="flex:0; align-self:flex-end"><button class="go" style="margin-top:0" id="zs-sample-load" data-i18n="zs_sample_load"></button></div>
+ </div>
+ <div class="row">
   <div><label data-i18n="heads"></label><input id="zs-heads" type="number" value="2" min="1" max="5"/></div>
   <div><label data-i18n="speed"></label><input id="zs-speed" type="number" value="1.0" step="0.1"/></div>
  </div>
@@ -189,6 +193,12 @@ INDEX_HTML = """<!DOCTYPE html>
  <label data-i18n="mo_src"></label><input id="mo-src"/>
  <label data-i18n="mo_dst"></label><input id="mo-dst"/>
  <button class="go" id="mo-convert-go" data-i18n="mo_convert_go"></button>
+ <h4 data-i18n="mo_reload"></h4>
+ <div class="row">
+  <div><label>llm_pt</label><input id="mo-llm-pt" placeholder="checkpoints/llm.pt"/></div>
+  <div><label>flow_pt</label><input id="mo-flow-pt" placeholder="checkpoints/flow.pt"/></div>
+ </div>
+ <button class="go" id="mo-reload-go" data-i18n="mo_reload_go"></button>
  <div class="status" id="mo-status"></div>
 </section>
 
@@ -216,6 +226,8 @@ const I18N = {
   zs_text: "Text to synthesize", zs_prompt_text: "Prompt transcript",
   zs_prompt_audio: "Prompt audio (wav)", clone: "Clone & synthesize",
   cloning: "cloning...", pick_wav: "pick a prompt wav first",
+  zs_sample: "Server reference sample", zs_sample_load: "Load sample",
+  zs_sample_none: "(no server samples)", zs_sample_loaded: "sample loaded: ",
   data_stage: "Pipeline stage", data_input: "Input directory",
   data_output: "Output directory", data_run: "Run stage",
   stage1: "1 — resample / mono convert", stage2: "2 — VAD segmentation",
@@ -245,6 +257,8 @@ const I18N = {
   mo_dst: "Destination path", mo_convert_go: "Convert", mo_delete: "Delete",
   mo_import: "import (.pt/.safetensors -> npz)", mo_graft: "graft MTP heads",
   mo_average: "average checkpoints",
+  mo_reload: "Hot-reload serving weights (.pt)", mo_reload_go: "Reload",
+  mo_reloaded: "reloaded: ",
   mo_confirm: "Delete {p}?", running: "running", done: "done", error: "error",
   ok_secs: "ok: {s} s", started: "started: ",
   spk_add: "Add speaker (zero-shot enrollment)", spk_id: "Speaker id",
@@ -256,6 +270,8 @@ const I18N = {
   zs_text: "要合成的文本", zs_prompt_text: "提示音频文本",
   zs_prompt_audio: "提示音频 (wav)", clone: "克隆并合成",
   cloning: "克隆中...", pick_wav: "请先选择提示音频",
+  zs_sample: "服务器参考样例", zs_sample_load: "加载样例",
+  zs_sample_none: "（无服务器样例）", zs_sample_loaded: "已加载样例：",
   data_stage: "处理阶段", data_input: "输入目录",
   data_output: "输出目录", data_run: "运行该阶段",
   stage1: "1 — 重采样 / 单声道转换", stage2: "2 — VAD 语音分段",
@@ -285,6 +301,8 @@ const I18N = {
   mo_dst: "目标路径", mo_convert_go: "转换", mo_delete: "删除",
   mo_import: "导入 (.pt/.safetensors -> npz)", mo_graft: "嫁接 MTP 多头",
   mo_average: "权重平均",
+  mo_reload: "热加载服务权重 (.pt)", mo_reload_go: "热加载",
+  mo_reloaded: "已加载：",
   mo_confirm: "确定删除 {p}？", running: "运行中", done: "已完成", error: "错误",
   ok_secs: "完成：{s} 秒", started: "已启动：",
   spk_add: "添加说话人（零样本注册）", spk_id: "说话人 ID",
@@ -358,10 +376,41 @@ $('tts-go').onclick = async () => {
   } finally { $('tts-go').disabled = false; }
 };
 
+// server-side reference-sample browser (reference inference_tab.py:23-71)
+let zsSampleB64 = null;
+(async () => {
+  try {
+    const r = await api('/samples');
+    const sel = $('zs-sample'); sel.innerHTML = '';
+    const items = r.data?.samples || [];
+    if (!items.length) {
+      const o = document.createElement('option');
+      o.value = ''; o.textContent = T('zs_sample_none'); sel.appendChild(o);
+      return;
+    }
+    items.forEach(s => {
+      const o = document.createElement('option');
+      o.value = s.path; o.textContent = s.name + (s.has_text ? '' : ' *');
+      sel.appendChild(o);
+    });
+  } catch (e) { /* server without the endpoint */ }
+})();
+$('zs-sample-load').onclick = async () => {
+  const path = $('zs-sample').value;
+  if (!path) { $('zs-status').textContent = T('zs_sample_none'); return; }
+  const r = await api('/samples/load', {path});
+  if (!r.success) { $('zs-status').textContent = T('error') + ': ' + r.error; return; }
+  zsSampleB64 = r.data.audio_base64;
+  if (r.data.prompt_text) $('zs-prompt-text').value = r.data.prompt_text;
+  $('zs-status').textContent = T('zs_sample_loaded') + path;
+};
+
 $('zs-go').onclick = async () => {
   const f = $('zs-file').files[0];
-  if (!f) { $('zs-status').textContent = T('pick_wav'); return; }
-  const b64 = btoa(String.fromCharCode(...new Uint8Array(await f.arrayBuffer())));
+  if (!f && !zsSampleB64) { $('zs-status').textContent = T('pick_wav'); return; }
+  const b64 = f
+    ? btoa(String.fromCharCode(...new Uint8Array(await f.arrayBuffer())))
+    : zsSampleB64;
   $('zs-go').disabled = true; $('zs-status').textContent = T('cloning');
   try {
     const r = await api('/zero-shot', {tts_text: $('zs-text').value,
@@ -481,6 +530,16 @@ $('mo-convert-go').onclick = async () => {
     model: $('mo-model').value, src: $('mo-src').value, dst: $('mo-dst').value});
   $('mo-status').textContent = r.success ? T('started') + r.data.training_id
                                          : T('error') + ': ' + r.error;
+};
+// hot-reload serving weights (reference inference_tab.py:112 load_pt)
+$('mo-reload-go').onclick = async () => {
+  const body = {};
+  if ($('mo-llm-pt').value) body.llm_pt = $('mo-llm-pt').value;
+  if ($('mo-flow-pt').value) body.flow_pt = $('mo-flow-pt').value;
+  const r = await api('/load_pt', body);
+  $('mo-status').textContent = r.success
+    ? T('mo_reloaded') + Object.keys(r.data || {}).join(', ')
+    : T('error') + ': ' + r.error;
 };
 </script>
 </body>

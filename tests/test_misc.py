@@ -333,3 +333,36 @@ def test_data_stage_param_passthrough():
     for frag in ("--num_workers 4", "--min_sec 0.5", "--normalize_loudness",
                  "--asr_module m.f"):
         assert frag in cmd3, frag
+
+
+def test_samples_browser(tmp_path):
+    """Server-side reference-sample browser (reference inference_tab.py:23-71
+    scan + :308-334 load): recursive wav scan with sidecar transcripts,
+    base64 load, and containment guard."""
+    import base64
+
+    from flowmirror_hydravox_tpu.runtime import samples
+
+    root = tmp_path / "samples"
+    (root / "setA" / "spk1").mkdir(parents=True)
+    (root / "setA" / "spk1" / "clip1.wav").write_bytes(b"RIFFxxxx")
+    (root / "setA" / "spk1" / "clip1.txt").write_text("hello prompt", encoding="utf-8")
+    (root / "b.wav").write_bytes(b"RIFFyyyy")
+    (root / "notes.md").write_text("ignored")
+
+    lst = samples.list_samples(str(root))
+    assert [s["path"] for s in lst] == ["b.wav", "setA/spk1/clip1.wav"]
+    assert lst[1]["has_text"] and not lst[0]["has_text"]
+    assert lst[1]["name"] == "setA/spk1/clip1"
+
+    d = samples.load_sample("setA/spk1/clip1.wav", str(root))
+    assert base64.b64decode(d["audio_base64"]) == b"RIFFxxxx"
+    assert d["prompt_text"] == "hello prompt"
+    assert samples.load_sample("b.wav", str(root))["prompt_text"] == ""
+
+    with pytest.raises(ValueError):
+        samples.load_sample("../escape.wav", str(root))
+    with pytest.raises(ValueError):
+        samples.load_sample("setA/missing.wav", str(root))
+    # missing root directory -> empty list, not an error
+    assert samples.list_samples(str(tmp_path / "nope")) == []
