@@ -333,6 +333,44 @@ class Frontend:
         embs = [self.extract_spk_embedding(w, sample_rate) for w in wavs]
         return np.mean(np.stack(embs), axis=0)
 
+    def add_speaker_from_dataset(
+        self, spk_id: str, dataset_dir: str,
+        prompt_text: Optional[str] = None, max_rows: int = 5000,
+    ) -> int:
+        """Enroll a speaker as the MEAN embedding over an HF dataset
+        (speaker_manage.py:191-259: prefers a precomputed 'embedding'
+        column, falls back to per-row extraction from 'audio', 5000-row
+        sample cap). Returns the number of rows averaged."""
+        from datasets import load_from_disk
+
+        ds = load_from_disk(dataset_dir)
+        cols = ds.column_names
+        embs = []
+        if "embedding" in cols:
+            for row in ds:
+                e = row["embedding"]
+                if e is None:
+                    continue
+                embs.append(np.asarray(e, np.float32).reshape(-1))
+        elif "audio" in cols:
+            if len(ds) > max_rows:
+                ds = ds.shuffle(seed=42).select(range(max_rows))
+            for row in ds:
+                a = row["audio"]
+                wav = np.asarray(a["array"], np.float32)
+                embs.append(self.extract_spk_embedding(wav, int(a["sampling_rate"])))
+        else:
+            raise ValueError("dataset needs an 'embedding' or 'audio' column")
+        if not embs:
+            raise ValueError("no usable rows in dataset")
+        self.spk2info[spk_id] = SpeakerInfo(
+            embedding=np.mean(np.stack(embs), axis=0),
+            prompt_text=(
+                self.extract_text_tokens(prompt_text) if prompt_text else None
+            ),
+        )
+        return len(embs)
+
     def save_spk2info(self, path: str):
         """Persist the registry as npz (spk2info.pt equivalent)."""
         flat = {}

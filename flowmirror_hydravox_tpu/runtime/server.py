@@ -800,9 +800,26 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 self._send(200, _response(True, "ok", data=data))
             elif self.path == "/api/v1/speakers/add":
-                if not body.get("audio_base64") or not body.get("speaker_id"):
-                    self._send(400, _response(False, "missing fields",
-                                              error="speaker_id + audio_base64 required"))
+                if not body.get("speaker_id") or not (
+                    body.get("audio_base64") or body.get("dataset_dir")
+                ):
+                    self._send(400, _response(
+                        False, "missing fields",
+                        error="speaker_id + (audio_base64 or dataset_dir) required"))
+                    return
+                if body.get("dataset_dir"):
+                    # mean-embedding enrollment over an HF dataset
+                    # (speaker_manage.py:191-259)
+                    try:
+                        n = self.service.frontend.add_speaker_from_dataset(
+                            body["speaker_id"], body["dataset_dir"],
+                            prompt_text=body.get("prompt_text"),
+                        )
+                    except (ValueError, FileNotFoundError) as e:
+                        self._send(400, _response(False, "bad dataset", error=str(e)))
+                        return
+                    self._send(200, _response(True, "speaker added", data={
+                        "speaker_id": body["speaker_id"], "rows_averaged": n}))
                     return
                 wav, sr = load_audio_from_base64(body["audio_base64"])
                 self.service.frontend.add_speaker_from_audio(

@@ -213,6 +213,8 @@ INDEX_HTML = """<!DOCTYPE html>
  <label data-i18n="zs_prompt_audio"></label><input id="spk-new-file" type="file" accept=".wav,audio/wav"/>
  <label data-i18n="zs_prompt_text"></label><input id="spk-new-text"/>
  <button class="go" id="spk-add-go" data-i18n="spk_add"></button>
+ <label data-i18n="spk_dataset"></label><input id="spk-ds-dir" placeholder="datasets/my_speaker"/>
+ <button class="go" id="spk-ds-go" data-i18n="spk_ds_go"></button>
  <div class="status" id="spk-status"></div>
 </section>
 </main>
@@ -262,6 +264,8 @@ const I18N = {
   mo_confirm: "Delete {p}?", running: "running", done: "done", error: "error",
   ok_secs: "ok: {s} s", started: "started: ",
   spk_add: "Add speaker (zero-shot enrollment)", spk_id: "Speaker id",
+  spk_dataset: "Or enroll from HF dataset (mean embedding)",
+  spk_ds_go: "Enroll from dataset", spk_rows: "rows averaged: ",
   spk_remove: "Remove", spk_confirm: "Remove speaker {p}?"},
  zh: {subtitle: "多头并行语音合成", tab_infer: "语音合成", tab_zeroshot: "声音克隆",
   tab_data: "数据处理", tab_training: "模型训练", tab_models: "模型管理", tab_speakers: "说话人",
@@ -306,6 +310,8 @@ const I18N = {
   mo_confirm: "确定删除 {p}？", running: "运行中", done: "已完成", error: "错误",
   ok_secs: "完成：{s} 秒", started: "已启动：",
   spk_add: "添加说话人（零样本注册）", spk_id: "说话人 ID",
+  spk_dataset: "或从 HF 数据集注册（平均声纹）",
+  spk_ds_go: "从数据集注册", spk_rows: "平均行数：",
   spk_remove: "删除", spk_confirm: "确定删除说话人 {p}？"}
 };
 let LANG = localStorage.getItem("hydravox_lang") || "en";
@@ -360,6 +366,18 @@ $('spk-add-go').onclick = async () => {
   const r = await api('/speakers/add', {speaker_id: $('spk-new-id').value,
     audio_base64: b64, prompt_text: $('spk-new-text').value || null});
   $('spk-status').textContent = r.success ? 'ok' : T('error') + ': ' + r.error;
+  loadSpeakers();
+};
+// mean-embedding enrollment from a dataset (speaker_manage.py:191-259)
+$('spk-ds-go').onclick = async () => {
+  if (!$('spk-ds-dir').value || !$('spk-new-id').value) {
+    $('spk-status').textContent = T('error'); return;
+  }
+  const r = await api('/speakers/add', {speaker_id: $('spk-new-id').value,
+    dataset_dir: $('spk-ds-dir').value,
+    prompt_text: $('spk-new-text').value || null});
+  $('spk-status').textContent = r.success
+    ? T('spk_rows') + r.data.rows_averaged : T('error') + ': ' + r.error;
   loadSpeakers();
 };
 

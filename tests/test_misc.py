@@ -366,3 +366,38 @@ def test_samples_browser(tmp_path):
         samples.load_sample("setA/missing.wav", str(root))
     # missing root directory -> empty list, not an error
     assert samples.list_samples(str(tmp_path / "nope")) == []
+
+
+def test_add_speaker_from_dataset(tmp_path):
+    """Mean-embedding enrollment from an HF dataset (reference
+    speaker_manage.py:191-259): precomputed 'embedding' column preferred,
+    'audio' fallback extracts per row; no usable column -> error."""
+    import datasets
+
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend
+
+    fe = Frontend.__new__(Frontend)  # registry-only; no extractor weights
+    fe.spk2info = {}
+
+    embs = [np.full(192, float(i), np.float32) for i in range(3)]
+    ds = datasets.Dataset.from_dict({"embedding": [e.tolist() for e in embs]})
+    ds.save_to_disk(str(tmp_path / "emb_ds"))
+    n = Frontend.add_speaker_from_dataset(fe, "ds_spk", str(tmp_path / "emb_ds"))
+    assert n == 3
+    np.testing.assert_allclose(fe.spk2info["ds_spk"].embedding, np.full(192, 1.0))
+
+    ds_audio = datasets.Dataset.from_dict({"audio": [
+        {"array": np.ones(160, np.float32) * 0.1, "sampling_rate": 16000},
+        {"array": np.ones(160, np.float32) * 0.2, "sampling_rate": 16000},
+    ]})
+    ds_audio.save_to_disk(str(tmp_path / "audio_ds"))
+    fe.extract_spk_embedding = lambda wav, sr: np.full(192, float(wav[0]), np.float32)
+    n = Frontend.add_speaker_from_dataset(fe, "au_spk", str(tmp_path / "audio_ds"))
+    assert n == 2
+    np.testing.assert_allclose(
+        fe.spk2info["au_spk"].embedding, np.full(192, 0.15), rtol=1e-5)
+
+    ds_bad = datasets.Dataset.from_dict({"text": ["x"]})
+    ds_bad.save_to_disk(str(tmp_path / "bad_ds"))
+    with pytest.raises(ValueError):
+        Frontend.add_speaker_from_dataset(fe, "bad", str(tmp_path / "bad_ds"))
