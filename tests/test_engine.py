@@ -310,3 +310,63 @@ def test_fused_underestimate_falls_back(engine):
     # accumulate f32 in different orders, flipping samples on the rounding
     # boundary by one LSB (1/32767)
     np.testing.assert_allclose(res.audio, good.audio, atol=1.01 / 32767.0)
+
+
+def test_http_samples_and_dataset_enrollment(engine, tmp_path, monkeypatch):
+    """Reference-sample browser routes + dataset mean-embedding enrollment
+    (reference inference_tab.py:23-71/308-334, speaker_manage.py:191-259)."""
+    import datasets as hf_datasets
+
+    from flowmirror_hydravox_tpu.runtime.server import make_server
+
+    sd = tmp_path / "samples"
+    (sd / "spk").mkdir(parents=True)
+    with wave.open(str(sd / "spk" / "clip.wav"), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(np.zeros(1600, np.int16).tobytes())
+    (sd / "spk" / "clip.txt").write_text("prompt words", encoding="utf-8")
+    monkeypatch.setenv("TTS_SAMPLES_DIR", str(sd))
+
+    hf_datasets.Dataset.from_dict(
+        {"embedding": [[0.5] * 192, [1.5] * 192]}
+    ).save_to_disk(str(tmp_path / "enroll_ds"))
+
+    frontend = Frontend(engine.cfg)
+    server = make_server("127.0.0.1", 0, engine, frontend)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload, timeout=30):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.load(r)
+
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/samples", timeout=10) as r:
+            body = json.load(r)
+        assert body["success"]
+        assert body["data"]["samples"] == [
+            {"name": "spk/clip", "path": "spk/clip.wav", "has_text": True}]
+
+        body = post("/api/v1/samples/load", {"path": "spk/clip.wav"})
+        assert body["success"] and body["data"]["prompt_text"] == "prompt words"
+        assert base64.b64decode(body["data"]["audio_base64"])[:4] == b"RIFF"
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/api/v1/samples/load", {"path": "../escape.wav"})
+        assert exc.value.code == 400
+
+        body = post("/api/v1/speakers/add",
+                    {"speaker_id": "dsavg", "dataset_dir": str(tmp_path / "enroll_ds")})
+        assert body["success"] and body["data"]["rows_averaged"] == 2
+        np.testing.assert_allclose(
+            frontend.spk2info["dsavg"].embedding, np.full(192, 1.0))
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/api/v1/speakers/add", {"speaker_id": "x"})
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
