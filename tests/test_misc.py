@@ -401,3 +401,28 @@ def test_add_speaker_from_dataset(tmp_path):
     ds_bad.save_to_disk(str(tmp_path / "bad_ds"))
     with pytest.raises(ValueError):
         Frontend.add_speaker_from_dataset(fe, "bad", str(tmp_path / "bad_ds"))
+
+
+def test_shipped_demo_samples_regenerable():
+    """The shipped demo sample set (assets/samples/, reference analog of the
+    repo's demo prompt sets) is complete, transcribed, and deterministically
+    regenerable from tools/make_demo_samples."""
+    import os
+
+    import flowmirror_hydravox_tpu
+    from flowmirror_hydravox_tpu.runtime import samples
+    from flowmirror_hydravox_tpu.tools.make_demo_samples import generate
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        flowmirror_hydravox_tpu.__file__)), "assets", "samples")
+    lst = samples.list_samples(root)
+    assert len(lst) >= 4 and all(s["has_text"] for s in lst)
+    d = samples.load_sample(lst[0]["path"], root)
+    assert d["prompt_text"]
+
+    with __import__("tempfile").TemporaryDirectory() as td:
+        regen = generate(td)
+        rel = os.path.relpath(regen[0], td)
+        with open(os.path.join(td, rel), "rb") as f1, \
+             open(os.path.join(root, rel), "rb") as f2:
+            assert f1.read() == f2.read()
