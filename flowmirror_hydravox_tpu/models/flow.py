@@ -184,14 +184,16 @@ def inference(
     spks = project_speaker(params, embedding)
 
     # conds: prompt mel occupies the first prompt_mel_len frames (flow.py:412-417)
+    # prompt_mel_len is a scalar (shared prompt) or (B,) (per-row prompts in
+    # the flash batch — batched zero-shot cloning)
     frame = jnp.arange(t_mel)
-    in_prompt = frame < prompt_mel_len
+    in_prompt = frame[None, :] < jnp.reshape(jnp.asarray(prompt_mel_len), (-1, 1))
     pf = jnp.zeros((b, t_mel, mel_dim), h.dtype)
     lp = prompt_feat.shape[1]
     if lp > 0:
         pf_src = jnp.pad(prompt_feat.astype(h.dtype), ((0, 0), (0, max(t_mel - lp, 0)), (0, 0)))
         pf_src = jnp.broadcast_to(pf_src[:, :t_mel], (b, t_mel, mel_dim))
-        pf = jnp.where(in_prompt[None, :, None], pf_src, pf)
+        pf = jnp.where(in_prompt[:, :, None], pf_src, pf)
     conds = jnp.swapaxes(pf, 1, 2)  # (B, 80, T)
 
     mask_src = emit_valid if emit_valid is not None else token_valid

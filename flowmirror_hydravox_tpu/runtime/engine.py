@@ -385,11 +385,13 @@ class Engine:
 
             def fn(params, rng, text_tokens, text_len, sp_tokens, sp_len,
                    min_len, max_len, sampling):
+                # sp_tokens (B, sp_bucket) / sp_len (B,): per-row zero-shot
+                # prompts batch together
                 emb, plen = jax.vmap(
-                    lambda tt, tl: llm_model.build_inference_prompt(
-                        params, cfg, tt, tl, sp_tokens, sp_len
+                    lambda tt, tl, st, sl: llm_model.build_inference_prompt(
+                        params, cfg, tt, tl, st, sl
                     )
-                )(text_tokens, text_len)
+                )(text_tokens, text_len, sp_tokens, sp_len)
                 res, spec_meta = self._batch_decode_body(
                     cfg, rng, emb, plen, min_len, max_len, sampling,
                     head_num, cache_cap, params, batch,
@@ -411,8 +413,11 @@ class Engine:
 
     def _batch_synth_body(self, batch: int, token_bucket: int, pm_bucket: int,
                           sp_bucket: int):
-        """Traceable batched flow+hift body (shared prompt/speaker across
-        rows), used by both the two-stage and fused batch paths."""
+        """Traceable batched flow+hift body, used by both the two-stage and
+        fused batch paths.  Prompts are PER ROW — sp_tokens (B, sp_bucket),
+        sp_len (B,), prompt_mel (B, pm_bucket, 80), pm_len (B,) — so zero-shot
+        requests with different prompt speakers batch together (beyond the
+        reference, which runs zero-shot one request per GPU worker)."""
         fcfg, hcfg = self.cfg.flow, self.cfg.hift
         ratio = fcfg.token_mel_ratio
         t_mel = token_bucket * ratio
@@ -420,12 +425,15 @@ class Engine:
         def fn(flow_params, hift_params, tokens, num, sp_tokens, sp_len,
                prompt_mel, pm_len, embedding, rng):
             # tokens: (B, max_tokens+), num: (B,)
-            pos = jnp.arange(token_bucket)[None, :]
-            gen_idx = jnp.clip(pos - sp_len, 0, tokens.shape[1] - 1)
+            pos = jnp.arange(token_bucket)[None, :]  # (1, T)
+            spl = sp_len[:, None]  # (B, 1)
+            gen_idx = jnp.clip(pos - spl, 0, tokens.shape[1] - 1)
             if sp_bucket > 0:
-                sp_idx = jnp.clip(pos[0], 0, sp_bucket - 1)
+                sp_idx = jnp.broadcast_to(
+                    jnp.clip(pos, 0, sp_bucket - 1), (batch, token_bucket)
+                )
                 seq = jnp.where(
-                    pos < sp_len, sp_tokens[sp_idx][None, :],
+                    pos < spl, jnp.take_along_axis(sp_tokens, sp_idx, axis=1),
                     jnp.take_along_axis(tokens, gen_idx, axis=1),
                 )
             else:
@@ -437,10 +445,10 @@ class Engine:
                 flow_params, fcfg, seq, valid, prompt_mel, pm_len, emb_b,
             )  # (B, 80, t_mel)
 
+            # drop each row's own prompt-mel prefix (per-row offset gather)
             mel_pad = jnp.pad(mel, ((0, 0), (0, 0), (0, pm_bucket)))
-            mel_gen = jax.lax.dynamic_slice(
-                mel_pad, (0, 0, pm_len), (batch, 80, t_mel)
-            )
+            idx = pm_len[:, None] + jnp.arange(t_mel)[None, :]  # (B, t_mel)
+            mel_gen = jnp.take_along_axis(mel_pad, idx[:, None, :], axis=2)
             n_frames = (num * ratio)[:, None]
             frame = jnp.arange(t_mel)[None, :]
             src = jnp.minimum(frame, jnp.maximum(n_frames - 1, 0))
@@ -461,33 +469,38 @@ class Engine:
         return self._synth_cache[key]
 
     def _fused_batch_fn(self, batch: int, text_bucket: int, sp_bucket: int,
-                        head_num: int, token_bucket: int, pm_bucket: int):
+                        head_num: int, token_bucket: int, pm_bucket: int,
+                        fsp_bucket: int):
         """Jitted single-dispatch flash batch: batched decode + flow + HiFT in
         one program, one packed (B, t_wav//2 + max_tokens + 2 + 2) int32
         transfer — per row: wav32, tokens, [accepted, drafted], num, steps
-        (see _fused_fn for the rationale, layout rule, and fallback contract)."""
+        (see _fused_fn for the rationale, layout rule, and fallback contract).
+        sp_* is the per-row LM prefix, fsp_* the per-row flow prompt (they
+        differ in cross-lingual/instruct2 rows)."""
         key = ("fused_batch", batch, text_bucket, sp_bucket, head_num,
-               token_bucket, pm_bucket)
+               token_bucket, pm_bucket, fsp_bucket)
         if key not in self._gen_cache:
             cfg = self.cfg.llm
             cache_cap = 2 + text_bucket + sp_bucket + self.max_tokens + head_num
-            synth_body = self._batch_synth_body(batch, token_bucket, pm_bucket, sp_bucket)
+            synth_body = self._batch_synth_body(batch, token_bucket, pm_bucket, fsp_bucket)
 
             def fn(llm_params, flow_params, hift_params, rng,
                    text_tokens, text_len, sp_tokens, sp_len,
-                   min_len, max_len, sampling, prompt_mel, pm_len, embedding):
+                   min_len, max_len, sampling, fsp_tokens, fsp_len,
+                   prompt_mel, pm_len, embedding):
+                # per-row prompts (see _batch_gen_fn / _batch_synth_body)
                 emb, plen = jax.vmap(
-                    lambda tt, tl: llm_model.build_inference_prompt(
-                        llm_params, cfg, tt, tl, sp_tokens, sp_len
+                    lambda tt, tl, st, sl: llm_model.build_inference_prompt(
+                        llm_params, cfg, tt, tl, st, sl
                     )
-                )(text_tokens, text_len)
+                )(text_tokens, text_len, sp_tokens, sp_len)
                 res, spec_meta = self._batch_decode_body(
                     cfg, rng, emb, plen, min_len, max_len, sampling,
                     head_num, cache_cap, llm_params, batch,
                 )
                 wav_i16 = synth_body(
                     flow_params, hift_params, res.tokens, res.num_tokens,
-                    sp_tokens, sp_len, prompt_mel, pm_len, embedding, rng,
+                    fsp_tokens, fsp_len, prompt_mel, pm_len, embedding, rng,
                 )  # (B, t_wav)
                 wav32 = jax.lax.bitcast_convert_type(
                     wav_i16.reshape(batch, -1, 2), jnp.int32
@@ -518,25 +531,54 @@ class Engine:
         rng: Optional[jax.Array] = None,
         max_token_text_ratio: float = 20.0,
         min_token_text_ratio: float = 2.0,
+        tts_text_lens=None,  # per-row tts-portion lengths (min/max base);
+        # None -> full text lengths (plain SFT rows have no prompt text)
+        llm_prompt_speech_tokens="same",  # LM-prefix override, mirroring
+        # synthesize(): "same" -> the flow prompt tokens; a per-row list
+        # (entry None -> that row's flow prompt, empty -> no LM prefix,
+        # cross-lingual/instruct2) or one shared array
     ):
         """Flash-batch synthesis: N utterances (e.g. long-text segments,
         infer_speech_model.py:357-455, or coalesced concurrent requests)
         decode and vocode together.  `spk_embedding` is (192,) shared across
-        rows or (B, 192) per row (cross-request batching of different
-        speakers); prompt tokens/mel are shared, so zero-shot prompts only
-        batch within one request.  Returns (list of wavs, stats dict)."""
+        rows or (B, 192) per row; `prompt_speech_tokens` / `prompt_mel` are
+        a single shared prompt OR a per-row list (entries may be None) — so
+        zero-shot requests with DIFFERENT prompt speakers batch together,
+        beyond the reference's one-request-per-worker serving.  Returns
+        (list of wavs, stats dict)."""
         t_start = time.time()
         cfg = self.cfg
         sampling = sampling or cfg.tts_sampling
         head_num = inference_head_num or cfg.llm.inference_head_num
         rng = rng if rng is not None else self.next_rng()
-        sp_tokens = (
-            np.zeros((0,), np.int32)
-            if prompt_speech_tokens is None
-            else np.asarray(prompt_speech_tokens, np.int32)
-        )
+        bsz = len(text_tokens_list)
+
+        def _rows(x, dtype, empty_shape):
+            if isinstance(x, (list, tuple)):
+                assert len(x) == bsz, "per-row prompt list length != batch"
+                return [np.zeros(empty_shape, dtype) if r is None or len(r) == 0
+                        else np.asarray(r, dtype) for r in x]
+            shared = (np.zeros(empty_shape, dtype) if x is None or len(x) == 0
+                      else np.asarray(x, dtype))
+            return [shared] * bsz
+
+        flow_sp_rows = _rows(prompt_speech_tokens, np.int32, (0,))
+        if isinstance(llm_prompt_speech_tokens, str):  # "same"
+            sp_rows = flow_sp_rows
+        elif isinstance(llm_prompt_speech_tokens, (list, tuple)):
+            assert len(llm_prompt_speech_tokens) == bsz
+            sp_rows = [
+                flow_sp_rows[i] if e is None else np.asarray(e, np.int32).reshape(-1)
+                for i, e in enumerate(llm_prompt_speech_tokens)
+            ]
+        else:
+            arr = np.asarray(llm_prompt_speech_tokens, np.int32).reshape(-1)
+            sp_rows = [arr] * bsz
+        pm_rows = _rows(prompt_mel, np.float32, (0, cfg.flow.output_size))
         if spk_embedding is None:
             spk_embedding = np.zeros((192,), np.float32)
+        elif isinstance(spk_embedding, (list, tuple)):
+            spk_embedding = np.stack([np.asarray(e, np.float32) for e in spk_embedding])
         spk_embedding = np.asarray(spk_embedding, np.float32)
         emb_rows = (
             spk_embedding
@@ -544,7 +586,6 @@ class Engine:
             else spk_embedding[None]  # (1, 192): broadcast across rows
         )
 
-        bsz = len(text_tokens_list)
         tbkt = _bucket(max(len(t) for t in text_tokens_list), self.prompt_buckets)
         if any(len(t) > tbkt for t in text_tokens_list):
             # degenerate unpunctuated input beyond the largest bucket:
@@ -555,18 +596,34 @@ class Engine:
             )
             text_tokens_list = [t[:tbkt] for t in text_tokens_list]
         lts = [len(t) for t in text_tokens_list]
-        lp = len(sp_tokens)
-        sbkt = _bucket(lp, self.prompt_buckets) if lp else 0
-        if lp > sbkt:
-            sp_tokens, lp = sp_tokens[:sbkt], sbkt
+        tts_lens = (
+            lts if tts_text_lens is None
+            else [min(int(n), lt) for n, lt in zip(tts_text_lens, lts)]
+        )
+        lp_max = max(len(r) for r in sp_rows)
+        sbkt = _bucket(lp_max, self.prompt_buckets) if lp_max else 0
+        sp_rows = [r[:sbkt] for r in sp_rows]
+        lps = np.asarray([len(r) for r in sp_rows], np.int32)
+        lp = int(lps.max())
+        # flow conditioning uses the FLOW prompt tokens, which may differ
+        # from the LM prefix in cross-lingual/instruct2 rows (synthesize())
+        flp_max = max(len(r) for r in flow_sp_rows)
+        fsbkt = _bucket(flp_max, self.prompt_buckets) if flp_max else 0
+        flow_sp_rows = [r[:fsbkt] for r in flow_sp_rows]
+        flps = np.asarray([len(r) for r in flow_sp_rows], np.int32)
         text_pad = np.zeros((bsz, tbkt), np.int32)
         for i, t in enumerate(text_tokens_list):
             text_pad[i, : len(t)] = t
-        sp_pad = np.zeros((sbkt,), np.int32)
-        sp_pad[:lp] = sp_tokens
-        min_lens = np.asarray([int(n * min_token_text_ratio) for n in lts], np.int32)
+        sp_pad = np.zeros((bsz, sbkt), np.int32)
+        for i, r in enumerate(sp_rows):
+            sp_pad[i, : len(r)] = r
+        fsp_pad = np.zeros((bsz, fsbkt), np.int32)
+        for i, r in enumerate(flow_sp_rows):
+            fsp_pad[i, : len(r)] = r
+        min_lens = np.asarray([int(n * min_token_text_ratio) for n in tts_lens], np.int32)
         max_lens = np.asarray(
-            [min(int(n * max_token_text_ratio), self.max_tokens) for n in lts], np.int32
+            [min(int(n * max_token_text_ratio), self.max_tokens) for n in tts_lens],
+            np.int32,
         )
         sp = SamplingParams.make(sampling.top_p, sampling.top_k, sampling.win_size, sampling.tau_r)
 
@@ -580,15 +637,19 @@ class Engine:
             )
         put_rows = row_shard if row_shard is not None else jnp.asarray
 
-        if prompt_mel is not None and len(prompt_mel) > 0:
-            lm = len(prompt_mel)
-            pm_bucket = _bucket(lm, self.mel_buckets)
-            pm = np.zeros((1, pm_bucket, cfg.flow.output_size), np.float32)
-            pm[0, :lm] = prompt_mel
-            pm_len = lm
+        lm_max = max(len(r) for r in pm_rows)
+        if lm_max > 0:
+            pm_bucket = _bucket(lm_max, self.mel_buckets)
+            pm = np.zeros((bsz, pm_bucket, cfg.flow.output_size), np.float32)
+            for i, r in enumerate(pm_rows):
+                pm[i, : len(r)] = r[:pm_bucket]
+            pm_lens = np.asarray(
+                [min(len(r), pm_bucket) for r in pm_rows], np.int32
+            )
         else:
-            pm = np.zeros((1, 0, cfg.flow.output_size), np.float32)
-            pm_bucket, pm_len = 0, 0
+            pm = np.zeros((bsz, 0, cfg.flow.output_size), np.float32)
+            pm_bucket = 0
+            pm_lens = np.zeros((bsz,), np.int32)
 
         ratio = cfg.flow.token_mel_ratio
         up = cfg.hift.upsample_scale
@@ -601,16 +662,18 @@ class Engine:
         llm_time = 0.0
         if self.fused:
             tok_bkt = self._estimate_token_bucket(
-                max(lts), int(min_lens.max()), int(max_lens.max()), lp
+                max(tts_lens), int(min_lens.max()), int(max_lens.max()), flp_max
             )
             t0 = time.time()
-            fused = self._fused_batch_fn(bsz, tbkt, sbkt, head_num, tok_bkt, pm_bucket)
+            fused = self._fused_batch_fn(bsz, tbkt, sbkt, head_num, tok_bkt,
+                                         pm_bucket, fsbkt)
             res, packed = fused(
                 self.llm_params, self.flow_params, self.hift_params, rng,
                 put_rows(text_pad), put_rows(np.asarray(lts, np.int32)),
-                jnp.asarray(sp_pad), jnp.int32(lp),
+                put_rows(sp_pad), put_rows(lps),
                 put_rows(min_lens), put_rows(max_lens), sp,
-                jnp.asarray(pm), jnp.int32(pm_len),
+                put_rows(fsp_pad), put_rows(flps),
+                put_rows(pm), put_rows(pm_lens),
                 jnp.asarray(emb_rows),
             )
             buf = np.asarray(packed)  # the single transfer
@@ -619,7 +682,7 @@ class Engine:
             meta = buf[:, n32:]
             nums = meta[:, -2]
             steps = int(meta[0, -1])
-            if lp + int(nums.max()) <= tok_bkt:
+            if int((flps + nums).max()) <= tok_bkt:
                 wav16 = np.ascontiguousarray(buf[:, :n32]).view(np.int16)
                 wavs = [
                     wav16[i, : int(nums[i]) * ratio * up].astype(np.float32) / 32767.0
@@ -631,7 +694,7 @@ class Engine:
             gen = self._batch_gen_fn(bsz, tbkt, sbkt, head_num)
             res, packed = gen(
                 self.llm_params, rng, put_rows(text_pad),
-                put_rows(np.asarray(lts, np.int32)), jnp.asarray(sp_pad), jnp.int32(lp),
+                put_rows(np.asarray(lts, np.int32)), put_rows(sp_pad), put_rows(lps),
                 put_rows(min_lens), put_rows(max_lens), sp,
             )
             meta = np.asarray(packed)  # one transfer: tokens + nums + steps
@@ -641,12 +704,12 @@ class Engine:
 
         t0 = time.time()
         if wavs is None:
-            n_all_max = lp + int(nums.max())
+            n_all_max = int((flps + nums).max())
             tok_bkt = _bucket(max(n_all_max, 1), self.token_buckets)
-            synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, sbkt)
+            synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, fsbkt)
             wav_dev = synth(
                 self.flow_params, self.hift_params, res.tokens, res.num_tokens,
-                jnp.asarray(sp_pad), jnp.int32(lp), jnp.asarray(pm), jnp.int32(pm_len),
+                put_rows(fsp_pad), put_rows(flps), put_rows(pm), put_rows(pm_lens),
                 jnp.asarray(emb_rows), rng,
             )
             wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0

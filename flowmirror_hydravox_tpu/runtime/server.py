@@ -66,8 +66,10 @@ class TTSService:
         requests with the default sampling/head config bypass the worker
         queue entirely and join a persistent fixed-slot decode — a new
         request joins mid-flight at the next chunk boundary instead of
-        waiting for the running batch to drain.  Other requests (zero-shot,
-        streaming, custom sampling) still flow through the worker."""
+        waiting for the running batch to drain.  Plain-mode zero-shot and
+        streaming requests ride the slots too (per-slot prompts / chunked
+        decode); cross-lingual/instruct2 and custom-sampling requests still
+        flow through the worker (where concurrent ones window-coalesce)."""
         from .profiling import MetricsAggregator
 
         self.engine = engine
@@ -165,14 +167,18 @@ class TTSService:
             self.results[tid] = result
 
     def _batchable(self, task: dict) -> Optional[tuple]:
-        """A task joins a cross-request batch iff it is a plain (non-stream,
-        speed=1, no rolling-prompt) SFT tts request whose speaker has no
-        zero-shot prompt (prompt tokens/mel are program-wide in the batched
-        path; per-row is only the speaker embedding).  Returns the coalesce
-        key (sampling, head_num), or None — including for malformed
-        extra_params, which then surface as a per-task error via _run_one
-        rather than killing the worker thread."""
-        if task.get("type") != "tts" or task.get("last_prompt"):
+        """A task joins a cross-request batch iff it is a non-stream, speed=1,
+        no-rolling-prompt tts OR zero-shot request.  The flash batch carries
+        per-row prompt tokens/mel/embedding, so zero-shot clones with
+        DIFFERENT prompt speakers coalesce with each other and with plain SFT
+        traffic (the reference runs one request per GPU worker instead).
+        Returns the coalesce key (sampling, head_num), or None — including
+        for malformed extra_params, which then surface as a per-task error
+        via _run_one rather than killing the worker thread."""
+        if task.get("type") == "tts":
+            if task.get("last_prompt"):
+                return None
+        elif task.get("type") != "zero_shot":
             return None
         extra = task.get("extra_params") or {}
         try:
@@ -223,8 +229,9 @@ class TTSService:
 
     def _run_group(self, group: list):
         """One flash-batch dispatch for N coalesced requests: rows = all
-        requests' text segments, per-row speaker embeddings; results split
-        back per request (with the reference's inter-segment pauses)."""
+        requests' text segments, per-row speaker embeddings AND per-row
+        zero-shot prompts (tokens + mel); results split back per request
+        (with the reference's inter-segment pauses)."""
         import random as _random
 
         spans = []
@@ -234,20 +241,22 @@ class TTSService:
             head_num = int(extra.get("inference_head_num", 2))
             sr = self.engine.cfg.sample_rate
 
-            token_lists, emb_rows = [], []
+            token_lists, tts_lens, emb_rows = [], [], []
+            llm_rows, sp_rows, pm_rows = [], [], []
             fallback = []  # (task, reason) pairs that can't ride the batch
             for task in group:
                 try:
-                    rows, emb, prompts = self._prepare_sft_rows(task)
+                    row_feats = self._prepare_batch_rows(task)
                 except Exception as e:
                     fallback.append((task, e))
                     continue
-                if prompts is not None:
-                    fallback.append((task, None))  # zero-shot prompt: run solo
-                    continue
                 start = len(token_lists)
-                for tt in rows:
+                for tt, tl, llm_t, sp_t, pm_t, emb in row_feats:
                     token_lists.append(tt)
+                    tts_lens.append(tl)
+                    llm_rows.append(llm_t)
+                    sp_rows.append(sp_t)
+                    pm_rows.append(pm_t)
                     emb_rows.append(emb)
                 spans.append((task, start, len(token_lists)))
 
@@ -267,33 +276,52 @@ class TTSService:
             n_pad = 1 << (n_real - 1).bit_length()
             while len(token_lists) < n_pad:
                 token_lists.append(token_lists[-1])
+                tts_lens.append(tts_lens[-1])
+                llm_rows.append(llm_rows[-1])
+                sp_rows.append(sp_rows[-1])
+                pm_rows.append(pm_rows[-1])
                 emb_rows.append(emb_rows[-1])
 
             # the warm key mirrors the engine's compile keys: padded batch,
-            # text bucket, AND the fused program's estimated token bucket
-            # (a longer-text group with the same prompt bucket still needs a
-            # fresh compile)
+            # text bucket, prompt-token/mel buckets, AND the fused program's
+            # estimated token bucket (a longer-text group with the same
+            # prompt bucket still needs a fresh compile)
             max_lt = max(len(t) for t in token_lists)
+            max_tts = max(tts_lens)
+            lp_max = max((len(s) for s in sp_rows if s is not None), default=0)
+            lm_max = max(
+                (len(s) if e is None else len(e)
+                 for e, s in zip(llm_rows, sp_rows)
+                 if (s if e is None else e) is not None),
+                default=0,
+            )
+            pm_max = max((len(p) for p in pm_rows if p is not None), default=0)
             warm_key = (
                 n_pad,
                 self.engine._bucket_prompt(max_lt),
                 self.engine._estimate_token_bucket(
-                    max_lt, 2 * max_lt, min(20 * max_lt, self.engine.max_tokens), 0
+                    max_tts, 2 * max_tts,
+                    min(20 * max_tts, self.engine.max_tokens), lp_max,
                 ),
                 head_num,
+                self.engine._bucket_prompt(lm_max) if lm_max else 0,
+                self.engine._bucket_prompt(lp_max) if lp_max else 0,
+                self.engine._bucket_mel(pm_max) if pm_max else 0,
+            )
+            batch_kwargs = dict(
+                sampling=sampling, inference_head_num=head_num,
+                spk_embedding=np.stack(emb_rows),
+                prompt_speech_tokens=sp_rows, prompt_mel=pm_rows,
+                tts_text_lens=tts_lens, llm_prompt_speech_tokens=llm_rows,
             )
             if self.cold_batch_fallback and warm_key not in self._warm_batches:
                 if warm_key not in self._warming_batches:
                     self._warming_batches.add(warm_key)
                     rows = [np.array(t) for t in token_lists]
-                    embs = np.stack(emb_rows)
 
                     def warm():
                         try:
-                            self.engine.synthesize_batch(
-                                rows, sampling=sampling, inference_head_num=head_num,
-                                spk_embedding=embs,
-                            )
+                            self.engine.synthesize_batch(rows, **batch_kwargs)
                             # mark warm only once the compile COMPLETED —
                             # groups arriving mid-compile keep falling back
                             self._warm_batches.add(warm_key)
@@ -307,10 +335,7 @@ class TTSService:
                 for task, _s, _e in spans:
                     self._run_one(task)  # serve this cold group per-task
                 return
-            wavs, stats = self.engine.synthesize_batch(
-                token_lists, sampling=sampling, inference_head_num=head_num,
-                spk_embedding=np.stack(emb_rows),
-            )
+            wavs, stats = self.engine.synthesize_batch(token_lists, **batch_kwargs)
             self.batched_requests += len(spans)
             logger.info(
                 "coalesced %d requests (%d rows, padded %d) rtf=%.4f",
@@ -508,7 +533,16 @@ class TTSService:
     def submit(self, task: dict) -> str:
         tid = str(uuid.uuid4())
         task["task_id"] = tid
-        if self.batcher is not None and self._batchable(task) == self._continuous_key:
+        continuous_ok = task.get("type") == "tts" or (
+            # plain-mode zero_shot rides the slots too (per-slot prompts);
+            # cross-lingual/instruct2 need the per-row LM-prefix override,
+            # which the fixed-slot batcher doesn't carry -> window-coalesced
+            # in the worker instead
+            task.get("type") == "zero_shot"
+            and task.get("mode", "zero_shot") == "zero_shot"
+        )
+        if (self.batcher is not None and continuous_ok
+                and self._batchable(task) == self._continuous_key):
             # continuous fast path: frontend + slot admission run on a bounded
             # pool thread so concurrent requests join the shared decode
             # instead of serializing behind the worker queue
@@ -527,8 +561,8 @@ class TTSService:
         """Shared SFT featurization for the batched paths: returns
         (token_lists, emb, prompts) where prompts is None for plain SFT
         speakers or {"prompt_speech_tokens", "prompt_mel"} for speakers
-        carrying a zero-shot prompt (the window-coalescing path runs those
-        per-task; the continuous path admits them with per-slot prompts)."""
+        carrying a zero-shot prompt (both batched paths carry these per
+        row/slot — see _prepare_batch_rows)."""
         segments = self.frontend.text_normalize(task["text"], split=True)
         feats0 = self.frontend.frontend_sft(segments[0], task["speaker_id"])
         pt = feats0.get("prompt_speech_tokens")
@@ -544,22 +578,77 @@ class TTSService:
             token_lists.append(np.asarray(tt, np.int32).reshape(-1))
         return token_lists, emb, prompts
 
+    def _prepare_batch_rows(self, task: dict) -> list:
+        """Featurize one coalesced task into flash-batch rows
+        (text_tokens, tts_text_len, llm_prompt_speech_tokens|None,
+        prompt_speech_tokens|None, prompt_mel|None, embedding).
+        tts tasks share the speaker's (possibly zero-shot) prompt across
+        their segments; zero_shot tasks extract the prompt from the request
+        audio exactly like the solo path (_process kind == 'zero_shot') —
+        including the tts-portion length (min/max token ratios exclude the
+        prompt text) and the LM-prefix override (empty for cross-lingual /
+        instruct2 rows, which condition the flow but not the LM)."""
+        if task["type"] == "zero_shot":
+            wav, sr = task["prompt_audio"], task["prompt_sample_rate"]
+            mode = task.get("mode", "zero_shot")
+            segments = self.frontend.text_normalize(task["tts_text"], split=True)
+            if mode == "cross_lingual":
+                feats_list = [
+                    self.frontend.frontend_cross_lingual(seg, wav, sr)
+                    for seg in segments
+                ]
+            elif mode == "instruct2":
+                feats_list = [
+                    self.frontend.frontend_instruct2(
+                        seg, task["prompt_text"], wav, sr)
+                    for seg in segments
+                ]
+            else:
+                norm_prompt = self.frontend.text_normalize(
+                    task["prompt_text"], split=False)[0]
+                feats_list = [
+                    self.frontend.frontend_zero_shot(seg, norm_prompt, wav, sr)
+                    for seg in segments
+                ]
+            return [
+                (
+                    np.asarray(f["text_tokens"], np.int32).reshape(-1),
+                    int(f["tts_text_len"]),
+                    f.get("llm_prompt_speech_tokens"),
+                    f.get("prompt_speech_tokens"),
+                    f.get("prompt_mel"),
+                    np.asarray(f["spk_embedding"], np.float32).reshape(-1)[:192],
+                )
+                for f in feats_list
+            ]
+        token_lists, emb, prompts = self._prepare_sft_rows(task)
+        sp_t = (prompts or {}).get("prompt_speech_tokens")
+        pm_t = (prompts or {}).get("prompt_mel")
+        return [(tt, len(tt), None, sp_t, pm_t, emb) for tt in token_lists]
+
     def _run_continuous(self, task: dict):
+        """tts AND plain-mode zero_shot requests join the in-flight slots
+        (per-slot prompt tokens/mel/embedding).  Rows that exceed the slots'
+        bucket ladders or carry an LM-prefix override (cross-lingual /
+        instruct2, which the fixed-slot program doesn't model) fall back to
+        the worker queue before anything is admitted."""
         import random as _random
 
         tid = task["task_id"]
         try:
-            token_lists, emb, prompts = self._prepare_sft_rows(task)
-            sp = (prompts or {}).get("prompt_speech_tokens")
-            pm = (prompts or {}).get("prompt_mel")
-            if any(len(t) > self.batcher.prompt_buckets[-1] for t in token_lists) or (
-                sp is not None and len(sp) > self.batcher.sp_buckets[-1]
+            rows = self._prepare_batch_rows(task)
+            if any(
+                len(tt) > self.batcher.prompt_buckets[-1]
+                or (sp is not None and len(sp) > self.batcher.sp_buckets[-1])
+                or llm_t is not None
+                for tt, _tl, llm_t, sp, _pm, _e in rows
             ):
-                self.tasks.put(task)  # too long for the slots' bucket ladders
+                self.tasks.put(task)  # outside the slots' bucket ladders
                 return
             reqs = [
-                self.batcher.submit(tt, emb, prompt_speech_tokens=sp, prompt_mel=pm)
-                for tt in token_lists
+                self.batcher.submit(tt, emb, prompt_speech_tokens=sp,
+                                    prompt_mel=pm, tts_text_len=tl)
+                for tt, tl, _llm_t, sp, pm, emb in rows
             ]
             sr = self.engine.cfg.sample_rate
             pieces = []

@@ -158,3 +158,67 @@ def test_engine_synthesize_batch_spec_decode():
         assert len(w) == n * spt and np.isfinite(w).all()
     for a, b in zip(wavs_f, wavs_t):
         np.testing.assert_allclose(a, b, atol=1.01 / 32767.0)
+
+
+def test_batched_per_row_zero_shot_prompts():
+    """Per-row zero-shot prompts in one flash batch (beyond the reference,
+    which serves zero-shot one request per worker): rows are conditioned
+    independently — changing row 1's prompt must not change row 0's output
+    — and per-row lists equal the shared-prompt form when rows coincide."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = (
+        llm.init_params(k1, CFG.llm, jnp.float32),
+        flow.init_params(k2, CFG.flow, jnp.float32),
+        hift.init_params(k3, CFG.hift, jnp.float32),
+    )
+    mk = lambda fused=True: Engine(  # noqa: E731
+        CFG, *params, max_tokens=48, prompt_buckets=(32, 64),
+        token_buckets=(64, 128), mel_buckets=(128,), fused=fused,
+    )
+    texts = [np.arange(8, dtype=np.int32), np.arange(12, dtype=np.int32) % 7]
+    rng_p = np.random.default_rng(0)
+    prompt_a = dict(
+        tokens=(np.arange(10, dtype=np.int32) * 13) % CFG.llm.speech_token_size,
+        mel=rng_p.standard_normal((20, CFG.flow.output_size)).astype(np.float32),
+        emb=rng_p.standard_normal(192).astype(np.float32),
+    )
+    prompt_b = dict(
+        tokens=(np.arange(6, dtype=np.int32) * 7 + 3) % CFG.llm.speech_token_size,
+        mel=rng_p.standard_normal((12, CFG.flow.output_size)).astype(np.float32),
+        emb=rng_p.standard_normal(192).astype(np.float32),
+    )
+    kwargs = dict(inference_head_num=2, rng=jax.random.PRNGKey(3),
+                  min_token_text_ratio=2.0, max_token_text_ratio=3.0)
+
+    eng = mk()
+    wav_ab, st_ab = eng.synthesize_batch(
+        texts, prompt_speech_tokens=[prompt_a["tokens"], prompt_b["tokens"]],
+        prompt_mel=[prompt_a["mel"], prompt_b["mel"]],
+        spk_embedding=[prompt_a["emb"], prompt_b["emb"]], **kwargs)
+    wav_aa, st_aa = eng.synthesize_batch(
+        texts, prompt_speech_tokens=[prompt_a["tokens"], prompt_a["tokens"]],
+        prompt_mel=[prompt_a["mel"], prompt_a["mel"]],
+        spk_embedding=[prompt_a["emb"], prompt_a["emb"]], **kwargs)
+    # row 0 saw identical inputs in both batches -> bit-identical
+    assert st_ab["tokens"][0] == st_aa["tokens"][0]
+    np.testing.assert_array_equal(wav_ab[0], wav_aa[0])
+    # row 1's prompt differs -> its audio must differ
+    assert (len(wav_ab[1]) != len(wav_aa[1])
+            or not np.array_equal(wav_ab[1], wav_aa[1]))
+
+    # per-row list with identical rows == the shared-prompt argument form
+    wav_shared, st_shared = eng.synthesize_batch(
+        texts, prompt_speech_tokens=prompt_a["tokens"],
+        prompt_mel=prompt_a["mel"], spk_embedding=prompt_a["emb"], **kwargs)
+    assert st_shared["tokens"] == st_aa["tokens"]
+    for a, b in zip(wav_shared, wav_aa):
+        np.testing.assert_array_equal(a, b)
+
+    # fused and two-stage agree on per-row prompts
+    wav_t, st_t = mk(False).synthesize_batch(
+        texts, prompt_speech_tokens=[prompt_a["tokens"], prompt_b["tokens"]],
+        prompt_mel=[prompt_a["mel"], prompt_b["mel"]],
+        spk_embedding=[prompt_a["emb"], prompt_b["emb"]], **kwargs)
+    assert st_t["tokens"] == st_ab["tokens"]
+    for a, b in zip(wav_t, wav_ab):
+        np.testing.assert_allclose(a, b, atol=1e-6)

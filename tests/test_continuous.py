@@ -145,6 +145,43 @@ def test_service_continuous_mode(engine):
         service.shutdown()
 
 
+def test_service_zero_shot_rides_slots(engine):
+    """Plain-mode zero_shot requests join the continuous decode slots with
+    per-slot prompts extracted from the request audio; a cross-lingual
+    request (which needs the per-row empty-LM-prefix override) falls back to
+    the worker path instead of erroring."""
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(3)
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         continuous_slots=2, continuous_head_num=2)
+    # match the batcher's one compiled sampling config (win_size=24)
+    extra = {"top_p": 0.9, "top_k": 10, "win_size": 24, "tau_r": 0.2,
+             "inference_head_num": 2}
+    try:
+        wavs = [(rng.standard_normal(8000) * 0.1).astype(np.float32)
+                for _ in range(2)]
+        tids = [service.submit({
+            "type": "zero_shot", "tts_text": f"clone on a slot {i}",
+            "prompt_text": "slot prompt", "prompt_audio": wavs[i],
+            "prompt_sample_rate": 16000, "extra_params": dict(extra),
+        }) for i in range(2)]
+        xl = service.submit({
+            "type": "zero_shot", "tts_text": "worker path row",
+            "mode": "cross_lingual", "prompt_audio": wavs[0],
+            "prompt_sample_rate": 16000, "extra_params": dict(extra),
+        })
+        outs = [service.wait(t) for t in tids] + [service.wait(xl)]
+        for r in outs:
+            assert "output_audio" in r and len(r["output_audio"]) > 0, r
+            assert np.isfinite(r["output_audio"]).all()
+        assert service.continuous_requests == 2, service.continuous_requests
+    finally:
+        service.shutdown()
+
+
 def test_continuous_zero_shot_prompt_matches_solo(engine):
     """A request with zero-shot prompt speech tokens rides a slot and
     matches the solo decode with the same prompt+rng; prompt mel conditions

@@ -203,6 +203,59 @@ def test_service_cold_batch_falls_back_per_task(engine):
         service.shutdown()
 
 
+def test_service_coalesces_zero_shot_with_sft(engine):
+    """Zero-shot requests with DIFFERENT prompt speakers coalesce with each
+    other AND with plain SFT traffic in one flash batch (per-row prompt
+    tokens/mel/embedding + per-row LM-prefix override — a cross-lingual row's
+    LM sees no prefix while its flow is still prompt-conditioned).  Beyond
+    the reference, which serves zero-shot one request per GPU worker."""
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(7)
+    frontend.add_speaker("sftspk", SpeakerInfo(
+        embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         batch_window=1.0, cold_batch_fallback=False)
+    try:
+        wav_a = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+        wav_b = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+        tids = [
+            service.submit({
+                "type": "zero_shot", "tts_text": "clone me please",
+                "prompt_text": "prompt one", "prompt_audio": wav_a,
+                "prompt_sample_rate": 16000,
+                "extra_params": {"inference_head_num": 1},
+            }),
+            service.submit({
+                "type": "zero_shot", "tts_text": "another clone",
+                "prompt_text": "prompt two", "prompt_audio": wav_b,
+                "prompt_sample_rate": 16000,
+                "extra_params": {"inference_head_num": 1},
+            }),
+            service.submit({
+                "type": "zero_shot", "tts_text": "no lm prefix here",
+                "mode": "cross_lingual", "prompt_audio": wav_a,
+                "prompt_sample_rate": 16000,
+                "extra_params": {"inference_head_num": 1},
+            }),
+            service.submit({
+                "type": "tts", "text": "plain sft rides along",
+                "speaker_id": "sftspk",
+                "extra_params": {"inference_head_num": 1},
+            }),
+        ]
+        outs = [service.wait(t) for t in tids]
+        for r in outs:
+            assert "output_audio" in r and len(r["output_audio"]) > 0, r
+            assert np.isfinite(r["output_audio"]).all()
+        # first task is picked up immediately; the 1 s window collects the
+        # other three into its batch
+        assert service.batched_requests >= 3, service.batched_requests
+    finally:
+        service.shutdown()
+
+
 def test_service_survives_malformed_extra_params(engine):
     """A request with non-numeric extra_params must come back as a per-task
     error — not kill the worker thread (later requests still serve)."""
