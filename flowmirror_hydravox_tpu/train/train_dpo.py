@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--tensorboard_dir", default=None)
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style optimizer-moment sharding over 'data'")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP / ZeRO-3-class full parameter sharding over "
+                        "'data' for BOTH the policy and the frozen reference "
+                        "(parallel/sharding.fsdp_sharding); subsumes "
+                        "--shard_optimizer")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batch gradient accumulation inside the jitted "
                         "step (lax.scan; reference train_utils.py:277-291)")
@@ -66,7 +71,7 @@ def main(argv=None):
     from ..frontend.tokenizer import get_tokenizer
     from ..models import llm as llm_model
     from ..parallel.mesh import host_local_batch_to_global, make_mesh
-    from ..parallel.sharding import zero_sharding
+    from ..parallel.sharding import fsdp_sharding, zero_sharding
     from . import checkpoint as ckpt
     from .data import DPOCollator, make_batch_source
     from .steps import OptimConfig, dpo_train_step, init_state, make_optimizer
@@ -113,15 +118,16 @@ def main(argv=None):
         )
     )
     repl = NamedSharding(mesh, P())
-    params = jax.device_put(params, repl)
-    ref_params = jax.device_put(ref_params, repl)
+    param_sharding = fsdp_sharding(params, mesh) if args.fsdp else repl
+    params = jax.device_put(params, param_sharding)
+    ref_params = jax.device_put(ref_params, param_sharding)
     state = init_state(params, optimizer)
-    if args.shard_optimizer:
+    if args.shard_optimizer and not args.fsdp:
         state = state._replace(
             opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))
         )
-    logger.info("mesh %s  beta=%g  zero=%s", dict(mesh.shape), args.beta,
-                args.shard_optimizer)
+    logger.info("mesh %s  beta=%g  zero=%s  fsdp=%s", dict(mesh.shape), args.beta,
+                args.shard_optimizer, args.fsdp)
 
     step_fn = jax.jit(
         lambda s, rp, b: dpo_train_step(

@@ -42,6 +42,10 @@ def main(argv=None):
                         "attention/FF sharding, parallel/sharding.flow_param_specs)")
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style optimizer-moment sharding over 'data'")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP / ZeRO-3-class full parameter sharding over "
+                        "'data' (parallel/sharding.fsdp_sharding); subsumes "
+                        "--shard_optimizer; exclusive with --tensor_parallel")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed init + hybrid ICI/DCN mesh")
     p.add_argument("--grad_accum", type=int, default=1,
@@ -59,7 +63,9 @@ def main(argv=None):
     from ..config import HydraVoxConfig, tiny_config
     from ..models import flow as flow_model
     from ..parallel.mesh import make_mesh
-    from ..parallel.sharding import flow_param_specs, named, zero_sharding
+    from ..parallel.sharding import (
+        flow_param_specs, fsdp_sharding, named, zero_sharding,
+    )
     from ..utils import audio as audio_utils
     from . import checkpoint as ckpt
     from .data import FlowCollator, batch_iterator, load_hf_dataset
@@ -100,22 +106,31 @@ def main(argv=None):
     )
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))
-    param_sharding = named(mesh, flow_param_specs()) if args.tensor_parallel > 1 else repl
+    if args.fsdp:
+        assert args.tensor_parallel == 1, (
+            "--fsdp shards params over 'data'; exclusive with --tensor_parallel")
+        param_sharding = fsdp_sharding(params, mesh)
+    elif args.tensor_parallel > 1:
+        param_sharding = named(mesh, flow_param_specs())
+    else:
+        param_sharding = repl
     params = jax.device_put(params, param_sharding)
     state = init_state(params, optimizer)
     if args.resume:
         state = ckpt.restore_train_state(args.resume, state)
         state = state._replace(
             params=jax.device_put(state.params, param_sharding),
-            opt_state=jax.device_put(state.opt_state, repl),
+            opt_state=jax.device_put(
+                state.opt_state,
+                fsdp_sharding(state.opt_state, mesh) if args.fsdp else repl),
             step=jax.device_put(state.step, repl),
         )
-    if args.shard_optimizer:
+    if args.shard_optimizer and not args.fsdp:
         state = state._replace(
             opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))
         )
-    logger.info("mesh %s  tp=%d  zero=%s", dict(mesh.shape),
-                args.tensor_parallel, args.shard_optimizer)
+    logger.info("mesh %s  tp=%d  zero=%s  fsdp=%s", dict(mesh.shape),
+                args.tensor_parallel, args.shard_optimizer, args.fsdp)
     step_fn = jax.jit(
         lambda s, b, r: flow_train_step(s, b, r, cfg, optimizer,
                                         accum_steps=args.grad_accum),

@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style moment sharding over 'data' for both "
                         "the generator and discriminator optimizers")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP / ZeRO-3-class full parameter sharding over "
+                        "'data' for generator + discriminator "
+                        "(parallel/sharding.fsdp_sharding); subsumes "
+                        "--shard_optimizer")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batch gradient accumulation inside each "
                         "jitted GAN step (lax.scan; reference executor "
@@ -60,7 +65,7 @@ def main(argv=None):
     from ..models import discriminator as disc_model
     from ..models import hift as hift_model
     from ..parallel.mesh import host_local_batch_to_global, make_mesh
-    from ..parallel.sharding import zero_sharding
+    from ..parallel.sharding import fsdp_sharding, zero_sharding
     from ..utils import audio as audio_utils
     from . import checkpoint as ckpt
     from .data import load_hf_dataset
@@ -97,18 +102,23 @@ def main(argv=None):
         f"grad_accum {args.grad_accum} micro-batches of whole "
         f"{n_data}-way data shards (micro rows stay shardable over 'data')")
     repl = NamedSharding(mesh, P())
-    gen_params = jax.device_put(gen_params, repl)
-    disc_params = jax.device_put(disc_params, repl)
+    if args.fsdp:
+        gen_params = jax.device_put(gen_params, fsdp_sharding(gen_params, mesh))
+        disc_params = jax.device_put(disc_params, fsdp_sharding(disc_params, mesh))
+    else:
+        gen_params = jax.device_put(gen_params, repl)
+        disc_params = jax.device_put(disc_params, repl)
     gen_state = init_state(gen_params, gen_opt)
     disc_state = init_state(disc_params, disc_opt)
-    if args.shard_optimizer:
+    if args.shard_optimizer and not args.fsdp:
         gen_state = gen_state._replace(
             opt_state=jax.device_put(gen_state.opt_state,
                                      zero_sharding(gen_state.opt_state, mesh)))
         disc_state = disc_state._replace(
             opt_state=jax.device_put(disc_state.opt_state,
                                      zero_sharding(disc_state.opt_state, mesh)))
-    logger.info("mesh %s  zero=%s", dict(mesh.shape), args.shard_optimizer)
+    logger.info("mesh %s  zero=%s  fsdp=%s", dict(mesh.shape),
+                args.shard_optimizer, args.fsdp)
 
     if args.split_step:
         # two smaller programs instead of one fused G+D step: the fused

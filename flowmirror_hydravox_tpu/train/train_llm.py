@@ -59,6 +59,12 @@ def main(argv=None):
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-2-style optimizer-moment sharding over 'data' "
                         "(reference DeepSpeed stage 2, deepspeed_config.json)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP / ZeRO-3-class full parameter sharding over "
+                        "'data' (parallel/sharding.fsdp_sharding): params + "
+                        "moments live sharded, GSPMD all-gathers per-layer. "
+                        "One stage beyond the reference's DeepSpeed ZeRO-2. "
+                        "Subsumes --shard_optimizer; exclusive with TP/PP")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host training: jax.distributed init + hybrid "
                         "ICI/DCN mesh (reference train_utils.py:39-50 NCCL "
@@ -88,7 +94,9 @@ def main(argv=None):
     from ..frontend.tokenizer import get_tokenizer
     from ..models import llm as llm_model
     from ..parallel.mesh import make_mesh
-    from ..parallel.sharding import llm_param_specs, named, zero_sharding
+    from ..parallel.sharding import (
+        fsdp_sharding, llm_param_specs, named, zero_sharding,
+    )
     from . import checkpoint as ckpt
     from .data import LLMCollator, batch_iterator, load_hf_dataset
     from .steps import OptimConfig, init_state, llm_train_step, make_optimizer
@@ -144,12 +152,18 @@ def main(argv=None):
     )
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))
+    if args.fsdp:
+        assert args.tensor_parallel == 1 and pp == 1, (
+            "--fsdp shards params over 'data'; combine with neither "
+            "--tensor_parallel nor --pipeline_parallel")
     if pp > 1:
         from ..parallel.pipeline import pp_param_shardings
 
         param_sharding = pp_param_shardings(mesh, params)
     elif args.tensor_parallel > 1:
         param_sharding = named(mesh, llm_param_specs())
+    elif args.fsdp:
+        param_sharding = fsdp_sharding(params, mesh)
     else:
         param_sharding = repl
 
@@ -164,18 +178,20 @@ def main(argv=None):
         # re-placement below overrides moments when requested)
         state = state._replace(
             params=jax.device_put(state.params, param_sharding),
-            opt_state=jax.device_put(state.opt_state, repl),
+            opt_state=jax.device_put(
+                state.opt_state,
+                fsdp_sharding(state.opt_state, mesh) if args.fsdp else repl),
             step=jax.device_put(state.step, repl),
         )
         logger.info("resumed at step %d", int(state.step))
-    if args.shard_optimizer:
+    if args.shard_optimizer and not args.fsdp:
         # ZeRO-2 layout: moments sharded over 'data' on each leaf's largest
         # divisible axis (reference DeepSpeed stage-2 equivalent)
         state = state._replace(
             opt_state=jax.device_put(state.opt_state, zero_sharding(state.opt_state, mesh))
         )
-    logger.info("mesh %s  tp=%d  pp=%d  zero=%s", dict(mesh.shape),
-                args.tensor_parallel, pp, args.shard_optimizer)
+    logger.info("mesh %s  tp=%d  pp=%d  zero=%s  fsdp=%s", dict(mesh.shape),
+                args.tensor_parallel, pp, args.shard_optimizer, args.fsdp)
 
     if pp > 1:
         from ..parallel.pipeline import make_pp_llm_step
@@ -259,7 +275,9 @@ def main(argv=None):
     return {"step": int(state.step),
             "metrics": {k: float(v) for k, v in metrics.items()},
             "opt_state_shardings": jax.tree.map(
-                lambda x: getattr(x, "sharding", None), state.opt_state)}
+                lambda x: getattr(x, "sharding", None), state.opt_state),
+            "param_shardings": jax.tree.map(
+                lambda x: getattr(x, "sharding", None), state.params)}
 
 
 if __name__ == "__main__":

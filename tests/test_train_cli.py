@@ -73,6 +73,39 @@ def test_llm_cli_tp_zero_matches_replicated(llm_ds, tmp_path):
     assert shardings and any("data" in str(s.spec) for s in shardings), shardings
 
 
+def test_llm_cli_fsdp_matches_replicated(llm_ds, tmp_path):
+    """--fsdp (ZeRO-3-class full param sharding, one stage beyond the
+    reference's DeepSpeed stage 2): same loss as replicated DP, and both the
+    params and the inherited optimizer moments actually live sharded over
+    'data'."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ref = _run_llm(llm_ds, str(tmp_path / "dp"), [])
+    got = _run_llm(llm_ds, str(tmp_path / "fsdp"), ["--fsdp"])
+    assert ref["step"] == got["step"] == 2
+    assert abs(ref["metrics"]["loss"] - got["metrics"]["loss"]) < 1e-3, (ref, got)
+
+    for name, tree in (("params", got["param_shardings"]),
+                       ("moments", got["opt_state_shardings"])):
+        shardings = [s for s in jax.tree.leaves(tree) if hasattr(s, "spec")]
+        n_sharded = sum("data" in str(s.spec) for s in shardings)
+        # every leaf with a data-divisible axis shards; only tiny/odd leaves
+        # (scalars, 1-dim norms) replicate
+        assert n_sharded >= len(shardings) // 2, (name, n_sharded, len(shardings))
+
+
+def test_flow_cli_fsdp_runs(flow_ds, tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = train_flow.main([
+        "--train_data", flow_ds, "--output_dir", str(tmp_path / "flowf"), "--tiny",
+        "--batch_size", "8", "--max_steps", "2", "--logging_steps", "1",
+        "--save_steps", "100", "--warmup_steps", "1", "--fsdp",
+    ])
+    assert out["step"] == 2
+    assert np.isfinite(out["metrics"]["loss"])
+
+
 def test_llm_cli_pp_matches_replicated(llm_ds, tmp_path):
     """GPipe pipeline CLI (--pipeline_parallel, parallel/pipeline.py) equals
     the replicated DP run — beyond-parity scaling mode, stock step is the
