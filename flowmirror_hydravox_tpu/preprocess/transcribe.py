@@ -175,6 +175,10 @@ def _worker(worker_id: int, files: List[str], input_dir: str,
 def _load_asr(asr_module: Optional[str]):
     if not asr_module:
         return None
+    if asr_module == "native":  # in-repo CTC recognizer (asr_model.py)
+        from .asr_model import NativeASR
+
+        return NativeASR()
     mod, fn = asr_module.rsplit(".", 1)
     return getattr(importlib.import_module(mod), fn)
 

@@ -131,7 +131,7 @@ INDEX_HTML = """<!DOCTYPE html>
      <option value="1" data-i18n="yes"></option><option value="0" data-i18n="no"></option></select></div>
    </div>
    <label data-i18n="p_transcript_file"></label><input id="da-transcripts" placeholder="transcripts.tsv"/>
-   <label data-i18n="p_asr_module"></label><input id="da-asr" placeholder="my_pkg.asr.transcribe"/>
+   <label data-i18n="p_asr_module"></label><input id="da-asr" placeholder="native | my_pkg.asr.transcribe"/>
   </div>
   <div class="stage-params" data-stage="5" style="display:none">
    <div class="status" data-i18n="merge_hint"></div>
@@ -242,7 +242,7 @@ const I18N = {
   p_min_gap: "Merge gap (s)", p_workers: "Worker processes",
   p_min_sec: "Min clip (s)", p_loudnorm: "Loudness normalize",
   p_transcript_file: "Transcript table (TSV/JSONL, optional)",
-  p_asr_module: "ASR hook (dotted callable, optional)",
+  p_asr_module: "ASR ('native' = built-in CTC, or dotted callable; optional)",
   merge_hint: "Input = comma-separated dataset directories to merge.",
   yes: "yes", no: "no",
   devices: "Compute: {platform} x{n}", devices_none: "No accelerator detected",
@@ -288,7 +288,7 @@ const I18N = {
   p_min_gap: "合并间隔 (秒)", p_workers: "并行进程数",
   p_min_sec: "最短音频 (秒)", p_loudnorm: "响度归一化",
   p_transcript_file: "转写表 (TSV/JSONL，可选)",
-  p_asr_module: "ASR 回调 (点分路径，可选)",
+  p_asr_module: "ASR ('native' = 内置 CTC 模型，或点分路径回调；可选)",
   merge_hint: "输入为逗号分隔的多个数据集目录。",
   yes: "是", no: "否",
   devices: "计算设备：{platform} x{n}", devices_none: "未检测到加速器",

@@ -148,16 +148,26 @@ def _fricative_segment(rng: np.random.Generator, prof: SpeakerProfile,
     return 0.4 * out / max(np.abs(out).max(), 1e-6)
 
 
-def synth_utterance_with_mask(speaker_id: int, utterance_id: int,
-                              seconds: float = 4.0, seed: int = 0):
-    """Like synth_utterance but also returns the per-sample speech/silence
-    ground truth (uint8) — the supervision signal for VAD training."""
+# Phoneme-like segment symbols, indexed like _VOWELS / _FRICS rows — the
+# transcription alphabet for the native CTC ASR (preprocess/asr_model.py).
+VOWEL_SYMBOLS = ("a", "i", "u", "e", "o", "E", "R", "r")
+FRIC_SYMBOLS = ("s", "S", "f", "h")
+
+
+def _synth(speaker_id: int, utterance_id: int, seconds: float, seed: int):
+    """(wav float32, per-sample speech mask uint8, segment symbol list).
+
+    The single seeded synthesis path: every rng draw happens in the same
+    order regardless of which wrapper asked, so adding the segment record
+    did not change any previously-shipped waveform (trained VAD / frontend
+    checkpoints stay reproducible from their recipes)."""
     prof = speaker_profile(speaker_id, seed)
     rng = np.random.default_rng(
         np.random.SeedSequence([seed, 0x5E, speaker_id, utterance_id]))
     total = int(seconds * SR)
     out = np.zeros(total, np.float64)
     mask = np.zeros(total, np.uint8)
+    segments: List[str] = []
     pos = 0
     while pos < total:
         dur = rng.uniform(0.6, 1.6) / prof.rate
@@ -167,10 +177,14 @@ def synth_utterance_with_mask(speaker_id: int, utterance_id: int,
         kind = rng.random()
         speech = True
         if kind < 0.62:  # vowel
-            seg = _voiced_segment(rng, prof, int(rng.integers(len(_VOWELS))), n,
+            vowel = int(rng.integers(len(_VOWELS)))
+            seg = _voiced_segment(rng, prof, vowel, n,
                                   f0_mul=float(np.exp(rng.normal(0, prof.f0_range))))
+            segments.append(VOWEL_SYMBOLS[vowel])
         elif kind < 0.82:  # fricative
-            seg = _fricative_segment(rng, prof, int(rng.integers(len(_FRICS))), n)
+            fric = int(rng.integers(len(_FRICS)))
+            seg = _fricative_segment(rng, prof, fric, n)
+            segments.append(FRIC_SYMBOLS[fric])
         else:  # pause / plosive gap
             seg = np.zeros(n)
             speech = False
@@ -185,7 +199,24 @@ def synth_utterance_with_mask(speaker_id: int, utterance_id: int,
             mask[pos:pos + n] = 1
         pos += n
     out *= 0.6 / max(np.abs(out).max(), 1e-6)
-    return out.astype(np.float32), mask
+    return out.astype(np.float32), mask, segments
+
+
+def synth_utterance_with_mask(speaker_id: int, utterance_id: int,
+                              seconds: float = 4.0, seed: int = 0):
+    """Like synth_utterance but also returns the per-sample speech/silence
+    ground truth (uint8) — the supervision signal for VAD training."""
+    wav, mask, _ = _synth(speaker_id, utterance_id, seconds, seed)
+    return wav, mask
+
+
+def synth_utterance_with_segments(speaker_id: int, utterance_id: int,
+                                  seconds: float = 4.0, seed: int = 0):
+    """Like synth_utterance but also returns the ordered phoneme-like segment
+    symbols (pauses excluded) — the transcription ground truth for CTC ASR
+    training (train/train_asr.py)."""
+    wav, _, segments = _synth(speaker_id, utterance_id, seconds, seed)
+    return wav, segments
 
 
 def synth_utterance(speaker_id: int, utterance_id: int, seconds: float = 4.0,
