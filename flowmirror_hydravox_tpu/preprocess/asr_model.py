@@ -246,7 +246,9 @@ def save_ckpt(path: str, params, cfg: ASRModelConfig, vocab: Sequence[str]):
 
 
 def load_ckpt(path: str):
-    """-> (params, cfg, vocab list); params dtype from the file (fp16 ok)."""
+    """-> (params, cfg, vocab list).  The file may store any dtype (the
+    shipped demo ckpt is fp16); leaves are cast to the init template's dtype
+    (float32) on load — NativeASR runs the model in f32 regardless."""
     import jax
 
     from ..train.checkpoint import load_params_npz

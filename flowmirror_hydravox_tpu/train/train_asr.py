@@ -41,7 +41,12 @@ def synthetic_pool(seconds: float, seed: int, vocab, n_speakers: int = 256,
     The training loop pushes this to the device ONCE and does batching +
     noise augmentation on-device (see main): on a tunneled TPU a per-step
     host->device transfer of raw audio stalls the whole run, and it is
-    unnecessary — the pool fits HBM trivially."""
+    unnecessary — the pool fits HBM trivially.
+
+    Clip synthesis is pinned to corpus seed=1 BY DESIGN (only the noise pool
+    varies with `seed`): tools/eval_asr holds out by (speaker, utterance) id
+    against this fixed seed-1 corpus, so varying the clip seed would silently
+    break the held-out split contract."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .synth_speech import synth_noise, synth_utterance_with_segments
@@ -265,8 +270,12 @@ def main(argv=None):
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
-        threading.Thread(target=lambda: [q.put(x) for x in gen],
-                         daemon=True).start()
+
+        def _feed():
+            for x in gen:
+                q.put(x)
+
+        threading.Thread(target=_feed, daemon=True).start()
         step = jax.jit(train_step)
         for i in range(args.max_steps):
             wavs, wav_len, labels, label_len = q.get()
