@@ -158,12 +158,12 @@ def main(argv=None):
         )
 
     if not args.no_prewarm:
-        logging.info("prewarming hot bucket programs (use --no-prewarm to skip)...")
-        engine.prewarm()
-
+        logging.info("prewarming the serving program caches "
+                     "(use --no-prewarm to skip)...")
     serve(args.api_host, args.api_port, engine, frontend, with_ui=args.with_ui,
           continuous_slots=args.continuous_batching,
-          continuous_head_num=args.continuous_heads)
+          continuous_head_num=args.continuous_heads,
+          prewarm=not args.no_prewarm)
 
 
 if __name__ == "__main__":

@@ -157,18 +157,30 @@ class ContinuousBatcher:
         self._state = None
         self._slot_req: list = [None] * slots
         self._slot_steps = [0] * slots
+        # two admission lanes: stream=True requests are LATENCY-sensitive
+        # (TTFT is the product metric) and get strict priority over
+        # whole-utterance requests — the isolation property the reference
+        # buys with one-request-per-GPU-worker (server/worker.py:25-31)
         self._backlog: list = []
+        self._backlog_stream: list = []
         # submit->slot-assignment latencies (bounded window) for /metrics
         from collections import deque
 
         self.admission_lat_s: "deque" = deque(maxlen=512)
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         # finished rows synthesize on their own thread so the decode loop can
-        # admit + dispatch the next chunk while wavs transfer to the host
+        # admit + dispatch the next chunk while wavs transfer to the host;
+        # stream CHUNKS get a second, dedicated thread so a whole-utterance
+        # synth (or its first-time XLA compile) can't sit between a live
+        # stream and its next ~1 s chunk
         self._synth_q: "queue.Queue" = queue.Queue()
+        self._stream_q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._synth_thread = threading.Thread(target=self._synth_loop, daemon=True)
+        self._synth_thread = threading.Thread(
+            target=self._synth_loop, args=(self._synth_q,), daemon=True)
+        self._stream_thread = threading.Thread(
+            target=self._synth_loop, args=(self._stream_q,), daemon=True)
         self._started = False
         self._lock = threading.Lock()
 
@@ -548,6 +560,7 @@ class ContinuousBatcher:
                 self._state = self._init_state()
                 self._thread.start()
                 self._synth_thread.start()
+                self._stream_thread.start()
         self._pending.put(req)
         return req
 
@@ -572,6 +585,35 @@ class ContinuousBatcher:
             if isinstance(item, Exception):
                 raise item
             yield item
+
+    def prewarm(self, text_lens=(16,), token_counts=(125,),
+                stream: bool = True, timeout: float = 1800.0) -> float:
+        """Compile every program the slots will use — admit (per text
+        bucket), the shared chunk program, whole-utterance synthesis for the
+        expected token buckets, and the stream-chunk ladder — by running real
+        dummy requests end to end.  Call BEFORE serving traffic: an XLA
+        compile landing inside a serving window blocks the decode loop for
+        tens of seconds and reads as starvation (BENCH_r03's 30-47 s TTFT
+        under load was exactly this).  Returns seconds spent."""
+        t0 = time.time()
+        for n_text in text_lens:
+            for n_tok in token_counts:
+                ratio = n_tok / max(n_text, 1)
+                text = np.arange(n_text, dtype=np.int32) % 100
+                req = self.submit(
+                    text, min_token_text_ratio=ratio, max_token_text_ratio=ratio,
+                    rng=jax.random.PRNGKey(0))
+                self.result(req, timeout=timeout)
+                if stream:
+                    req = self.submit(
+                        text, min_token_text_ratio=ratio,
+                        max_token_text_ratio=ratio, stream=True,
+                        rng=jax.random.PRNGKey(1))
+                    for _ in self.stream_result(req, timeout=timeout):
+                        pass
+        dt = time.time() - t0
+        logger.info("continuous prewarm done in %.1fs", dt)
+        return dt
 
     def _bucket(self, n: int) -> int:
         from .engine import _bucket
@@ -602,16 +644,20 @@ class ContinuousBatcher:
                 time.sleep(0.1)
 
     def _tick(self):
-        # move arrivals into the FIFO backlog, then admit into free slots
+        # move arrivals into the backlogs (streams into the priority lane),
+        # then admit into free slots — stream lane strictly first
         while True:
             try:
-                self._backlog.append(self._pending.get_nowait())
+                req = self._pending.get_nowait()
             except queue.Empty:
                 break
+            (self._backlog_stream if req.stream else self._backlog).append(req)
         for i in range(self.slots):
-            if self._slot_req[i] is not None or not self._backlog:
+            if self._slot_req[i] is not None or not (
+                    self._backlog_stream or self._backlog):
                 continue
-            req = self._backlog.pop(0)
+            lane = self._backlog_stream or self._backlog
+            req = lane.pop(0)
             try:
                 # admission latency: submit -> slot assignment (the queueing
                 # metric continuous batching exists to bound under load)
@@ -661,7 +707,8 @@ class ContinuousBatcher:
         if all(r is None for r in self._slot_req):
             # idle: block briefly for the next arrival
             try:
-                self._backlog.append(self._pending.get(timeout=0.05))
+                req = self._pending.get(timeout=0.05)
+                (self._backlog_stream if req.stream else self._backlog).append(req)
             except queue.Empty:
                 pass
             return
@@ -699,8 +746,8 @@ class ContinuousBatcher:
                     if num - req.sched_offset < this_hop + la:
                         break
                     toks = meta[i, : req.sched_offset + this_hop + la].copy()
-                    self._synth_q.put(("schunk", req, toks, req.sched_offset, False,
-                                       steps, chunk_time))
+                    self._stream_q.put(("schunk", req, toks, req.sched_offset, False,
+                                        steps, chunk_time))
                     req.sched_offset += this_hop
                 if fin:
                     logger.info(
@@ -709,8 +756,8 @@ class ContinuousBatcher:
                         time.time() - req.t_submit,
                     )
                     toks = meta[i, :num].copy()
-                    self._synth_q.put(("schunk", req, toks, req.sched_offset, True,
-                                       steps, chunk_time))
+                    self._stream_q.put(("schunk", req, toks, req.sched_offset, True,
+                                        steps, chunk_time))
                     self._slot_req[i] = None
             elif fin:  # finished: hand off to the synth thread
                 tokens = meta[i, : self.max_tokens + k][:num]
@@ -722,10 +769,10 @@ class ContinuousBatcher:
                 self._synth_q.put(("final", req, tokens, steps, chunk_time))
                 self._slot_req[i] = None
 
-    def _synth_loop(self):
+    def _synth_loop(self, q: "queue.Queue"):
         while not self._stop.is_set():
             try:
-                item = self._synth_q.get(timeout=0.1)
+                item = q.get(timeout=0.1)
             except queue.Empty:
                 continue
             if item[0] == "schunk":
@@ -830,20 +877,23 @@ class ContinuousBatcher:
         if self._started:
             self._thread.join(timeout=5.0)
             self._synth_thread.join(timeout=5.0)
+            self._stream_thread.join(timeout=5.0)
         # fail everything still queued or in flight so waiters unblock now
         # instead of sitting out their full result() timeout
-        leftovers = list(self._backlog)
+        leftovers = list(self._backlog) + list(self._backlog_stream)
         self._backlog = []
+        self._backlog_stream = []
         while True:
             try:
                 leftovers.append(self._pending.get_nowait())
             except queue.Empty:
                 break
-        while True:
-            try:
-                leftovers.append(self._synth_q.get_nowait()[1])
-            except queue.Empty:
-                break
+        for q in (self._synth_q, self._stream_q):
+            while True:
+                try:
+                    leftovers.append(q.get_nowait()[1])
+                except queue.Empty:
+                    break
         with self._lock:
             for i, req in enumerate(self._slot_req):
                 if req is not None:

@@ -131,6 +131,27 @@ class TTSService:
             )
         self.worker = threading.Thread(target=self._worker_loop, daemon=True)
         self.worker.start()
+        # dedicated lane for streaming requests: TTFT is the product metric,
+        # so a stream must never queue behind whole-utterance /tts groups in
+        # the worker (the isolation the reference buys with one-request-per-
+        # GPU-worker, server/worker.py:25-31).  Two threads so a pair of
+        # concurrent streams don't serialize on each other either; device
+        # dispatches interleave at chunk granularity.
+        self.stream_tasks: "queue.Queue" = queue.Queue()
+        self._stream_workers = [
+            threading.Thread(target=self._stream_worker_loop, daemon=True)
+            for _ in range(2)
+        ]
+        for t in self._stream_workers:
+            t.start()
+
+    def _stream_worker_loop(self):
+        while not self._stop.is_set():
+            try:
+                task = self.stream_tasks.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self._run_one(task)
 
     def _worker_loop(self):
         while not self._stop.is_set():
@@ -269,51 +290,12 @@ class TTSService:
 
             if not spans:
                 return
-            # pad the row count up to a power of two (max_batch-bounded) so
-            # coalesced dispatches reuse a small set of compiled program
-            # shapes instead of compiling one per realized batch size
             n_real = len(token_lists)
-            n_pad = 1 << (n_real - 1).bit_length()
-            while len(token_lists) < n_pad:
-                token_lists.append(token_lists[-1])
-                tts_lens.append(tts_lens[-1])
-                llm_rows.append(llm_rows[-1])
-                sp_rows.append(sp_rows[-1])
-                pm_rows.append(pm_rows[-1])
-                emb_rows.append(emb_rows[-1])
-
-            # the warm key mirrors the engine's compile keys: padded batch,
-            # text bucket, prompt-token/mel buckets, AND the fused program's
-            # estimated token bucket (a longer-text group with the same
-            # prompt bucket still needs a fresh compile)
-            max_lt = max(len(t) for t in token_lists)
-            max_tts = max(tts_lens)
-            lp_max = max((len(s) for s in sp_rows if s is not None), default=0)
-            lm_max = max(
-                (len(s) if e is None else len(e)
-                 for e, s in zip(llm_rows, sp_rows)
-                 if (s if e is None else e) is not None),
-                default=0,
+            warm_key, token_lists, batch_kwargs = self._assemble_batch(
+                token_lists, tts_lens, llm_rows, sp_rows, pm_rows, emb_rows,
+                sampling, head_num,
             )
-            pm_max = max((len(p) for p in pm_rows if p is not None), default=0)
-            warm_key = (
-                n_pad,
-                self.engine._bucket_prompt(max_lt),
-                self.engine._estimate_token_bucket(
-                    max_tts, 2 * max_tts,
-                    min(20 * max_tts, self.engine.max_tokens), lp_max,
-                ),
-                head_num,
-                self.engine._bucket_prompt(lm_max) if lm_max else 0,
-                self.engine._bucket_prompt(lp_max) if lp_max else 0,
-                self.engine._bucket_mel(pm_max) if pm_max else 0,
-            )
-            batch_kwargs = dict(
-                sampling=sampling, inference_head_num=head_num,
-                spk_embedding=np.stack(emb_rows),
-                prompt_speech_tokens=sp_rows, prompt_mel=pm_rows,
-                tts_text_lens=tts_lens, llm_prompt_speech_tokens=llm_rows,
-            )
+            n_pad = len(token_lists)
             if self.cold_batch_fallback and warm_key not in self._warm_batches:
                 if warm_key not in self._warming_batches:
                     self._warming_batches.add(warm_key)
@@ -361,6 +343,123 @@ class TTSService:
             with self.results_lock:
                 for task, _s, _e in spans:
                     self.results.setdefault(task["task_id"], {"error": str(e)})
+
+    def _assemble_batch(self, token_lists, tts_lens, llm_rows, sp_rows,
+                        pm_rows, emb_rows, sampling, head_num):
+        """Pad the row count up to a power of two (so coalesced dispatches
+        reuse a small set of compiled program shapes instead of compiling one
+        per realized batch size) and compute the compile-shape warm key: the
+        padded batch, text bucket, prompt-token/mel buckets, AND the fused
+        program's estimated token bucket (a longer-text group with the same
+        prompt bucket still needs a fresh compile).  Shared by _run_group and
+        prewarm so the warmed keys are exactly the served keys."""
+        token_lists = list(token_lists)
+        tts_lens = list(tts_lens)
+        llm_rows, sp_rows = list(llm_rows), list(sp_rows)
+        pm_rows, emb_rows = list(pm_rows), list(emb_rows)
+        n_pad = 1 << (len(token_lists) - 1).bit_length()
+        while len(token_lists) < n_pad:
+            token_lists.append(token_lists[-1])
+            tts_lens.append(tts_lens[-1])
+            llm_rows.append(llm_rows[-1])
+            sp_rows.append(sp_rows[-1])
+            pm_rows.append(pm_rows[-1])
+            emb_rows.append(emb_rows[-1])
+        max_lt = max(len(t) for t in token_lists)
+        max_tts = max(tts_lens)
+        lp_max = max((len(s) for s in sp_rows if s is not None), default=0)
+        lm_max = max(
+            (len(s) if e is None else len(e)
+             for e, s in zip(llm_rows, sp_rows)
+             if (s if e is None else e) is not None),
+            default=0,
+        )
+        pm_max = max((len(p) for p in pm_rows if p is not None), default=0)
+        warm_key = (
+            n_pad,
+            self.engine._bucket_prompt(max_lt),
+            self.engine._estimate_token_bucket(
+                max_tts, 2 * max_tts,
+                min(20 * max_tts, self.engine.max_tokens), lp_max,
+            ),
+            head_num,
+            self.engine._bucket_prompt(lm_max) if lm_max else 0,
+            self.engine._bucket_prompt(lp_max) if lp_max else 0,
+            self.engine._bucket_mel(pm_max) if pm_max else 0,
+        )
+        batch_kwargs = dict(
+            sampling=sampling, inference_head_num=head_num,
+            spk_embedding=np.stack(emb_rows),
+            prompt_speech_tokens=sp_rows, prompt_mel=pm_rows,
+            tts_text_lens=tts_lens, llm_prompt_speech_tokens=llm_rows,
+        )
+        return warm_key, token_lists, batch_kwargs
+
+    def prewarm(self, texts=None, speaker_id=None, head_nums=None,
+                batch_sizes=(1, 2, 4, 8), stream: bool = True,
+                continuous_token_counts=(60, 125), timeout: float = 1800.0):
+        """Compile every program the serving paths will use for traffic
+        shaped like `texts` BEFORE it arrives: the flash-batch ladder
+        (each padded batch size in `batch_sizes`), the solo path, the
+        streaming path, and — when continuous batching is on — the slot
+        programs (ContinuousBatcher.prewarm).  An XLA compile landing inside
+        a serving window stalls every concurrent request for tens of seconds
+        (BENCH_r03's 30-47 s TTFT under load); after prewarm the window/
+        continuous modes serve exclusively from warm program caches.
+        Returns seconds spent."""
+        t0 = time.time()
+        texts = texts or ["预热语句：新闻播报的语速通常是每分钟两百四十字左右。"]
+        if speaker_id is None:
+            speakers = self.frontend.available_speakers()
+            if not speakers:
+                raise ValueError("prewarm needs at least one enrolled speaker")
+            speaker_id = speakers[0]
+        head_nums = sorted(set(
+            head_nums or [int(self.default_extra["inference_head_num"])]))
+        sampling = self._sampling(self.default_extra)
+        for text in texts:
+            task = {"type": "tts", "text": text, "speaker_id": speaker_id}
+            rows = self._prepare_batch_rows(task)
+            for head in head_nums:
+                for n in batch_sizes:
+                    reps = -(-n // len(rows))
+                    sub = (rows * reps)[:n]
+                    warm_key, token_lists, kwargs = self._assemble_batch(
+                        [r[0] for r in sub], [r[1] for r in sub],
+                        [r[2] for r in sub], [r[3] for r in sub],
+                        [r[4] for r in sub], [r[5] for r in sub],
+                        sampling, head,
+                    )
+                    if warm_key in self._warm_batches:
+                        continue
+                    self.engine.synthesize_batch(token_lists, **kwargs)
+                    self._warm_batches.add(warm_key)
+                    logger.info("prewarmed batch shape %s", warm_key)
+                # solo path (cold-group fallback + custom-sampling traffic)
+                feats = self.frontend.frontend_sft(
+                    self.frontend.text_normalize(text, split=True)[0],
+                    speaker_id)
+                self._synthesize_one(feats, sampling, head, 1.0)
+                if stream:
+                    gen = self.engine.streaming().synthesize_stream(
+                        text_tokens=feats["text_tokens"],
+                        tts_text_len=feats["tts_text_len"],
+                        sampling=sampling, inference_head_num=head,
+                        prompt_speech_tokens=feats.get("prompt_speech_tokens"),
+                        prompt_mel=feats.get("prompt_mel"),
+                        spk_embedding=feats.get("spk_embedding"),
+                    )
+                    for _ in gen:
+                        pass
+        if self.batcher is not None:
+            task0 = {"type": "tts", "text": texts[0], "speaker_id": speaker_id}
+            n_text = len(self._prepare_batch_rows(task0)[0][0])
+            self.batcher.prewarm(
+                text_lens=(n_text,), token_counts=continuous_token_counts,
+                stream=stream, timeout=timeout)
+        dt = time.time() - t0
+        logger.info("service prewarm done in %.1fs", dt)
+        return dt
 
     def _sampling(self, extra: dict) -> SamplingConfig:
         return SamplingConfig(
@@ -553,6 +652,8 @@ class TTSService:
             # in-flight batch, so TTFT under concurrent load is bounded by
             # the chunk cadence instead of the worker-queue depth
             self._cont_pool.submit(self._run_continuous_stream, task)
+        elif task.get("type") == "tts_stream":
+            self.stream_tasks.put(task)  # dedicated low-latency lane
         else:
             self.tasks.put(task)
         return tid
@@ -691,7 +792,7 @@ class TTSService:
                 sp = feats.get("prompt_speech_tokens")
                 if (len(feats["text_tokens"]) > self.batcher.prompt_buckets[-1]
                         or (sp is not None and len(sp) > self.batcher.sp_buckets[-1])):
-                    self.tasks.put(task)
+                    self.stream_tasks.put(task)  # solo-streaming lane
                     return
             sr = self.engine.cfg.sample_rate
             for i, feats in enumerate(feats_list):
@@ -1129,19 +1230,24 @@ def _cast_like(new_params, old_params):
 def make_server(
     host: str, port: int, engine: Engine, frontend, with_ui: bool = False,
     continuous_slots: int = 0, continuous_head_num: int = 2,
+    request_timeout: float = 60.0,
 ) -> ThreadingHTTPServer:
     service = TTSService(engine, frontend, continuous_slots=continuous_slots,
-                         continuous_head_num=continuous_head_num)
+                         continuous_head_num=continuous_head_num,
+                         request_timeout=request_timeout)
     service.serve_ui = with_ui
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve(host: str, port: int, engine: Engine, frontend, with_ui: bool = False,
-          continuous_slots: int = 0, continuous_head_num: int = 2):
+          continuous_slots: int = 0, continuous_head_num: int = 2,
+          prewarm: bool = False):
     server = make_server(host, port, engine, frontend, with_ui=with_ui,
                          continuous_slots=continuous_slots,
                          continuous_head_num=continuous_head_num)
+    if prewarm:
+        server.RequestHandlerClass.service.prewarm()
     logger.info("serving on %s:%d (ui=%s, continuous_slots=%d)",
                 host, port, with_ui, continuous_slots)
     server.serve_forever()

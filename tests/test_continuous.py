@@ -8,6 +8,7 @@ bit-for-bit for the same rng.
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -525,5 +526,120 @@ def test_service_spec_decode_with_continuous(engine):
         with _pytest.raises(ValueError, match="head"):
             TTSService(spec_engine, frontend, continuous_slots=2,
                        continuous_head_num=1)
+    finally:
+        service.shutdown()
+
+
+@pytest.mark.quick
+def test_stream_priority_admission(engine):
+    """Stream requests jump the admission backlog: when a slot frees, a
+    waiting stream=True request is admitted before OLDER non-stream requests
+    (VERDICT r3: TTFT under load must be bounded by the chunk cadence, not
+    the whole-utterance queue depth). Driven by hand — no loop threads."""
+    b = ContinuousBatcher(engine, slots=1, chunk_steps=2, head_num=2)
+    b._started = True  # keep the loop threads off; _tick is driven by hand
+    b._state = b._init_state()
+    t = np.arange(5, dtype=np.int32)
+    plain = [b.submit(t, rng=jax.random.PRNGKey(i),
+                      min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+             for i in range(2)]
+    stream = b.submit(t, rng=jax.random.PRNGKey(9), stream=True,
+                      min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+    b._tick()  # admission pass: the younger stream wins the free slot
+    assert b._slot_req[0] is stream
+    assert plain[0] in b._backlog and plain[1] in b._backlog
+    b._started = False  # threads never ran; skip joins, fail leftovers
+    b.shutdown()
+    assert all(r.error for r in plain)
+
+
+def test_stream_lane_bypasses_worker_queue(engine):
+    """Window mode (no continuous slots): a tts_stream request is served from
+    the dedicated stream lane, not behind queued /tts work. Three slow /tts
+    tasks occupy the worker; the stream's first chunk must arrive while they
+    are still draining."""
+    import queue as _q
+
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker(
+        "a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         batch_window=0.0)
+    try:
+        # absorb stream-path compiles before timing anything
+        cq0 = _q.Queue()
+        service.submit({"type": "tts_stream", "text": "warm the stream path",
+                        "speaker_id": "a", "chunk_queue": cq0})
+        while cq0.get(timeout=600) is not None:
+            pass
+
+        orig = TTSService._process_tts_segmented
+
+        def slow(self, task, sampling, head_num, speed):
+            time.sleep(0.8)
+            return orig(self, task, sampling, head_num, speed)
+
+        TTSService._process_tts_segmented = slow
+        try:
+            t0 = time.time()
+            for i in range(3):
+                service.submit({"type": "tts", "text": f"slow {i}",
+                                "speaker_id": "a"})
+            cq = _q.Queue()
+            service.submit({"type": "tts_stream", "text": "priority stream",
+                            "speaker_id": "a", "chunk_queue": cq})
+            first = cq.get(timeout=600)
+            t_first = time.time() - t0
+            assert first is not None and not isinstance(first, Exception)
+            # three 0.8 s blockers are ahead in the worker queue; the warm
+            # stream path must beat their 2.4 s serial drain
+            assert t_first < 2.0, f"stream first chunk took {t_first:.2f}s"
+            while cq.get(timeout=600) is not None:
+                pass
+        finally:
+            TTSService._process_tts_segmented = orig
+    finally:
+        service.shutdown()
+
+
+def test_service_prewarm_marks_batch_shapes(engine):
+    """TTSService.prewarm compiles the flash-batch ladder and marks the warm
+    keys so the cold-group fallback never triggers for prewarmed traffic; a
+    subsequent coalesced group rides the warm program directly."""
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker(
+        "a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         batch_window=0.1, cold_batch_fallback=True)
+    try:
+        text = "prewarm shapes test"
+        service.prewarm(texts=[text], speaker_id="a", head_nums=[2],
+                        batch_sizes=(1, 2), stream=False)
+        assert len(service._warm_batches) >= 2
+        # a coalesced pair must now be served AS a batch (not fall back cold)
+        import threading as _th
+
+        outs = [None, None]
+
+        def one(i):
+            tid = service.submit({"type": "tts", "text": text,
+                                  "speaker_id": "a"})
+            outs[i] = service.wait(tid)
+
+        threads = [_th.Thread(target=one, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert all(o and "output_audio" in o for o in outs)
+        assert service.batched_requests >= 2
     finally:
         service.shutdown()
