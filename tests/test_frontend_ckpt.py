@@ -116,3 +116,29 @@ def test_zero_shot_conditioning_depends_on_prompt(frontend):
     assert n > 0 and (np.asarray(ta[:n]) != np.asarray(tb[:n])).mean() > 0.3
     assert not np.allclose(fa["prompt_mel"][: len(fb["prompt_mel"])],
                            fb["prompt_mel"][: len(fa["prompt_mel"])])
+
+
+REAL_SPEECH_DIR = os.environ.get(
+    "HYDRAVOX_REAL_SPEECH_DIR", "/root/reference/assets/samples")
+
+
+@pytest.mark.skipif(not os.path.isdir(REAL_SPEECH_DIR),
+                    reason="no real-speech corpus in this environment")
+def test_shipped_extractors_carry_signal_on_real_speech(frontend):
+    """The synthetic-corpus-trained extractors must carry usable signal on
+    REAL human speech (VERDICT r3 item 4): the reference snapshot's five demo
+    speakers (read in place, never copied here) must separate in embedding
+    space, and tokens must be deterministic + content-driven.  Matches the
+    zero-shot frontend role, cli/frontend.py:92-116; measured numbers live
+    in frontend/assets/ckpt/RECIPE.md."""
+    from flowmirror_hydravox_tpu.tools.eval_frontend_real import evaluate
+
+    out = evaluate(REAL_SPEECH_DIR, frontend=frontend)
+    assert out["speakers"] >= 2
+    # separation: clearly positive gap, bounded between-speaker leakage
+    assert out["separation_gap"] > 0.15, out
+    assert out["between_above_within_median"] < 0.25, out
+    # tokens: reproducible, content-driven, non-degenerate code usage
+    assert out["token_deterministic"], out
+    assert out["token_content_diff_frac"] > 0.5, out
+    assert out["token_unique_codes"] >= 8, out
