@@ -597,7 +597,13 @@ class ContinuousBatcher:
         under load was exactly this).  Returns seconds spent."""
         t0 = time.time()
         for n_text in text_lens:
-            for n_tok in token_counts:
+            # always include the longest decode this text length can realize
+            # (max_token_text_ratio 20, buffer-capped): served requests that
+            # run past the largest explicit count would otherwise compile
+            # their synth/stream-chunk buckets cold, mid-traffic
+            cap = min(self.max_tokens, 20 * n_text)
+            counts = sorted(set(tuple(token_counts) + (cap,)))
+            for n_tok in counts:
                 ratio = n_tok / max(n_text, 1)
                 text = np.arange(n_text, dtype=np.int32) % 100
                 req = self.submit(

@@ -441,10 +441,18 @@ class TTSService:
                     speaker_id)
                 self._synthesize_one(feats, sampling, head, 1.0)
                 if stream:
+                    # pin the stream to its MAXIMUM realizable length so every
+                    # chunk-program bucket on the way compiles now — a served
+                    # stream whose decode runs longer than the prewarm stream
+                    # would otherwise hit a cold compile MID-stream (a 30 s+
+                    # inter-chunk gap)
+                    r_max = min(20.0,
+                                self.engine.max_tokens / max(feats["tts_text_len"], 1))
                     gen = self.engine.streaming().synthesize_stream(
                         text_tokens=feats["text_tokens"],
                         tts_text_len=feats["tts_text_len"],
                         sampling=sampling, inference_head_num=head,
+                        min_token_text_ratio=r_max, max_token_text_ratio=r_max,
                         prompt_speech_tokens=feats.get("prompt_speech_tokens"),
                         prompt_mel=feats.get("prompt_mel"),
                         spk_embedding=feats.get("spk_embedding"),

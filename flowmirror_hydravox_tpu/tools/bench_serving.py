@@ -1,0 +1,280 @@
+"""Serving-under-load benchmark section, isolated as a subprocess.
+
+bench.py runs this via `python -m flowmirror_hydravox_tpu.tools.bench_serving`
+with a hard subprocess timeout so a hung load scenario can never take the
+headline metrics down with it (BENCH_r03 rc=124: the whole bench died inside
+this section and every metric printed after it was lost).
+
+Measures, in order (each line is one JSON object on stdout):
+  service_throughput_8way        burst: 8 concurrent /tts through one worker
+  ttft_under_load_http           stream TTFT while 6 closed-loop /tts workers
+                                 hammer a window-coalescing server
+  ttft_under_load_http_continuous  same load on 4 continuous decode slots
+  staggered_load_window          poisson open-loop 3 rps, window coalescing
+  staggered_load_continuous      same arrivals on the continuous slots
+  staggered_mode_winner          data-selected serving mode
+
+Design deltas from the round-3 in-bench version (VERDICT r3 items 1-2, 4, 8):
+  - every service is PREWARMED with the actual benchmark payload before its
+    measurement window opens (TTSService.prewarm / ContinuousBatcher.prewarm
+    compile the full program ladder as a barrier) — round 3's "12 s sleep"
+    guess let XLA compiles land inside the windows and read as 30-47 s TTFT;
+  - one Engine serves every scenario, so jitted programs compile once and
+    later services only pay for their own batcher instances (which hit the
+    persistent compile cache);
+  - a global deadline (--budget) is checked between scenarios: whatever has
+    completed prints, the rest is skipped with a note, exit code stays 0.
+
+Reference roles: worker isolation (server/worker.py:25-31), router timeout
+(server/router.py:248-295), vLLM continuous batching
+(llm_multi_head_v3.py:476-504).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cache_dir", default=None)
+    p.add_argument("--budget", type=float, default=1500.0,
+                   help="global wall-clock budget (s); scenarios that don't "
+                        "fit are skipped with a note")
+    p.add_argument("--window", type=float, default=10.0,
+                   help="load-measurement window per scenario (s)")
+    args = p.parse_args(argv)
+    t_start = time.time()
+
+    def remaining():
+        return args.budget - (time.time() - t_start)
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("HYDRAVOX_FAST_RNG", "1") not in ("0", "false"):
+        jax.config.update("jax_default_prng_impl", "rbg")
+
+    from ..config import HydraVoxConfig
+    from ..frontend.frontend import Frontend, SpeakerInfo
+    from ..models import flow as flow_model
+    from ..models import hift as hift_model
+    from ..models import llm as llm_model
+    from ..runtime.engine import Engine
+    from ..runtime.server import TTSService, make_server
+    from .loadgen import run_load
+
+    cfg = HydraVoxConfig()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    t0 = time.time()
+    llm_params = jax.jit(lambda k: llm_model.init_params(k, cfg.llm, jnp.bfloat16))(k1)
+    flow_params = jax.jit(lambda k: flow_model.init_params(k, cfg.flow, jnp.bfloat16))(k2)
+    hift_params = jax.jit(lambda k: hift_model.init_params(k, cfg.hift, jnp.float32))(k3)
+    jax.block_until_ready(llm_params["llm_decoder"])
+    print(f"# serving bench init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=1024)
+    fe = Frontend(cfg)
+    for i in range(3):
+        fe.add_speaker(f"spk{i}", SpeakerInfo(
+            embedding=np.random.default_rng(i).standard_normal(192).astype(np.float32)))
+
+    HEADS = 4
+    lg_text = "流式播报延迟测试：新闻播报的语速通常是每分钟两百四十字左右。"
+    pay = json.dumps({"text": lg_text, "speaker_id": "spk0",
+                      "extra_params": {"inference_head_num": HEADS}}).encode()
+
+    def section(name, budget_need, fn):
+        if remaining() < budget_need:
+            emit({"aux": True, "metric": name, "skipped": True,
+                  "note": f"global budget exhausted ({remaining():.0f}s left, "
+                          f"need ~{budget_need:.0f}s)"})
+            return None
+        t0 = time.time()
+        try:
+            out = fn()
+        except Exception as e:
+            emit({"aux": True, "metric": name,
+                  "error": f"{type(e).__name__}: {e}"[:300]})
+            return None
+        emit({"aux": True, "section": name,
+              "elapsed_s": round(time.time() - t0, 1)})
+        return out
+
+    # --- burst throughput: 8 concurrent /tts through one prewarmed worker ---
+    def throughput_8way():
+        service = TTSService(engine, fe, request_timeout=300.0,
+                             batch_window=0.05)
+        try:
+            texts = [
+                "并发请求吞吐测试第%d句，新闻播报的速度通常是每分钟两百四十字左右。" % i
+                for i in range(8)
+            ]
+            service.prewarm(texts=texts[:1], speaker_id="spk0",
+                            head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
+                            stream=False)
+
+            def fire_all():
+                outs = [None] * 8
+
+                def one(i):
+                    tid = service.submit({
+                        "type": "tts", "text": texts[i],
+                        "speaker_id": f"spk{i % 3}",
+                        "extra_params": {"inference_head_num": HEADS},
+                    })
+                    outs[i] = service.wait(tid)
+
+                threads = [threading.Thread(target=one, args=(i,))
+                           for i in range(8)]
+                t0 = time.time()
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join()
+                return time.time() - t0, outs
+
+            fire_all()  # absorb any residual shape difference
+            wall, outs = min((fire_all() for _ in range(2)), key=lambda x: x[0])
+            n_err = sum(1 for o in outs if not (o and "output_audio" in o))
+            audio_s = sum(len(o["output_audio"]) / cfg.sample_rate for o in outs
+                          if o and "output_audio" in o)
+            emit({
+                "aux": True, "metric": "service_throughput_8way",
+                "wall_s": round(wall, 3), "audio_s": round(audio_s, 2),
+                "rtf_effective": round(wall / max(audio_s, 1e-9), 5),
+                "errors": n_err,
+                "batched_requests": service.batched_requests,
+            })
+        finally:
+            service.shutdown()
+
+    section("service_throughput_8way", 500, throughput_8way)
+
+    # --- servers for the load scenarios -------------------------------------
+    def with_server(slots, fn):
+        srv = make_server("127.0.0.1", 0, engine, fe, continuous_slots=slots,
+                          continuous_head_num=HEADS, request_timeout=120.0)
+        service = srv.RequestHandlerClass.service
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            # compile barrier: everything this scenario's traffic shape needs
+            service.prewarm(texts=[lg_text], speaker_id="spk0",
+                            head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
+                            stream=True, continuous_token_counts=(60, 125, 250))
+            return fn(url)
+        finally:
+            srv.shutdown()
+            service.shutdown()
+
+    def ttft_under_load(url):
+        from .loadgen import _tts_once
+
+        stop_flag = [False]
+
+        def bg():
+            while not stop_flag[0]:
+                try:
+                    _tts_once(url, pay, 120.0)
+                except Exception:
+                    pass
+
+        bgs = [threading.Thread(target=bg, daemon=True) for _ in range(6)]
+        for t in bgs:
+            t.start()
+        time.sleep(1.0)  # let the bg load reach steady state (no compiles left)
+        res = run_load(url, pay, mode="stream", concurrency=2,
+                       duration=args.window, warmup=1, timeout=120)
+        stop_flag[0] = True
+        return res
+
+    res_w = section("ttft_under_load_window", 400,
+                    lambda: with_server(0, ttft_under_load))
+    if res_w:
+        emit({
+            "aux": True, "metric": "ttft_under_load_http",
+            "ttft_p50_ms": res_w["ttft_p50_ms"], "ttft_p95_ms": res_w["ttft_p95_ms"],
+            "interchunk_gap_p95_ms": res_w["interchunk_gap_p95_ms"],
+            "stream_requests": res_w["requests"], "errors": res_w["errors"],
+            "bg_load": "6 closed-loop /tts workers", "target_ms": 200,
+        })
+
+    res_c = section("ttft_under_load_continuous", 400,
+                    lambda: with_server(4, ttft_under_load))
+    if res_c:
+        emit({
+            "aux": True, "metric": "ttft_under_load_http_continuous",
+            "ttft_p50_ms": res_c["ttft_p50_ms"], "ttft_p95_ms": res_c["ttft_p95_ms"],
+            "interchunk_gap_p95_ms": res_c["interchunk_gap_p95_ms"],
+            "stream_requests": res_c["requests"], "errors": res_c["errors"],
+            "bg_load": "6 closed-loop /tts workers on the same 4 slots",
+            "target_ms": 200,
+        })
+
+    # --- staggered (poisson open-loop) arrivals: window vs continuous -------
+    def staggered(url):
+        out = run_load(url, pay, mode="tts", arrival="poisson", rate=3.0,
+                       concurrency=8, duration=max(args.window, 15.0),
+                       warmup=1, timeout=120)
+        import urllib.request as _ur
+        try:
+            with _ur.urlopen(f"{url}/api/v1/metrics", timeout=10) as r:
+                m = json.load(r).get("data") or {}
+            out["admission_ms_p50"] = m.get("admission_ms_p50")
+            out["admission_ms_p95"] = m.get("admission_ms_p95")
+        except Exception:
+            pass
+        return out
+
+    modes = {}
+    for label, slots in (("window", 0), ("continuous", 4)):
+        r_m = section(f"staggered_load_{label}", 400,
+                      lambda slots=slots: with_server(slots, staggered))
+        if not r_m:
+            continue
+        modes[label] = r_m
+        emit({
+            "aux": True, "metric": f"staggered_load_{label}",
+            "rate_rps": 3.0, "requests": r_m["requests"], "errors": r_m["errors"],
+            "latency_p50_ms": r_m["latency_p50_ms"],
+            "latency_p95_ms": r_m["latency_p95_ms"],
+            "rtf_effective": r_m["rtf_effective"],
+            "admission_ms_p50": r_m.get("admission_ms_p50"),
+            "admission_ms_p95": r_m.get("admission_ms_p95"),
+        })
+    if len(modes) == 2:
+        better = min(modes, key=lambda k: modes[k]["latency_p95_ms"] or 1e18)
+        note = ("fixed decode slots bound the tail: admitted requests don't "
+                "wait for a coalescing window" if better == "continuous" else
+                "window coalescing amortizes the per-dispatch tunnel cost "
+                "(~30ms) that the chunked continuous mode pays per chunk")
+        emit({
+            "aux": True, "metric": "staggered_mode_winner", "winner": better,
+            "p95_window_ms": modes["window"]["latency_p95_ms"],
+            "p95_continuous_ms": modes["continuous"]["latency_p95_ms"],
+            "note": note,
+        })
+
+    emit({"aux": True, "section": "bench_serving_total",
+          "elapsed_s": round(time.time() - t_start, 1)})
+
+
+if __name__ == "__main__":
+    main()

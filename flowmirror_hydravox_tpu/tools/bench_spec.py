@@ -14,6 +14,16 @@ Prints one JSON line per rep and a final summary line
 NOTE: random-weight MTP heads draft near chance, so the measured acceptance
 is a LOWER bound — trained heads drive it up (proven in
 tests/test_llm.py::test_speculative_acceptance_rises_with_training).
+
+`--trained` measures the DESIGN POINT instead (VERDICT r3 item 7): it first
+trains the flagship-size model in-process on a structured token corpus
+(speech_token[t] = (start + t) % vocab — next-k-token prediction is exactly
+the draft skill, the same recipe as the unit test above but at full scale),
+then benches spec decode with those heads.  The corpus is synthetic, so the
+acceptance is an upper-bound demonstration that the THROUGHPUT machinery
+converts trained-head acceptance into tok/s; real-speech acceptance lands
+wherever real MTP training puts it (the reference ships trained heads,
+llm_multi_head_v3.py:866-922).
 """
 
 from __future__ import annotations
@@ -32,6 +42,10 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--cache_dir", default=".jax_cache")
+    p.add_argument("--trained", action="store_true",
+                   help="train the MTP heads first (structured corpus), then "
+                        "bench — the acceptance-at-design-point number")
+    p.add_argument("--train_steps", type=int, default=150)
     args = p.parse_args(argv)
 
     import jax
@@ -59,6 +73,39 @@ def main(argv=None):
     hift_p = jax.jit(lambda k: hift_model.init_params(k, cfg.hift, jnp.float32))(k3)
     jax.block_until_ready(llm_p["llm_decoder"])
 
+    train_acc = None
+    if args.trained:
+        from ..train.steps import (
+            OptimConfig, init_state, llm_train_step, make_optimizer,
+        )
+
+        sts = cfg.llm.speech_token_size
+        b, lt, ls = 8, 8, 64
+        opt = make_optimizer(OptimConfig(
+            learning_rate=3e-4 if not args.tiny else 3e-3, warmup_steps=10,
+            total_steps=max(args.train_steps, 20), schedule="constant"))
+        state = init_state(llm_p, opt)
+        step = jax.jit(lambda s, bt: llm_train_step(s, bt, cfg.llm, opt),
+                       donate_argnums=(0,))
+        rng_np = np.random.default_rng(0)
+        t0 = time.time()
+        metrics = None
+        for i in range(max(args.train_steps, 20)):
+            starts = rng_np.integers(0, sts, (b, 1))
+            batch = {
+                "text_token": rng_np.integers(0, 1000, (b, lt)).astype(np.int32),
+                "text_len": np.full((b,), lt, np.int32),
+                "speech_token": ((starts + np.arange(ls)[None, :]) % sts
+                                 ).astype(np.int32),
+                "speech_len": np.full((b,), ls, np.int32),
+            }
+            state, metrics = step(state, jax.tree.map(jnp.asarray, batch))
+        train_acc = float(metrics["acc"])
+        print(f"# trained {args.train_steps} steps in {time.time()-t0:.1f}s "
+              f"(multi-head CE acc {train_acc:.3f})", flush=True)
+        llm_p = state.params
+        del state
+
     n_tokens = min(args.tokens, 48) if args.tiny else args.tokens
     text_len = min(args.text_len, 24) if args.tiny else args.text_len
     max_gen = -(-n_tokens // 64) * 64
@@ -82,10 +129,11 @@ def main(argv=None):
     best = None
     for i in range(args.reps):
         r = run(eng, args.heads, jax.random.PRNGKey(100 + i))
-        print(json.dumps(dict(
-            mode=f"spec{args.heads}", tps=round(r.tps, 1),
-            acc=round(r.spec_acceptance, 3), steps=r.steps,
-            toks=len(r.speech_tokens), llm_s=round(r.llm_time, 4))), flush=True)
+        if not args.trained:
+            print(json.dumps(dict(
+                mode=f"spec{args.heads}", tps=round(r.tps, 1),
+                acc=round(r.spec_acceptance, 3), steps=r.steps,
+                toks=len(r.speech_tokens), llm_s=round(r.llm_time, 4))), flush=True)
         if best is None or r.tps > best.tps:
             best = r
 
@@ -95,9 +143,10 @@ def main(argv=None):
     bb = None
     for i in range(args.reps):
         r = run(eng_b, 1, jax.random.PRNGKey(100 + i))
-        print(json.dumps(dict(
-            mode="heads1", tps=round(r.tps, 1), steps=r.steps,
-            toks=len(r.speech_tokens), llm_s=round(r.llm_time, 4))), flush=True)
+        if not args.trained:
+            print(json.dumps(dict(
+                mode="heads1", tps=round(r.tps, 1), steps=r.steps,
+                toks=len(r.speech_tokens), llm_s=round(r.llm_time, 4))), flush=True)
         if bb is None or r.tps > bb.tps:
             bb = r
 
@@ -106,6 +155,18 @@ def main(argv=None):
         speedup=round(best.tps / bb.tps, 2),
         acceptance=round(best.spec_acceptance, 3),
     )
+    if args.trained:
+        summary = dict(
+            metric=f"spec_decode_trained_heads{args.heads}",
+            value=summary["spec_best_tps"], unit="tok/s",
+            acceptance=summary["acceptance"],
+            tokens_per_step=round(len(best.speech_tokens) / max(best.steps, 1), 2),
+            heads1_tps=summary["heads1_best_tps"], speedup=summary["speedup"],
+            train_steps=args.train_steps, train_acc=round(train_acc or 0.0, 3),
+            note="exact heads=1 distribution; heads trained on a structured "
+                 "corpus (next-k prediction = the draft skill) — see module "
+                 "docstring for what this does and does not claim",
+        )
     print(json.dumps(summary), flush=True)
     return summary
 
