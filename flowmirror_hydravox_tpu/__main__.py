@@ -70,6 +70,9 @@ def main(argv=None):
                         "vLLM-equivalent serving core). 0 = window coalescing")
     p.add_argument("--continuous-heads", type=int, default=2,
                    help="inference_head_num served by the continuous slots")
+    p.add_argument("--continuous-reserve", type=int, default=1,
+                   help="slots reserved for streaming requests (TTFT "
+                        "isolation; 0 = none)")
     p.add_argument("--spec-decode", action="store_true",
                    help="self-speculative MTP decoding: heads 1..K-1 draft, "
                         "head 0 verifies — exact heads=1 output quality at "
@@ -163,7 +166,8 @@ def main(argv=None):
     serve(args.api_host, args.api_port, engine, frontend, with_ui=args.with_ui,
           continuous_slots=args.continuous_batching,
           continuous_head_num=args.continuous_heads,
-          prewarm=not args.no_prewarm)
+          prewarm=not args.no_prewarm,
+          continuous_reserve_stream=args.continuous_reserve)
 
 
 if __name__ == "__main__":

@@ -106,11 +106,20 @@ class ContinuousBatcher:
         prompt_buckets=None,
         sampling: Optional[SamplingParams] = None,
         spec_decode: bool = False,
+        reserve_stream_slots: int = 0,
     ):
         """One batcher serves ONE (head_num, sampling) configuration — the
         chunk program shares the base step across slots, so requests with a
         different head count or sampling params must go through the regular
         Engine paths instead.
+
+        `reserve_stream_slots=N` keeps the first N slots exclusive to
+        stream=True requests: whole-utterance traffic can saturate at most
+        slots-N, so an arriving stream starts decoding at the NEXT chunk
+        boundary instead of waiting for a full utterance to drain — the
+        worker-isolation property the reference buys with one request per
+        GPU worker (server/worker.py:25-31), priced at N slots of batch
+        throughput while no streams are active.
 
         `spec_decode=True` makes the slots draft with MTP heads 1..K-1 and
         verify against head 0 (the exact heads=1 output distribution —
@@ -131,6 +140,8 @@ class ContinuousBatcher:
             raise ValueError(
                 "spec_decode slots need head_num >= 2 (heads 1..K-1 draft, "
                 "head 0 verifies)")
+        self.reserve_stream_slots = max(0, min(int(reserve_stream_slots),
+                                               slots - 1))
         self.max_tokens = engine.max_tokens
         # default text ladder covers up to 128 tokens (ordinary sentences and
         # the reference's ~80-token paragraph segments); longer segments fall
@@ -617,6 +628,12 @@ class ContinuousBatcher:
                         rng=jax.random.PRNGKey(1))
                     for _ in self.stream_result(req, timeout=timeout):
                         pass
+        if stream:
+            # every chunk-program bucket a slot stream can touch (see
+            # StreamingSynthesizer.prewarm_ladder) — engine-level jit cache,
+            # shared with solo streaming sessions
+            self._get_streamer().prewarm_ladder(
+                int(min(self.max_tokens, 20 * max(text_lens))))
         dt = time.time() - t0
         logger.info("continuous prewarm done in %.1fs", dt)
         return dt
@@ -659,11 +676,15 @@ class ContinuousBatcher:
                 break
             (self._backlog_stream if req.stream else self._backlog).append(req)
         for i in range(self.slots):
-            if self._slot_req[i] is not None or not (
-                    self._backlog_stream or self._backlog):
+            if self._slot_req[i] is not None:
                 continue
-            lane = self._backlog_stream or self._backlog
-            req = lane.pop(0)
+            if self._backlog_stream:
+                req = self._backlog_stream.pop(0)
+            elif self._backlog and i >= self.reserve_stream_slots:
+                # slots [0, reserve) stay free for the next stream arrival
+                req = self._backlog.pop(0)
+            else:
+                continue
             try:
                 # admission latency: submit -> slot assignment (the queueing
                 # metric continuous batching exists to bound under load)

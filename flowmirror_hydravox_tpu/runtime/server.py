@@ -51,7 +51,8 @@ class TTSService:
     def __init__(self, engine: Engine, frontend, request_timeout: float = 60.0,
                  batch_window: float = 0.03, max_batch: int = 8,
                  continuous_slots: int = 0, continuous_head_num: int = 2,
-                 cold_batch_fallback: bool = True):
+                 cold_batch_fallback: bool = True,
+                 continuous_reserve_stream: int = 1):
         """`batch_window`/`max_batch`: cross-request dynamic batching — when
         several plain SFT `/tts` requests are queued concurrently, the worker
         coalesces them (up to `max_batch` requests arriving within
@@ -88,6 +89,11 @@ class TTSService:
         self._warming_batches: set = set()  # shapes compiling in the background
         self.metrics = MetricsAggregator()
         self.tasks: "queue.Queue" = queue.Queue()
+        # submit -> worker-dequeue wait (window-mode queueing visibility; the
+        # continuous slots report admission_lat_s instead) — /metrics
+        from collections import deque
+
+        self.queue_wait_s: "deque" = deque(maxlen=512)
         self.results: Dict[str, Any] = {}
         self.results_lock = threading.Lock()
         self._stop = threading.Event()
@@ -122,6 +128,9 @@ class TTSService:
                 # with --spec-decode the slots draft-and-verify too, so every
                 # serving path keeps the exact heads=1 output distribution
                 spec_decode=spec,
+                # default: one slot reserved for streams (TTFT is the product
+                # metric; costs 1/slots of batch throughput when no streams)
+                reserve_stream_slots=continuous_reserve_stream,
             )
             # bounded frontend/wait threads for the continuous fast path (the
             # batcher itself bounds decode concurrency by its slot count)
@@ -145,12 +154,18 @@ class TTSService:
         for t in self._stream_workers:
             t.start()
 
+    def _record_wait(self, task: dict):
+        t = task.get("t_submit")
+        if t is not None:
+            self.queue_wait_s.append(time.time() - t)
+
     def _stream_worker_loop(self):
         while not self._stop.is_set():
             try:
                 task = self.stream_tasks.get(timeout=0.1)
             except queue.Empty:
                 continue
+            self._record_wait(task)
             self._run_one(task)
 
     def _worker_loop(self):
@@ -159,6 +174,7 @@ class TTSService:
                 task = self.tasks.get(timeout=0.1)
             except queue.Empty:
                 continue
+            self._record_wait(task)
             try:
                 group, leftover = [task], None
                 if self.batch_window > 0 and self._batchable(task) is not None:
@@ -441,27 +457,71 @@ class TTSService:
                     speaker_id)
                 self._synthesize_one(feats, sampling, head, 1.0)
                 if stream:
-                    # pin the stream to its MAXIMUM realizable length so every
-                    # chunk-program bucket on the way compiles now — a served
-                    # stream whose decode runs longer than the prewarm stream
-                    # would otherwise hit a cold compile MID-stream (a 30 s+
-                    # inter-chunk gap)
-                    r_max = min(20.0,
-                                self.engine.max_tokens / max(feats["tts_text_len"], 1))
+                    # one sample stream compiles the fused-first-chunk +
+                    # resumable-decode programs for this text bucket ...
                     gen = self.engine.streaming().synthesize_stream(
                         text_tokens=feats["text_tokens"],
                         tts_text_len=feats["tts_text_len"],
                         sampling=sampling, inference_head_num=head,
-                        min_token_text_ratio=r_max, max_token_text_ratio=r_max,
                         prompt_speech_tokens=feats.get("prompt_speech_tokens"),
                         prompt_mel=feats.get("prompt_mel"),
                         spk_embedding=feats.get("spk_embedding"),
                     )
                     for _ in gen:
                         pass
+                    # ... and the chunk-program LADDER is walked directly: a
+                    # sample stream only visits its own realized length's
+                    # keys, leaving e.g. shorter buckets' finalize programs
+                    # cold — a served stream then stalls 15 s+ MID-utterance
+                    # compiling one (engine-level jit cache: this also covers
+                    # streams riding the continuous slots)
+                    cap = int(min(self.engine.max_tokens,
+                                  20 * max(feats["tts_text_len"], 1)))
+                    self.engine.streaming().prewarm_ladder(
+                        cap, prompt_tokens=feats.get("prompt_speech_tokens"),
+                        prompt_mel=feats.get("prompt_mel"))
+        # fallback ladder: a request whose realized token count exceeds the
+        # fused program's estimate redispatches into the two-stage synth at
+        # the REALIZED bucket (engine.synthesize/synthesize_batch).  Those
+        # programs are big; compiling one mid-traffic stalls the device for
+        # a minute (BENCH r4 dev: a 73 s latency spike in a staggered
+        # window).  Compile them now — solo for every oversize bucket, batch
+        # for the group sizes closed-loop coalescing actually realizes.
+        import jax
+        import jax.numpy as jnp
+
+        eng = self.engine
+        task0 = {"type": "tts", "text": texts[0], "speaker_id": speaker_id}
+        rows0 = self._prepare_batch_rows(task0)
+        n_text = len(rows0[0][0])
+        max_tts = max(r[1] for r in rows0)
+        est = eng._estimate_token_bucket(
+            max_tts, 2 * max_tts, min(20 * max_tts, eng.max_tokens), 0)
+        cap_bkt = eng._bucket_token(min(20 * max_tts, eng.max_tokens))
+        k = eng.cfg.llm.head_num
+        rng0 = jax.random.PRNGKey(0)
+        for tb in eng.token_buckets:
+            if not est < tb <= cap_bkt:
+                continue
+            n_tok = jnp.int32(min(tb, eng.max_tokens))
+            buf = jnp.zeros((eng.max_tokens + k,), jnp.int32)
+            pm0 = jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32)
+            jax.block_until_ready(eng._synth_fn(tb, 0, 0)(
+                eng.flow_params, eng.hift_params, buf, n_tok,
+                jnp.zeros((0,), jnp.int32), jnp.int32(0), pm0, jnp.int32(0),
+                jnp.zeros((1, 192), jnp.float32), rng0))
+            for n_pad in (p for p in batch_sizes if p >= 4):
+                jax.block_until_ready(eng._batch_synth_fn(n_pad, tb, 0, 0)(
+                    eng.flow_params, eng.hift_params,
+                    jnp.zeros((n_pad, eng.max_tokens + k), jnp.int32),
+                    jnp.full((n_pad,), n_tok, jnp.int32),
+                    jnp.zeros((n_pad, 0), jnp.int32),
+                    jnp.zeros((n_pad,), jnp.int32),
+                    jnp.zeros((n_pad, 0, eng.cfg.flow.output_size), jnp.float32),
+                    jnp.zeros((n_pad,), jnp.int32),
+                    jnp.zeros((n_pad, 192), jnp.float32), rng0))
+            logger.info("prewarmed fallback synth bucket %d", tb)
         if self.batcher is not None:
-            task0 = {"type": "tts", "text": texts[0], "speaker_id": speaker_id}
-            n_text = len(self._prepare_batch_rows(task0)[0][0])
             self.batcher.prewarm(
                 text_lens=(n_text,), token_counts=continuous_token_counts,
                 stream=stream, timeout=timeout)
@@ -640,6 +700,7 @@ class TTSService:
     def submit(self, task: dict) -> str:
         tid = str(uuid.uuid4())
         task["task_id"] = tid
+        task.setdefault("t_submit", time.time())
         continuous_ok = task.get("type") == "tts" or (
             # plain-mode zero_shot rides the slots too (per-slot prompts);
             # cross-lingual/instruct2 need the per-row LM-prefix override,
@@ -882,13 +943,18 @@ class _Handler(BaseHTTPRequestHandler):
             data = self.service.metrics.summary()
             data["batched_requests"] = self.service.batched_requests
             data["continuous_requests"] = self.service.continuous_requests
+            import numpy as _np
+
             batcher = getattr(self.service, "batcher", None)
             if batcher is not None and len(batcher.admission_lat_s):
-                import numpy as _np
-
                 lat = _np.asarray(batcher.admission_lat_s)
                 data["admission_ms_p50"] = round(float(_np.percentile(lat, 50)) * 1000, 1)
                 data["admission_ms_p95"] = round(float(_np.percentile(lat, 95)) * 1000, 1)
+            if len(self.service.queue_wait_s):
+                # window-mode queueing visibility (submit -> worker dequeue)
+                w = _np.asarray(self.service.queue_wait_s)
+                data["queue_wait_ms_p50"] = round(float(_np.percentile(w, 50)) * 1000, 1)
+                data["queue_wait_ms_p95"] = round(float(_np.percentile(w, 95)) * 1000, 1)
             self._send(200, _response(True, "ok", data=data))
         elif self.path == "/api/v1/devices":
             # device autodetect for the UI (reference data_tab.py:157-171
@@ -1238,11 +1304,12 @@ def _cast_like(new_params, old_params):
 def make_server(
     host: str, port: int, engine: Engine, frontend, with_ui: bool = False,
     continuous_slots: int = 0, continuous_head_num: int = 2,
-    request_timeout: float = 60.0,
+    request_timeout: float = 60.0, continuous_reserve_stream: int = 1,
 ) -> ThreadingHTTPServer:
     service = TTSService(engine, frontend, continuous_slots=continuous_slots,
                          continuous_head_num=continuous_head_num,
-                         request_timeout=request_timeout)
+                         request_timeout=request_timeout,
+                         continuous_reserve_stream=continuous_reserve_stream)
     service.serve_ui = with_ui
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
@@ -1250,10 +1317,11 @@ def make_server(
 
 def serve(host: str, port: int, engine: Engine, frontend, with_ui: bool = False,
           continuous_slots: int = 0, continuous_head_num: int = 2,
-          prewarm: bool = False):
+          prewarm: bool = False, continuous_reserve_stream: int = 1):
     server = make_server(host, port, engine, frontend, with_ui=with_ui,
                          continuous_slots=continuous_slots,
-                         continuous_head_num=continuous_head_num)
+                         continuous_head_num=continuous_head_num,
+                         continuous_reserve_stream=continuous_reserve_stream)
     if prewarm:
         server.RequestHandlerClass.service.prewarm()
     logger.info("serving on %s:%d (ui=%s, continuous_slots=%d)",

@@ -404,6 +404,55 @@ class StreamingSynthesizer:
             token_offset, hift_rng, finalize=True, hift_cache=hift_cache,
         )
         yield wav
+    def prewarm_ladder(self, max_total_tokens: int,
+                       prompt_tokens: Optional[np.ndarray] = None,
+                       prompt_mel: Optional[np.ndarray] = None) -> float:
+        """Compile the full chunk-program ladder a stream can touch.
+
+        A session's per-chunk program is keyed by the token-prefix bucket and
+        the finalize flag (`_chunk_fn`); one sample stream only compiles the
+        keys its own realized length visits — in particular the FINALIZE
+        program of every shorter bucket stays cold, and a served stream then
+        stalls tens of seconds mid-utterance on first use (BENCH r4 dev runs:
+        14-18 s inter-chunk gaps).  This walks every (bucket, cache, finalize)
+        combination up to `max_total_tokens` directly.  Returns seconds."""
+        t0 = time.time()
+        hop, la = self.token_hop_len, self.cfg.flow.pre_lookahead_len
+        mc, sc = self.mel_cache_len, self.source_cache_len
+        pt = (np.zeros((0,), np.int32) if prompt_tokens is None
+              else np.asarray(prompt_tokens, np.int32))
+        emb = np.zeros((192,), np.float32)
+        rng = jax.random.PRNGKey(0)
+        cache = {
+            "mel": jnp.zeros((1, 80, mc), jnp.float32),
+            "source": jnp.zeros((1, 1, sc), jnp.float32),
+            "speech": np.zeros((sc,), np.float32),
+        }
+        # cacheless first-chunk + short-stream-finalize variants
+        n0 = min(hop + la, max(max_total_tokens, 1))
+        self._token2wav(np.zeros((n0,), np.int32), pt, prompt_mel, emb,
+                        0, rng, False, None)
+        self._token2wav(np.zeros((max(n0 - 1, 1),), np.int32), pt, prompt_mel,
+                        emb, 0, rng, True, None)
+        # carried-cache mid-stream + finalize, one per token bucket
+        cap = max_total_tokens + len(pt)
+        for tb in self.engine.token_buckets:
+            n = min(tb, cap) - len(pt)
+            if n < hop + la:
+                continue
+            # mid-stream chunks emit exactly one hop (frames = 2*hop -> the
+            # 64 chunk bucket); finalize flushes a sub-hop remainder — match
+            # both shapes exactly so the compiled keys equal the served keys
+            self._token2wav(np.zeros((n,), np.int32), pt, prompt_mel, emb,
+                            n - la - hop, rng, False, dict(cache))
+            self._token2wav(np.zeros((n,), np.int32), pt, prompt_mel, emb,
+                            max(n - 10, 0), rng, True, dict(cache))
+            if tb >= cap:
+                break
+        dt = time.time() - t0
+        logger.info("stream chunk-ladder prewarm done in %.1fs", dt)
+        return dt
+
     def _token2wav(
         self, tokens, prompt_tokens, prompt_mel, spk_embedding, token_offset, rng,
         finalize: bool, hift_cache,

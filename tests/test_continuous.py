@@ -643,3 +643,26 @@ def test_service_prewarm_marks_batch_shapes(engine):
         assert service.batched_requests >= 2
     finally:
         service.shutdown()
+
+
+@pytest.mark.quick
+def test_reserved_stream_slot(engine):
+    """reserve_stream_slots=1: whole-utterance traffic can occupy at most
+    slots-1, so an arriving stream starts decoding at the next chunk boundary
+    instead of waiting for a full utterance to drain."""
+    b = ContinuousBatcher(engine, slots=2, chunk_steps=2, head_num=2,
+                          reserve_stream_slots=1)
+    b._started = True  # drive _tick by hand
+    b._state = b._init_state()
+    t = np.arange(5, dtype=np.int32)
+    plain = [b.submit(t, rng=jax.random.PRNGKey(i),
+                      min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+             for i in range(2)]
+    b._tick()  # only the non-reserved slot 1 takes plain traffic
+    assert b._slot_req[0] is None and b._slot_req[1] is plain[0]
+    stream = b.submit(t, rng=jax.random.PRNGKey(9), stream=True,
+                      min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+    b._tick()  # the reserved slot admits the stream immediately
+    assert b._slot_req[0] is stream
+    b._started = False
+    b.shutdown()
