@@ -20,9 +20,10 @@ lost every metric after the hang):
     timeout is attributable;
   - risky long-tail sections (train steps, serving under load) run as
     SUBPROCESSES with hard timeouts — a hang degrades to one error line;
-  - a global wall-clock budget (HYDRAVOX_BENCH_BUDGET, default 4500 s) is
+  - a global wall-clock budget (HYDRAVOX_BENCH_BUDGET, default 3000 s) is
     checked between sections; sections that don't fit are skipped with a
-    note instead of risking the driver's kill.
+    note instead of risking the driver's kill (round 3 died at rc=124, so
+    the driver's timeout is real but unknown — stay well under 3600 s).
 """
 
 import json
@@ -36,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 T_START = time.time()
-BUDGET_S = float(os.environ.get("HYDRAVOX_BENCH_BUDGET", 4500))
+BUDGET_S = float(os.environ.get("HYDRAVOX_BENCH_BUDGET", 3000))
 
 
 def remaining():

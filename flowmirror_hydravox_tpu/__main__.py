@@ -63,11 +63,15 @@ def main(argv=None):
                    choices=[None, "none", "bf16", "int8"],
                    help="weight-only LLM quantization for decode (int8: ~1.3x "
                         "faster steps on v5e; flow/hift stay bf16/f32)")
-    p.add_argument("--continuous-batching", type=int, default=0, metavar="SLOTS",
+    p.add_argument("--continuous-batching", type=int, default=4, metavar="SLOTS",
                    help="continuous (in-flight) batching: N persistent decode "
                         "slots; default-config SFT requests join a live batch "
                         "at chunk boundaries (runtime/continuous.py, the "
-                        "vLLM-equivalent serving core). 0 = window coalescing")
+                        "vLLM-equivalent serving core). Default 4: the QoS "
+                        "mode — bounded stream TTFT under load (one slot "
+                        "reserved). 0 = window coalescing (max burst "
+                        "throughput, but streams queue behind whole-utterance "
+                        "decodes under load)")
     p.add_argument("--continuous-heads", type=int, default=2,
                    help="inference_head_num served by the continuous slots")
     p.add_argument("--continuous-reserve", type=int, default=1,

@@ -74,16 +74,13 @@ def nucleus_sample(rng: jax.Array, logits: jnp.ndarray, top_p, top_k) -> jnp.nda
     return top_idx[pick].astype(jnp.int32)
 
 
-def ras_sample(
-    rng: jax.Array,
-    logits: jnp.ndarray,  # (V,) raw logits (log-softmax offset is irrelevant)
-    token_history: jnp.ndarray,  # (L,) int32 decoded tokens buffer (padded with -1)
-    num_decoded: jnp.ndarray,  # scalar int32 — valid tokens in history
-    params: SamplingParams,
-    ignore_eos: jnp.ndarray,  # scalar bool
-    speech_token_size: int,
-) -> jnp.ndarray:
-    """Full RAS step on device. Returns scalar int32 token id."""
+def _ras_candidate(rng, logits, token_history, num_decoded, params, ignore_eos,
+                   speech_token_size: int):
+    """Nucleus-candidate phase of a RAS step: returns (candidate, repeated,
+    masked_logits, rng_flat) so the caller can defer the full-vocab fallback
+    (plain-multinomial gumbel over V) behind a lax.cond — the repetition
+    fallback fires on a small minority of steps, but drawing it eagerly
+    costs a V-wide log_softmax + gumbel + argmax per head per step."""
     v = logits.shape[0]
     token_ids = jnp.arange(v)
     is_stop = token_ids >= speech_token_size
@@ -97,9 +94,33 @@ def ras_sample(
     in_window = (hist_pos < num_decoded) & (hist_pos >= num_decoded - params.win_size)
     rep_num = jnp.sum(in_window & (token_history == candidate))
     repeated = rep_num.astype(jnp.float32) >= params.win_size.astype(jnp.float32) * params.tau_r
+    return candidate.astype(jnp.int32), repeated, masked_logits, rng_flat
 
-    flat = _gumbel_argmax(rng_flat, jax.nn.log_softmax(masked_logits))
-    return jnp.where(repeated, flat, candidate).astype(jnp.int32)
+
+def ras_sample(
+    rng: jax.Array,
+    logits: jnp.ndarray,  # (V,) raw logits (log-softmax offset is irrelevant)
+    token_history: jnp.ndarray,  # (L,) int32 decoded tokens buffer (padded with -1)
+    num_decoded: jnp.ndarray,  # scalar int32 — valid tokens in history
+    params: SamplingParams,
+    ignore_eos: jnp.ndarray,  # scalar bool
+    speech_token_size: int,
+) -> jnp.ndarray:
+    """Full RAS step on device. Returns scalar int32 token id.
+
+    The repetition fallback (plain multinomial over V) is computed under
+    lax.cond: bit-identical values when taken (same rng_flat split, same
+    gumbel draw), skipped entirely otherwise.  NOTE: under vmap the cond
+    lowers to a select (both branches run) — batched callers should use
+    ras_sample_heads' hoisted any() cond instead."""
+    candidate, repeated, masked_logits, rng_flat = _ras_candidate(
+        rng, logits, token_history, num_decoded, params, ignore_eos,
+        speech_token_size)
+    return jax.lax.cond(
+        repeated,
+        lambda: _gumbel_argmax(rng_flat, jax.nn.log_softmax(masked_logits)),
+        lambda: candidate,
+    ).astype(jnp.int32)
 
 
 def ras_dist(
@@ -165,14 +186,26 @@ def ras_sample_heads(
 ) -> jnp.ndarray:
     """Sample all MTP heads against the same history snapshot
     (llm_multi_head_v3.py:890-900): head j uses ignore_eos iff
-    num_decoded + j < min_len. Returns (K,) int32."""
+    num_decoded + j < min_len. Returns (K,) int32.
+
+    The rare repetition fallback is hoisted behind ONE lax.cond over
+    any(repeated): the common step skips K full-vocab log_softmax + gumbel
+    + argmax chains entirely (measured ~0.2 ms/step of the heads=4 decode),
+    and when the cond fires the fallback draws the exact values the eager
+    form drew (same per-head rng_flat splits), so tokens are bit-identical."""
     k = head_logits.shape[0]
     rngs = jax.random.split(rng, k)
     ignore = (num_decoded + jnp.arange(k)) < min_len
 
-    def one(j_rng, j_logits, j_ignore):
-        return ras_sample(
-            j_rng, j_logits, token_history, num_decoded, params, j_ignore, speech_token_size
-        )
+    cands, reps, maskeds, rng_flats = jax.vmap(
+        _ras_candidate, in_axes=(0, 0, None, None, None, 0, None)
+    )(rngs, head_logits, token_history, num_decoded, params, ignore,
+      speech_token_size)
 
-    return jax.vmap(one)(rngs, head_logits, ignore)
+    def fallback():
+        flats = jax.vmap(
+            lambda r, m: _gumbel_argmax(r, jax.nn.log_softmax(m))
+        )(rng_flats, maskeds)
+        return jnp.where(reps, flats, cands).astype(jnp.int32)
+
+    return jax.lax.cond(jnp.any(reps), fallback, lambda: cands)

@@ -64,6 +64,14 @@ class _Request:
                  #   decode loop); hift_rng matches the solo streamer's split
                  "stream", "chunk_q", "hift_rng", "prompt_pad",
                  "sched_offset", "token_offset", "hift_cache", "t_first",
+                 # TTFT breakdown timestamps (submit -> admit -> first chunk
+                 # scheduled -> synth starts -> first wav out): logged at the
+                 # first chunk so under-load latency is attributable
+                 "t_admit", "t_sched", "t_synth_start",
+                 # per-request chunk-order gate for the stream-synth thread
+                 # POOL: synth_next is the token_offset the next synthesized
+                 # chunk must carry (the hift_cache/fade chain is sequential)
+                 "synth_cv", "synth_next",
                  # spec-decode slots: (accepted, drafted) at finish
                  "spec_pair")
 
@@ -91,6 +99,11 @@ class _Request:
         self.token_offset = 0
         self.hift_cache = None
         self.t_first = None
+        self.t_admit = None
+        self.t_sched = None
+        self.t_synth_start = None
+        self.synth_cv = threading.Condition() if stream else None
+        self.synth_next = 0
         self.spec_pair = None
 
 
@@ -183,15 +196,42 @@ class ContinuousBatcher:
         # admit + dispatch the next chunk while wavs transfer to the host;
         # stream CHUNKS get a second, dedicated thread so a whole-utterance
         # synth (or its first-time XLA compile) can't sit between a live
-        # stream and its next ~1 s chunk
+        # stream and its next ~1 s chunk.  The stream queue is PRIORITY-
+        # ordered: first chunks (TTFT-critical) jump ahead of later chunks of
+        # other streams — decode runs ~5x realtime, so a stream dumps its
+        # whole chunk ladder into the queue within ~0.5 s while chunk N+1
+        # isn't DUE until ~N s of playback later; FIFO order let that backlog
+        # sit between an arriving stream and its first chunk (measured: the
+        # synthq wait was the dominant share of under-load TTFT, p50 ~140 ms
+        # of 338, p95 440 ms)
+        import itertools
+
         self._synth_q: "queue.Queue" = queue.Queue()
-        self._stream_q: "queue.Queue" = queue.Queue()
+        self._stream_q: "queue.PriorityQueue" = queue.PriorityQueue()
+        self._stream_seq = itertools.count()
+        # first chunks queued but not yet dispatched: the whole-utterance
+        # synth thread holds its (big, ~100 ms device) dispatch while one is
+        # imminent, so the device stream is clear for the TTFT-critical chunk
+        self._prio0_pending = 0
+        self._prio0_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._synth_thread = threading.Thread(
             target=self._synth_loop, args=(self._synth_q,), daemon=True)
-        self._stream_thread = threading.Thread(
-            target=self._synth_loop, args=(self._stream_q,), daemon=True)
+        # ONE stream-synth thread: measured on the tunneled chip, a 2-thread
+        # pool drove queue wait to ~0 but stretched the decode chunk cadence
+        # (2 in-flight chunk synths interleave between decode chunks: TTFT
+        # decode share 81 -> 145 ms p50, admit 10 -> 53) for a NET loss —
+        # the single thread is a deliberate throttle that keeps the decode
+        # loop's share of the device stream high.  The queue stays priority-
+        # ordered (first chunks jump the ladder backlog) and
+        # _synth_stream_chunk keeps the per-request order gate, so the pool
+        # size is a tunable, not a correctness constraint.
+        self._stream_threads = [
+            threading.Thread(target=self._synth_loop, args=(self._stream_q,),
+                             daemon=True)
+            for _ in range(1)
+        ]
         self._started = False
         self._lock = threading.Lock()
 
@@ -303,6 +343,63 @@ class ContinuousBatcher:
         self._admit_cache[key] = jax.jit(fn, donate_argnums=(1,))
         return self._admit_cache[key]
 
+    def _step_body(self, params, sampling: SamplingParams):
+        """One group-decode step over an arbitrary leading slot dim S — the
+        shared traceable body of the chunk program (S = self.slots) and the
+        stream admit burst (S = 1).  Both paths MUST run these exact ops so a
+        request's token stream is bit-identical wherever its steps execute."""
+        cfg, bb = self.cfg, self.cfg.backbone
+        k = self.head_k
+        emb_dtype = params["speech_embedding"].dtype
+
+        def body(carry):
+            it, s = carry
+            split = jax.vmap(jax.random.split)(s["rngs"])  # (S, 2, key)
+            new_rngs = jnp.where(s["finished"][:, None], s["rngs"], split[:, 0])
+            step_rngs = split[:, 1]
+            logits = llm_model.mtp_logits(params, cfg, s["last_hidden"], k)
+            sampled = jax.vmap(
+                lambda r, lg, hist, n, mn: ras_sample_heads(
+                    r, lg, hist, n, sampling, mn, cfg.speech_token_size
+                ),
+                in_axes=(0, 1, 0, 0, 0),
+            )(step_rngs, logits, s["tokens"], s["num"], s["min_len"])  # (S, K)
+
+            is_stop = sampled >= cfg.speech_token_size
+            before_stop = jnp.cumsum(is_stop, axis=1) == 0
+            n_ok = jnp.sum(before_stop, axis=1).astype(jnp.int32)
+            budget = jnp.maximum(s["max_len"] - s["num"], 0)
+            n_accept = jnp.where(s["finished"], 0, jnp.minimum(n_ok, budget))
+
+            write_pos = s["num"][:, None] + jnp.arange(k)[None, :]
+            accept = jnp.arange(k)[None, :] < n_accept[:, None]
+            cur = jnp.take_along_axis(s["tokens"], write_pos, axis=1)
+            tokens = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+                s["tokens"], write_pos, jnp.where(accept, sampled, cur)
+            )
+            num = s["num"] + n_accept
+            finished = (
+                s["finished"] | jnp.any(is_stop, axis=1)
+                | (num >= s["max_len"]) | (n_accept == 0)
+            )
+
+            emb = jnp.take(params["speech_embedding"], sampled, axis=0).astype(emb_dtype)
+            hidden, cache = qwen2.forward_block_with_cache(
+                params["backbone"], bb, emb, s["cache"],
+                advance=jnp.where(finished, 0, k).astype(jnp.int32),
+            )
+            last_hidden = jnp.where(
+                finished[:, None], s["last_hidden"], hidden[:, k - 1]
+            )
+            steps = s["steps"] + jnp.where(s["finished"], 0, 1)
+            return it + 1, dict(
+                cache=cache, last_hidden=last_hidden, tokens=tokens, num=num,
+                steps=steps, min_len=s["min_len"], max_len=s["max_len"],
+                rngs=new_rngs, finished=finished,
+            )
+
+        return body
+
     def _chunk_fn(self):
         """Jitted: run up to chunk_steps group-decode steps over all slots."""
         if self._chunk_jit is not None:
@@ -310,65 +407,18 @@ class ContinuousBatcher:
         if self.spec:
             self._chunk_jit = jax.jit(self._spec_chunk_body(), donate_argnums=(1,))
             return self._chunk_jit
-        cfg, bb = self.cfg, self.cfg.backbone
         k = self.head_k
 
         def fn(params, state, sampling: SamplingParams):
             params = dict(
                 params, mtp_block=jax.tree.map(lambda a: a[:k], params["mtp_block"])
             )
-            emb_dtype = params["speech_embedding"].dtype
 
             def cond(carry):
                 it, s = carry
                 return (it < self.chunk_steps) & ~jnp.all(s["finished"])
 
-            def body(carry):
-                it, s = carry
-                split = jax.vmap(jax.random.split)(s["rngs"])  # (S, 2, key)
-                new_rngs = jnp.where(s["finished"][:, None], s["rngs"], split[:, 0])
-                step_rngs = split[:, 1]
-                logits = llm_model.mtp_logits(params, cfg, s["last_hidden"], k)
-                sampled = jax.vmap(
-                    lambda r, lg, hist, n, mn: ras_sample_heads(
-                        r, lg, hist, n, sampling, mn, cfg.speech_token_size
-                    ),
-                    in_axes=(0, 1, 0, 0, 0),
-                )(step_rngs, logits, s["tokens"], s["num"], s["min_len"])  # (S, K)
-
-                is_stop = sampled >= cfg.speech_token_size
-                before_stop = jnp.cumsum(is_stop, axis=1) == 0
-                n_ok = jnp.sum(before_stop, axis=1).astype(jnp.int32)
-                budget = jnp.maximum(s["max_len"] - s["num"], 0)
-                n_accept = jnp.where(s["finished"], 0, jnp.minimum(n_ok, budget))
-
-                write_pos = s["num"][:, None] + jnp.arange(k)[None, :]
-                accept = jnp.arange(k)[None, :] < n_accept[:, None]
-                cur = jnp.take_along_axis(s["tokens"], write_pos, axis=1)
-                tokens = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
-                    s["tokens"], write_pos, jnp.where(accept, sampled, cur)
-                )
-                num = s["num"] + n_accept
-                finished = (
-                    s["finished"] | jnp.any(is_stop, axis=1)
-                    | (num >= s["max_len"]) | (n_accept == 0)
-                )
-
-                emb = jnp.take(params["speech_embedding"], sampled, axis=0).astype(emb_dtype)
-                hidden, cache = qwen2.forward_block_with_cache(
-                    params["backbone"], bb, emb, s["cache"],
-                    advance=jnp.where(finished, 0, k).astype(jnp.int32),
-                )
-                last_hidden = jnp.where(
-                    finished[:, None], s["last_hidden"], hidden[:, k - 1]
-                )
-                steps = s["steps"] + jnp.where(s["finished"], 0, 1)
-                return it + 1, dict(
-                    cache=cache, last_hidden=last_hidden, tokens=tokens, num=num,
-                    steps=steps, min_len=s["min_len"], max_len=s["max_len"],
-                    rngs=new_rngs, finished=finished,
-                )
-
+            body = self._step_body(params, sampling)
             _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
             meta = jnp.concatenate(
                 [
@@ -383,6 +433,93 @@ class ContinuousBatcher:
 
         self._chunk_jit = jax.jit(fn, donate_argnums=(1,))
         return self._chunk_jit
+
+    def _admit_stream_fn(self, bucket: int, sp_bucket: int = 0):
+        """Jitted stream admission with a DECODE BURST: prefill + the first
+        `n_burst` group steps of this request run inside the admit dispatch
+        (on a 1-row state, the other slots untouched), sized so the first
+        streamable hop (+ lookahead, + zero-shot prompt alignment pad) exists
+        the moment admission returns.  TTFT then pays prefill + ~n_burst
+        steps instead of prefill + a wait for the NEXT shared chunk boundary
+        + a full chunk (measured: -70..90 ms p50 under load).  The burst
+        runs self._step_body — the same traced ops, same per-request rng
+        chain — so tokens stay bit-identical to the chunk-program path.
+        Non-spec only (spec admission seeds head-0 state instead).
+        Returns (state, row_meta) with row_meta = [tokens…, num, steps,
+        finished] matching one row of the chunk program's meta."""
+        key = (bucket, sp_bucket, "burst")
+        if key in self._admit_cache:
+            return self._admit_cache[key]
+        cfg, bb = self.cfg, self.cfg.backbone
+        k = self.head_k
+        hop = self._get_streamer().token_hop_len
+        la = self.engine.cfg.flow.pre_lookahead_len
+        # first hop needs hop + la tokens, plus up to hop-1 alignment pad
+        # when a zero-shot speech prompt is spliced in (submit: prompt_pad)
+        need = hop + la + (hop - 1 if sp_bucket > 0 else 0)
+        n_burst = -(-need // k)
+
+        def fn(params, state, slot, text_tokens, text_len, sp_tokens, sp_len,
+               min_len, max_len, rng):
+            emb, plen = llm_model.build_inference_prompt(
+                params, cfg, text_tokens, text_len, sp_tokens, sp_len,
+            )
+            emb = emb.astype(state["last_hidden"].dtype)
+            small = qwen2.init_kv_cache(bb, 1, self.cache_cap, dtype=emb.dtype)
+            hidden, small = qwen2.forward_block_with_cache(
+                params["backbone"], bb, emb[None], small, advance=plen[None]
+            )
+            st1 = dict(
+                cache=small,
+                last_hidden=hidden[:, plen - 1],
+                tokens=jnp.full((1, self.max_tokens + k), -1, jnp.int32),
+                num=jnp.zeros((1,), jnp.int32),
+                steps=jnp.zeros((1,), jnp.int32),
+                min_len=min_len[None].astype(jnp.int32),
+                max_len=max_len[None].astype(jnp.int32),
+                rngs=rng[None],
+                finished=jnp.zeros((1,), bool),
+            )
+            p_k = dict(
+                params, mtp_block=jax.tree.map(lambda a: a[:k], params["mtp_block"])
+            )
+            body = self._step_body(p_k, self.sampling)
+
+            def cond(carry):
+                it, s = carry
+                return (it < n_burst) & ~jnp.all(s["finished"])
+
+            _, st1 = jax.lax.while_loop(cond, body, (jnp.int32(0), st1))
+
+            def put(big, one):
+                start = (0, slot) + (0,) * (big.ndim - 2)
+                return jax.lax.dynamic_update_slice(big, one, start)
+
+            cache = state["cache"]._replace(
+                k=put(state["cache"].k, st1["cache"].k),
+                v=put(state["cache"].v, st1["cache"].v),
+                length=state["cache"].length.at[slot].set(st1["cache"].length[0]),
+            )
+            row_meta = jnp.concatenate([
+                st1["tokens"][0],
+                st1["num"][:1],
+                st1["steps"][:1],
+                st1["finished"][:1].astype(jnp.int32),
+            ])
+            return dict(
+                cache=cache,
+                last_hidden=state["last_hidden"].at[slot].set(st1["last_hidden"][0]),
+                tokens=state["tokens"].at[slot].set(st1["tokens"][0]),
+                num=state["num"].at[slot].set(st1["num"][0]),
+                steps=state["steps"].at[slot].set(st1["steps"][0]),
+                min_len=state["min_len"].at[slot].set(min_len),
+                max_len=state["max_len"].at[slot].set(max_len),
+                rngs=state["rngs"].at[slot].set(st1["rngs"][0]),
+                finished=state["finished"].at[slot].set(st1["finished"][0]),
+            ), row_meta
+
+        self._admit_cache[key] = jax.jit(fn, donate_argnums=(1,))
+        return self._admit_cache[key]
 
     def _spec_chunk_body(self):
         """Chunk program for spec_decode slots: per-slot draft/verify steps
@@ -571,7 +708,8 @@ class ContinuousBatcher:
                 self._state = self._init_state()
                 self._thread.start()
                 self._synth_thread.start()
-                self._stream_thread.start()
+                for t in self._stream_threads:
+                    t.start()
         self._pending.put(req)
         return req
 
@@ -607,6 +745,13 @@ class ContinuousBatcher:
         tens of seconds and reads as starvation (BENCH_r03's 30-47 s TTFT
         under load was exactly this).  Returns seconds spent."""
         t0 = time.time()
+        # engine-level marks: a LATER batcher on the same engine (serving
+        # bench scenarios, restarts) shares the engine's synth/stream-chunk
+        # programs — it only needs ONE pass per text bucket to exercise its
+        # own admit + chunk programs, not the whole count ladder again
+        if not hasattr(self.engine, "_prewarm_marks"):
+            self.engine._prewarm_marks = set()
+        marks = self.engine._prewarm_marks
         for n_text in text_lens:
             # always include the longest decode this text length can realize
             # (max_token_text_ratio 20, buffer-capped): served requests that
@@ -614,7 +759,14 @@ class ContinuousBatcher:
             # their synth/stream-chunk buckets cold, mid-traffic
             cap = min(self.max_tokens, 20 * n_text)
             counts = sorted(set(tuple(token_counts) + (cap,)))
+            ran_one = False
             for n_tok in counts:
+                key = ("cont", self._bucket(n_text), n_tok, stream,
+                       self.head_k, self.spec)
+                if key in marks and (ran_one or n_tok != counts[-1]):
+                    continue
+                marks.add(key)
+                ran_one = True
                 ratio = n_tok / max(n_text, 1)
                 text = np.arange(n_text, dtype=np.int32) % 100
                 req = self.submit(
@@ -688,7 +840,8 @@ class ContinuousBatcher:
             try:
                 # admission latency: submit -> slot assignment (the queueing
                 # metric continuous batching exists to bound under load)
-                self.admission_lat_s.append(time.time() - req.t_submit)
+                req.t_admit = time.time()
+                self.admission_lat_s.append(req.t_admit - req.t_submit)
                 bucket = self._bucket(len(req.text_tokens))
                 text = np.zeros((bucket,), np.int32)
                 text[: len(req.text_tokens)] = req.text_tokens[:bucket]
@@ -697,13 +850,21 @@ class ContinuousBatcher:
                 sp_bucket = self._sp_bucket(lp)
                 sp_pad = np.zeros((sp_bucket,), np.int32)
                 sp_pad[:lp] = sp
-                admit = self._admit_fn(bucket, sp_bucket)
-                self._state = admit(
+                burst = req.stream and not self.spec
+                admit = (self._admit_stream_fn(bucket, sp_bucket) if burst
+                         else self._admit_fn(bucket, sp_bucket))
+                out = admit(
                     self.engine.llm_params, self._state, jnp.int32(i),
                     jnp.asarray(text), jnp.int32(min(len(req.text_tokens), bucket)),
                     jnp.asarray(sp_pad), jnp.int32(lp),
                     jnp.int32(req.min_len), jnp.int32(req.max_len), req.rng,
                 )
+                row_meta = None
+                if burst:
+                    self._state, row_dev = out
+                    row_meta = np.asarray(row_dev)
+                else:
+                    self._state = out
             except Exception as e:
                 # fail THIS request (it is in neither backlog nor a slot at
                 # this point — without this its waiter would hang to timeout)
@@ -730,6 +891,13 @@ class ContinuousBatcher:
                 continue
             self._slot_req[i] = req
             self._slot_steps[i] = 0
+            if row_meta is not None:
+                # the admit burst may already hold the first streamable hop
+                # (or the whole short utterance): schedule it NOW instead of
+                # after the next shared chunk
+                self._emit_stream_row(
+                    i, req, row_meta, int(row_meta[-3]), int(row_meta[-2]),
+                    bool(row_meta[-1]), 0.0)
 
         if all(r is None for r in self._slot_req):
             # idle: block briefly for the next arrival
@@ -762,30 +930,8 @@ class ContinuousBatcher:
                 # before [num, steps, finished])
                 req.spec_pair = (int(meta[i, -5]), int(meta[i, -4]))
             if req.stream:
-                # emit every full hop the slot has accumulated (same chunk
-                # boundaries as the solo streamer's loop), then the finalize
-                # flush; synthesis runs on the synth thread so decode of the
-                # OTHER slots isn't blocked by this stream's flow/HiFT
-                la = self.engine.cfg.flow.pre_lookahead_len
-                hop = self._get_streamer().token_hop_len
-                while True:
-                    this_hop = hop + req.prompt_pad if req.sched_offset == 0 else hop
-                    if num - req.sched_offset < this_hop + la:
-                        break
-                    toks = meta[i, : req.sched_offset + this_hop + la].copy()
-                    self._stream_q.put(("schunk", req, toks, req.sched_offset, False,
-                                        steps, chunk_time))
-                    req.sched_offset += this_hop
-                if fin:
-                    logger.info(
-                        "slot %d stream decode done: %d tokens in %d steps "
-                        "(%.2fs since submit)", i, num, steps,
-                        time.time() - req.t_submit,
-                    )
-                    toks = meta[i, :num].copy()
-                    self._stream_q.put(("schunk", req, toks, req.sched_offset, True,
-                                        steps, chunk_time))
-                    self._slot_req[i] = None
+                self._emit_stream_row(i, req, meta[i], num, steps, fin,
+                                      chunk_time)
             elif fin:  # finished: hand off to the synth thread
                 tokens = meta[i, : self.max_tokens + k][:num]
                 logger.info(
@@ -796,12 +942,71 @@ class ContinuousBatcher:
                 self._synth_q.put(("final", req, tokens, steps, chunk_time))
                 self._slot_req[i] = None
 
+    def _emit_stream_row(self, i, req, row, num, steps, fin, chunk_time):
+        """Schedule every full hop a stream slot has accumulated (same chunk
+        boundaries as the solo streamer's loop), then the finalize flush;
+        synthesis runs on the stream-synth pool so decode of the OTHER slots
+        isn't blocked by this stream's flow/HiFT.  Shared by the chunk loop
+        (row = meta[i]) and the admit burst (row = the admit's row_meta)."""
+        la = self.engine.cfg.flow.pre_lookahead_len
+        hop = self._get_streamer().token_hop_len
+        while True:
+            this_hop = hop + req.prompt_pad if req.sched_offset == 0 else hop
+            if num - req.sched_offset < this_hop + la:
+                break
+            if req.t_sched is None:
+                req.t_sched = time.time()
+            toks = row[: req.sched_offset + this_hop + la].copy()
+            self._put_stream_chunk(
+                ("schunk", req, toks, req.sched_offset, False,
+                 steps, chunk_time))
+            req.sched_offset += this_hop
+        if fin:
+            logger.info(
+                "slot %d stream decode done: %d tokens in %d steps "
+                "(%.2fs since submit)", i, num, steps,
+                time.time() - req.t_submit,
+            )
+            if req.t_sched is None:
+                req.t_sched = time.time()
+            toks = row[:num].copy()
+            self._put_stream_chunk(
+                ("schunk", req, toks, req.sched_offset, True,
+                 steps, chunk_time))
+            self._slot_req[i] = None
+
+    def _put_stream_chunk(self, item):
+        """Enqueue a stream chunk for synthesis.  Priority 0 = a session's
+        FIRST chunk (token_offset 0 — the TTFT product metric); priority 1 =
+        later chunks, FIFO among themselves via the seq tiebreaker (they are
+        due only at their playback offset, ~1 s per hop after the first)."""
+        prio = 0 if item[3] == 0 else 1
+        if prio == 0:
+            with self._prio0_lock:
+                self._prio0_pending += 1
+        self._stream_q.put((prio, next(self._stream_seq), item))
+
     def _synth_loop(self, q: "queue.Queue"):
+        is_prio = isinstance(q, queue.PriorityQueue)
         while not self._stop.is_set():
             try:
                 item = q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            if is_prio:
+                item = item[2]
+                if item[0] == "schunk" and item[3] == 0:
+                    # this thread is about to dispatch a first chunk
+                    with self._prio0_lock:
+                        self._prio0_pending = max(0, self._prio0_pending - 1)
+            else:
+                # whole-utterance synths are ~100 ms device programs: hold
+                # the dispatch while a first-chunk synth is imminent so the
+                # TTFT-critical program isn't queued behind this one
+                # (bounded wait — liveness over perfect priority)
+                t_hold = time.time()
+                while self._prio0_pending > 0 and time.time() - t_hold < 0.3:
+                    time.sleep(0.005)
             if item[0] == "schunk":
                 self._synth_stream_chunk(*item[1:])
                 continue
@@ -827,10 +1032,28 @@ class ContinuousBatcher:
                             steps, chunk_time):
         """One streaming chunk of a stream=True request: flow over the token
         prefix (streaming attention mask) + HiFT with the request's carried
-        mel/source cache — the solo streamer's _token2wav, shared jit cache."""
+        mel/source cache — the solo streamer's _token2wav, shared jit cache.
+
+        Thread-pool safe: chunks of ONE request form a sequential chain
+        (hift_cache + host-side cross-fade), so a chunk whose token_offset
+        isn't the request's `synth_next` waits on the request's condition
+        variable until its predecessor (claimed by a sibling thread) lands."""
         if req.done.is_set():  # failed earlier; drop late chunks
             return
+        t_gate = time.time()
+        with req.synth_cv:
+            while req.synth_next != token_offset and not req.done.is_set():
+                req.synth_cv.wait(timeout=1.0)  # re-check done every second
+                if time.time() - t_gate > 120.0:
+                    req.error = req.error or "stream chunk order stall"
+                    req.chunk_q.put(None)
+                    req.done.set()
+                    return
+        if req.done.is_set():
+            return
         try:
+            if req.t_first is None:
+                req.t_synth_start = time.time()
             emb = (np.zeros((192,), np.float32) if req.spk_embedding is None
                    else np.asarray(req.spk_embedding, np.float32).reshape(-1)[:192])
             wav, req.hift_cache = self._get_streamer()._token2wav(
@@ -841,7 +1064,21 @@ class ContinuousBatcher:
             req.token_offset = token_offset
             if req.t_first is None:
                 req.t_first = time.time()
+                logger.info(
+                    "stream ttft %.0fms: admit %.0f + decode %.0f + synthq "
+                    "%.0f + synth %.0f",
+                    (req.t_first - req.t_submit) * 1000,
+                    (req.t_admit - req.t_submit) * 1000,
+                    (req.t_sched - req.t_admit) * 1000,
+                    (req.t_synth_start - req.t_sched) * 1000,
+                    (req.t_first - req.t_synth_start) * 1000,
+                )
             req.chunk_q.put(wav)
+            hop = self._get_streamer().token_hop_len
+            with req.synth_cv:
+                req.synth_next = token_offset + hop + (
+                    req.prompt_pad if token_offset == 0 else 0)
+                req.synth_cv.notify_all()
             if finalize:
                 req.stats = dict(
                     tokens=tokens.tolist(), steps=steps,
@@ -860,6 +1097,8 @@ class ContinuousBatcher:
             req.chunk_q.put(e)
             req.chunk_q.put(None)
             req.done.set()
+            with req.synth_cv:
+                req.synth_cv.notify_all()  # release a sibling gate waiter
 
     def _synthesize(self, req: _Request, tokens: np.ndarray):
         eng = self.engine
@@ -867,8 +1106,12 @@ class ContinuousBatcher:
         sp = req.prompt_speech_tokens
         lp = 0 if sp is None else len(sp)
         tok_bkt = eng._bucket_token(max(lp + len(tokens), 1))
-        buf = np.full((eng.max_tokens + self.head_k,), -1, np.int32)
-        buf[: len(tokens)] = tokens
+        # canonical synth token-buffer shape is (max_tokens,) — the same
+        # trace the Engine's two-stage paths use (GenerateResult.tokens is
+        # trimmed to max_tokens); any other length retraces the synth program
+        # per caller and compiles a duplicate mid-traffic
+        buf = np.full((eng.max_tokens,), -1, np.int32)
+        buf[: len(tokens)] = tokens[: eng.max_tokens]
         emb = (np.zeros((192,), np.float32) if req.spk_embedding is None
                else np.asarray(req.spk_embedding, np.float32).reshape(-1)[:192])
         if lp:
@@ -904,7 +1147,8 @@ class ContinuousBatcher:
         if self._started:
             self._thread.join(timeout=5.0)
             self._synth_thread.join(timeout=5.0)
-            self._stream_thread.join(timeout=5.0)
+            for t in self._stream_threads:
+                t.join(timeout=5.0)
         # fail everything still queued or in flight so waiters unblock now
         # instead of sitting out their full result() timeout
         leftovers = list(self._backlog) + list(self._backlog_stream)
@@ -915,12 +1159,16 @@ class ContinuousBatcher:
                 leftovers.append(self._pending.get_nowait())
             except queue.Empty:
                 break
-        for q in (self._synth_q, self._stream_q):
-            while True:
-                try:
-                    leftovers.append(q.get_nowait()[1])
-                except queue.Empty:
-                    break
+        while True:
+            try:
+                leftovers.append(self._synth_q.get_nowait()[1])
+            except queue.Empty:
+                break
+        while True:
+            try:
+                leftovers.append(self._stream_q.get_nowait()[2][1])
+            except queue.Empty:
+                break
         with self._lock:
             for i, req in enumerate(self._slot_req):
                 if req is not None:

@@ -773,7 +773,7 @@ class Engine:
             synth = self._synth_fn(tok_bkt, 0, 0)
             w, _ = synth(
                 self.flow_params, self.hift_params,
-                jnp.zeros((self.max_tokens + 8,), jnp.int32), jnp.int32(4),
+                jnp.zeros((self.max_tokens,), jnp.int32), jnp.int32(4),
                 jnp.zeros((0,), jnp.int32), jnp.int32(0),
                 jnp.zeros((1, 0, self.cfg.flow.output_size), jnp.float32), jnp.int32(0),
                 jnp.zeros((1, 192), jnp.float32), rng,
@@ -842,7 +842,9 @@ class Engine:
         cfg = self.cfg
         src = np.asarray(source_speech_tokens, np.int32)[: self.max_tokens]
         n_tok = len(src)
-        buf = np.zeros((self.max_tokens + 8,), np.int32)
+        # canonical (max_tokens,) token-buffer shape: shares the synth trace
+        # with the TTS paths (GenerateResult.tokens) instead of retracing
+        buf = np.zeros((self.max_tokens,), np.int32)
         buf[:n_tok] = src
 
         flp = len(prompt_speech_tokens)

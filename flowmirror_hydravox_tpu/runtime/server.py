@@ -433,6 +433,13 @@ class TTSService:
         head_nums = sorted(set(
             head_nums or [int(self.default_extra["inference_head_num"])]))
         sampling = self._sampling(self.default_extra)
+        # engine-level prewarm marks: the jitted programs live on the shared
+        # Engine, so a LATER service on the same engine (multi-tenant tests,
+        # the serving bench's per-scenario servers) skips re-executing
+        # engine-level prewarm work and only pays for its own batcher
+        if not hasattr(self.engine, "_prewarm_marks"):
+            self.engine._prewarm_marks = set()
+        marks = self.engine._prewarm_marks
         for text in texts:
             task = {"type": "tts", "text": text, "speaker_id": speaker_id}
             rows = self._prepare_batch_rows(task)
@@ -448,13 +455,19 @@ class TTSService:
                     )
                     if warm_key in self._warm_batches:
                         continue
-                    self.engine.synthesize_batch(token_lists, **kwargs)
+                    if ("batch", warm_key) not in marks:
+                        self.engine.synthesize_batch(token_lists, **kwargs)
+                        marks.add(("batch", warm_key))
+                        logger.info("prewarmed batch shape %s", warm_key)
                     self._warm_batches.add(warm_key)
-                    logger.info("prewarmed batch shape %s", warm_key)
                 # solo path (cold-group fallback + custom-sampling traffic)
                 feats = self.frontend.frontend_sft(
                     self.frontend.text_normalize(text, split=True)[0],
                     speaker_id)
+                solo_key = ("solo", len(feats["text_tokens"]), head, stream)
+                if solo_key in marks:
+                    continue
+                marks.add(solo_key)
                 self._synthesize_one(feats, sampling, head, 1.0)
                 if stream:
                     # one sample stream compiles the fused-first-chunk +
@@ -498,13 +511,20 @@ class TTSService:
         est = eng._estimate_token_bucket(
             max_tts, 2 * max_tts, min(20 * max_tts, eng.max_tokens), 0)
         cap_bkt = eng._bucket_token(min(20 * max_tts, eng.max_tokens))
-        k = eng.cfg.llm.head_num
         rng0 = jax.random.PRNGKey(0)
+        # token buffers MUST be the canonical (max_tokens,) shape the serving
+        # redispatch passes (GenerateResult.tokens): any other length would
+        # warm a different trace, and the real redispatch would still compile
+        # cold mid-traffic (measured: a 123 s batch-synth compile during a
+        # load window because the prewarm traced max_tokens + head_num)
         for tb in eng.token_buckets:
             if not est < tb <= cap_bkt:
                 continue
+            if ("fallback", tb, tuple(batch_sizes)) in marks:
+                continue
+            marks.add(("fallback", tb, tuple(batch_sizes)))
             n_tok = jnp.int32(min(tb, eng.max_tokens))
-            buf = jnp.zeros((eng.max_tokens + k,), jnp.int32)
+            buf = jnp.zeros((eng.max_tokens,), jnp.int32)
             pm0 = jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32)
             jax.block_until_ready(eng._synth_fn(tb, 0, 0)(
                 eng.flow_params, eng.hift_params, buf, n_tok,
@@ -513,7 +533,7 @@ class TTSService:
             for n_pad in (p for p in batch_sizes if p >= 4):
                 jax.block_until_ready(eng._batch_synth_fn(n_pad, tb, 0, 0)(
                     eng.flow_params, eng.hift_params,
-                    jnp.zeros((n_pad, eng.max_tokens + k), jnp.int32),
+                    jnp.zeros((n_pad, eng.max_tokens), jnp.int32),
                     jnp.full((n_pad,), n_tok, jnp.int32),
                     jnp.zeros((n_pad, 0), jnp.int32),
                     jnp.zeros((n_pad,), jnp.int32),

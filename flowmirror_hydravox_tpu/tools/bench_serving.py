@@ -285,6 +285,9 @@ def main(argv=None):
             "rtf_effective": r_m["rtf_effective"],
             "admission_ms_p50": r_m.get("admission_ms_p50"),
             "admission_ms_p95": r_m.get("admission_ms_p95"),
+            "note": "open loop: rtf_effective = wall/sum(audio) is "
+                    "arrival-bound at this rate (floor = 1/(rate*mean_audio)); "
+                    "tail latency + admission are the capacity signals",
         })
     if len(modes) == 2:
         better = min(modes, key=lambda k: modes[k]["latency_p95_ms"] or 1e18)
@@ -297,6 +300,28 @@ def main(argv=None):
             "p95_window_ms": modes["window"]["latency_p95_ms"],
             "p95_continuous_ms": modes["continuous"]["latency_p95_ms"],
             "note": note,
+        })
+
+    # --- capacity probe: staggered arrivals fast enough to bind on compute --
+    # at 3 rps the open-loop rtf_effective is arrival-bound; at 8 rps the
+    # offered audio (~8 x ~6 s/s) exceeds the burst-mode capacity signal, so
+    # rtf_effective here measures sustained staggered THROUGHPUT, comparable
+    # to service_throughput_8way's burst number (VERDICT r3 item 4).
+    def capacity(url):
+        return run_load(url, pay, mode="tts", arrival="poisson", rate=8.0,
+                        concurrency=16, duration=max(args.window, 15.0),
+                        warmup=1, timeout=120)
+
+    r_cap = section("staggered_capacity_continuous", 300,
+                    lambda: with_server(4, capacity))
+    if r_cap:
+        emit({
+            "aux": True, "metric": "staggered_capacity_continuous",
+            "rate_rps": 8.0, "requests": r_cap["requests"],
+            "errors": r_cap["errors"],
+            "latency_p50_ms": r_cap["latency_p50_ms"],
+            "latency_p95_ms": r_cap["latency_p95_ms"],
+            "rtf_effective": r_cap["rtf_effective"],
         })
 
     emit({"aux": True, "section": "bench_serving_total",

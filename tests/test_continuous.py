@@ -546,7 +546,12 @@ def test_stream_priority_admission(engine):
     stream = b.submit(t, rng=jax.random.PRNGKey(9), stream=True,
                       min_token_text_ratio=2.0, max_token_text_ratio=4.0)
     b._tick()  # admission pass: the younger stream wins the free slot
-    assert b._slot_req[0] is stream
+    # the admit BURST may complete a short stream entirely at admission
+    # (slot already cleared, its chunks queued) — either way the stream,
+    # not the older plain traffic, got the slot
+    assert b._slot_req[0] is stream or (
+        b._slot_req[0] is None and stream.sched_offset >= 0
+        and not b._stream_q.empty())
     assert plain[0] in b._backlog and plain[1] in b._backlog
     b._started = False  # threads never ran; skip joins, fail leftovers
     b.shutdown()
@@ -663,6 +668,38 @@ def test_reserved_stream_slot(engine):
     stream = b.submit(t, rng=jax.random.PRNGKey(9), stream=True,
                       min_token_text_ratio=2.0, max_token_text_ratio=4.0)
     b._tick()  # the reserved slot admits the stream immediately
-    assert b._slot_req[0] is stream
+    # the admit burst may run the short stream to completion at admission
+    # (slot cleared, chunks queued) — either way slot 0 served the stream
+    # and never the plain backlog
+    assert b._slot_req[0] is stream or (
+        b._slot_req[0] is None and not b._stream_q.empty())
+    assert b._slot_req[1] is plain[0]
     b._started = False
     b.shutdown()
+
+
+@pytest.mark.quick
+def test_stream_synth_queue_first_chunk_priority(engine):
+    """The stream-synth queue serves FIRST chunks (token_offset 0, the TTFT
+    product metric) before later chunks of other streams: decode runs ~5x
+    realtime, so an earlier stream's whole chunk ladder is already queued
+    when a new stream's first chunk arrives — FIFO order would put ~N
+    chunk synths between an arriving stream and its first audio."""
+    b = ContinuousBatcher(engine, slots=2, chunk_steps=2, head_num=2)
+    reqA = b.submit(np.arange(5, dtype=np.int32), stream=True,
+                    rng=jax.random.PRNGKey(0),
+                    min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+    reqB = b.submit(np.arange(5, dtype=np.int32), stream=True,
+                    rng=jax.random.PRNGKey(1),
+                    min_token_text_ratio=2.0, max_token_text_ratio=4.0)
+    b.shutdown()  # only the queue mechanics are under test
+    q = b._stream_q
+    while not q.empty():  # drop anything the loop threads queued
+        q.get_nowait()
+    # stream A's chunks 2 and 3 are backlogged; stream B's FIRST arrives last
+    b._put_stream_chunk(("schunk", reqA, None, 25, False, 0, 0.0))
+    b._put_stream_chunk(("schunk", reqA, None, 50, False, 0, 0.0))
+    b._put_stream_chunk(("schunk", reqB, None, 0, False, 0, 0.0))
+    order = [q.get_nowait()[2] for _ in range(3)]
+    assert order[0][1] is reqB and order[0][3] == 0  # first chunk jumps
+    assert [it[3] for it in order[1:]] == [25, 50]  # FIFO among the rest
