@@ -415,9 +415,11 @@ def main():
                                   "error": f"timeout after {budget_s}s"}))
 
     # ---- spec decode with TRAINED heads (VERDICT r3 item 7) -----------------
+    # reserve ~1700 s for matcha + the 4 train-step benches + serving (all
+    # warm-cache costs); the trained-spec run itself needs ~300-600 s
     run_tool(["flowmirror_hydravox_tpu.tools.bench_spec", "--trained",
               "--cache_dir", cache_dir],
-             "spec_decode_trained", min(1200, max(remaining() - 2400, 0)))
+             "spec_decode_trained", min(900, max(remaining() - 1700, 0)))
 
     # ---- Matcha-TTS RTF (vendored second stack, reference metric) -----------
     with section("matcha", 300) as ok:
