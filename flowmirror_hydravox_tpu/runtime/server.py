@@ -856,7 +856,12 @@ class TTSService:
                 self.results[tid] = result
             return
         except Exception as e:
-            logger.exception("continuous task %s failed", tid)
+            if "batcher shut down" in str(e):
+                # expected drain path: shutdown() fails in-flight requests so
+                # waiters unblock — not an error worth a traceback per task
+                logger.info("continuous task %s cancelled by shutdown", tid)
+            else:
+                logger.exception("continuous task %s failed", tid)
             result = {"error": str(e)}
         with self.results_lock:
             self.results[tid] = result
@@ -903,8 +908,12 @@ class TTSService:
             with self.results_lock:
                 self.continuous_requests += 1
         except Exception as e:
-            logger.exception("continuous stream task %s failed",
-                             task.get("task_id"))
+            if "batcher shut down" in str(e):
+                logger.info("continuous stream task %s cancelled by shutdown",
+                            task.get("task_id"))
+            else:
+                logger.exception("continuous stream task %s failed",
+                                 task.get("task_id"))
             q.put(e)
             q.put(None)
 
