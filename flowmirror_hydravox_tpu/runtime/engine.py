@@ -48,6 +48,13 @@ def _bucket(n: int, buckets) -> int:
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024)
 TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024)
 MEL_BUCKETS = (128, 256, 512, 1024, 2048)
+# Finer ladder for the flow+HiFT stage only: synthesis cost is linear in the
+# padded bucket (10 CFM steps + vocoder over every padded frame), so the
+# coarse x2 ladder wastes up to 2x synth compute when a realized token count
+# lands just over a boundary (e.g. 132 -> 256).  Decode and streaming keep
+# the coarse TOKEN_BUCKETS: their programs are cheap per shape but numerous
+# (chunk ladders), so fewer shapes wins there.
+SYNTH_BUCKETS = (32, 64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 
 
 @dataclasses.dataclass
@@ -80,6 +87,7 @@ class Engine:
         prompt_buckets=PROMPT_BUCKETS,
         token_buckets=TOKEN_BUCKETS,
         mel_buckets=MEL_BUCKETS,
+        synth_buckets=None,
         mesh=None,
         quantize: str | None = None,
         fused: bool = True,
@@ -141,8 +149,25 @@ class Engine:
         self.prompt_buckets = prompt_buckets
         self.token_buckets = token_buckets
         self.mel_buckets = mel_buckets
+        # synth ladder defaults to the fine SYNTH_BUCKETS when the caller
+        # kept the default coarse token ladder; tests that pass custom tiny
+        # token_buckets get the same values for both unless they say otherwise
+        if synth_buckets is None:
+            synth_buckets = (SYNTH_BUCKETS if token_buckets == TOKEN_BUCKETS
+                             else token_buckets)
+        self.synth_buckets = synth_buckets
         self._gen_cache = {}
         self._synth_cache = {}
+        # (batch, token_bucket, pm_bucket, sp_bucket) batch-synth shapes that
+        # have EXECUTED (prewarm or traffic): the grouped-synth planner only
+        # routes rows onto shapes that can't trigger a cold XLA compile
+        # mid-request (a cold batch-synth compile measured 123 s on the
+        # remote compiler — worse than any padding waste it could save)
+        self._warm_group_shapes = set()
+        # strict_shapes: set True after a serving prewarm — the grouped-synth
+        # planner then NEVER routes a batch onto an unexecuted shape (pads
+        # onto warmer buckets instead of compiling mid-traffic)
+        self.strict_shapes = False
         self._streaming = None
         self._rng = jax.random.PRNGKey(int(time.time()))
         import threading as _threading
@@ -180,10 +205,19 @@ class Engine:
         """Token bucket for the fused program's flow stage, estimated before
         the realized token count exists (see _fused_fn)."""
         est = min(max_len, max(min_len, int(tts_text_len * self.fused_est_ratio)))
-        return _bucket(max(flow_prompt_len + est, 1), self.token_buckets)
+        return _bucket(max(flow_prompt_len + est, 1), self.synth_buckets)
 
     def _bucket_token(self, n: int) -> int:
         return _bucket(n, self.token_buckets)
+
+    def _bucket_synth(self, n: int) -> int:
+        return _bucket(n, self.synth_buckets)
+
+    def register_warm_batch_synth(self, batch: int, token_bucket: int,
+                                  pm_bucket: int, sp_bucket: int) -> None:
+        """Mark a batch-synth shape as executed (compile done) — the grouped
+        planner will consider it from now on."""
+        self._warm_group_shapes.add((batch, token_bucket, pm_bucket, sp_bucket))
 
     def _bucket_mel(self, n: int) -> int:
         return _bucket(n, self.mel_buckets)
@@ -468,6 +502,72 @@ class Engine:
             )
         return self._synth_cache[key]
 
+    # per-extra-dispatch overhead in padded-bucket-row units: ~30 ms host RTT
+    # and queueing vs ~0.28 ms of flow+HiFT per bucket-row at full model size
+    _GROUP_DISPATCH_OVERHEAD = 160
+    # a cold batch-synth XLA compile measured 123 s on the remote compiler —
+    # dominate every padding tradeoff when a warm plan exists
+    _COLD_COMPILE_PENALTY = 1_000_000
+
+    def _plan_synth_groups(self, n_alls, pm_bucket: int, sp_bucket: int):
+        """Split a flash batch's rows into <=2 length-sorted synth groups so
+        short rows skip the long rows' padded flow+HiFT frames.
+
+        Only shapes that have already EXECUTED (self._warm_group_shapes) are
+        candidates — a cold batch-synth XLA compile mid-request (measured
+        123 s on the remote compiler) dwarfs any padding it could save.  The
+        baseline is the single full-batch dispatch at the realized max
+        bucket.  Cost model: padded_batch x bucket (flow+HiFT cost is linear
+        in both).  Returns [(row_indices, padded_batch, bucket), ...] or None
+        for the baseline."""
+        bsz = len(n_alls)
+        n_alls = np.asarray(n_alls)
+        warm = [k for k in self._warm_group_shapes
+                if k[2] == pm_bucket and k[3] == sp_bucket]
+        if not warm:
+            return None
+        order = np.argsort(n_alls, kind="stable")
+
+        def shape_for(gsz: int, n_max: int):
+            cands = [(b, t) for (b, t, _p, _s) in warm if b >= gsz and t >= n_max]
+            return min(cands, key=lambda c: c[0] * c[1]) if cands else None
+
+        base_bkt = _bucket(max(int(n_alls.max()), 1), self.synth_buckets)
+        base = bsz * base_bkt
+        if ((bsz, base_bkt, pm_bucket, sp_bucket) not in self._warm_group_shapes
+                and self.strict_shapes):
+            # strict (serving) mode: a cold compile mid-request stalls every
+            # concurrent request for up to minutes — never cheaper than any
+            # padding a warm plan costs.  Offline engines (strict off) take
+            # the one-time compile when it wins on steady-state cost: it
+            # amortizes and self-warms the shape for future batches.
+            base += self._COLD_COMPILE_PENALTY
+        best, best_cost = None, base
+        for k in range(0, bsz):
+            if k == 0:
+                sa, lo, hi = None, order[:0], order
+            else:
+                lo, hi = order[:k], order[k:]
+                sa = shape_for(len(lo), int(n_alls[lo].max()))
+                if sa is None:
+                    continue
+            sb = shape_for(len(hi), int(n_alls[hi].max()))
+            if sb is None:
+                continue
+            cost = sb[0] * sb[1]
+            if k > 0:
+                cost += sa[0] * sa[1] + self._GROUP_DISPATCH_OVERHEAD
+            if cost < best_cost:
+                best_cost = cost
+                plan = [(tuple(int(i) for i in hi), sb[0], sb[1])]
+                if k > 0:
+                    plan.insert(0, (tuple(int(i) for i in lo), sa[0], sa[1]))
+                best = plan
+        if (best is not None and len(best) == 1
+                and best[0][1:] == (bsz, base_bkt)):
+            return None  # identical to the plain dispatch — skip the gathers
+        return best
+
     def _fused_batch_fn(self, batch: int, text_bucket: int, sp_bucket: int,
                         head_num: int, token_bucket: int, pm_bucket: int,
                         fsp_bucket: int):
@@ -660,7 +760,15 @@ class Engine:
         res = None
         wavs = None
         llm_time = 0.0
-        if self.fused:
+        # fused single-dispatch is latency-optimal when the token count is
+        # (nearly) known — forced-ratio callers and small batches.  For
+        # larger batches with a wide min/max window the pre-decode bucket
+        # estimate overshoots the realized counts and flow+HiFT pay for every
+        # padded frame across every row, so the two-stage path (decode, fetch
+        # realized counts, synth at the tight bucket, optionally
+        # length-grouped) wins despite its extra host round trip (~30 ms).
+        est_tight = bool(np.all(max_lens <= np.maximum(min_lens, 1) * 2))
+        if self.fused and (bsz < 4 or est_tight):
             tok_bkt = self._estimate_token_bucket(
                 max(tts_lens), int(min_lens.max()), int(max_lens.max()), flp_max
             )
@@ -703,17 +811,51 @@ class Engine:
             llm_time = time.time() - t0
 
         t0 = time.time()
+        synth_groups = None
         if wavs is None:
-            n_all_max = int((flps + nums).max())
-            tok_bkt = _bucket(max(n_all_max, 1), self.token_buckets)
-            synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, fsbkt)
-            wav_dev = synth(
-                self.flow_params, self.hift_params, res.tokens, res.num_tokens,
-                put_rows(fsp_pad), put_rows(flps), put_rows(pm), put_rows(pm_lens),
-                jnp.asarray(emb_rows), rng,
-            )
-            wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
-            wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]
+            n_alls = (flps + nums).astype(np.int64)
+            plan = None
+            if bsz >= 3 and row_shard is None:
+                plan = self._plan_synth_groups(n_alls, pm_bucket, fsbkt)
+            if plan is not None:
+                # length-grouped synth: short rows skip the long rows' padded
+                # frames.  All dispatches are queued before the first fetch so
+                # the device pipelines the groups.
+                emb_full = (emb_rows if emb_rows.shape[0] == bsz else
+                            np.broadcast_to(emb_rows, (bsz, emb_rows.shape[-1])))
+                pending = []
+                for rows_idx, g_b, g_bkt in plan:
+                    pad = [rows_idx[-1]] * (g_b - len(rows_idx))
+                    idx_np = np.asarray(list(rows_idx) + pad, np.int32)
+                    idx_dev = jnp.asarray(idx_np)
+                    synth = self._batch_synth_fn(g_b, g_bkt, pm_bucket, fsbkt)
+                    wav_dev = synth(
+                        self.flow_params, self.hift_params,
+                        jnp.take(res.tokens, idx_dev, axis=0),
+                        jnp.take(res.num_tokens, idx_dev, axis=0),
+                        jnp.asarray(fsp_pad[idx_np]), jnp.asarray(flps[idx_np]),
+                        jnp.asarray(pm[idx_np]), jnp.asarray(pm_lens[idx_np]),
+                        jnp.asarray(emb_full[idx_np]), rng,
+                    )
+                    pending.append((rows_idx, g_b, g_bkt, wav_dev))
+                wavs = [None] * bsz
+                for rows_idx, g_b, g_bkt, wav_dev in pending:
+                    w_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
+                    for j, i_row in enumerate(rows_idx):
+                        wavs[i_row] = w_np[j, : int(nums[i_row]) * ratio * up]
+                    self.register_warm_batch_synth(g_b, g_bkt, pm_bucket, fsbkt)
+                synth_groups = [(len(g), b, t) for g, b, t in plan]
+            else:
+                tok_bkt = _bucket(max(int(n_alls.max()), 1), self.synth_buckets)
+                synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, fsbkt)
+                wav_dev = synth(
+                    self.flow_params, self.hift_params, res.tokens, res.num_tokens,
+                    put_rows(fsp_pad), put_rows(flps), put_rows(pm), put_rows(pm_lens),
+                    jnp.asarray(emb_rows), rng,
+                )
+                wavs_np = np.asarray(wav_dev).astype(np.float32) / 32767.0
+                wavs = [wavs_np[i, : int(nums[i]) * ratio * up] for i in range(bsz)]
+                self.register_warm_batch_synth(bsz, tok_bkt, pm_bucket, fsbkt)
         synth_time = time.time() - t0
 
         total = time.time() - t_start
@@ -723,6 +865,8 @@ class Engine:
             tokens=[int(n) for n in nums], steps=steps,
             rtf=total / max(dur, 1e-9),
         )
+        if synth_groups is not None:
+            stats["synth_groups"] = synth_groups  # [(rows, padded_B, bucket)]
         if self.spec_decode and head_num >= 2:
             # packed layout keeps [accepted, drafted] just before num/steps
             stats["spec_acceptance"] = float(meta[0, -4]) / max(float(meta[0, -3]), 1.0)
@@ -851,7 +995,7 @@ class Engine:
         fsbkt = _bucket(flp, self.prompt_buckets) if flp else 0
         fsp_pad = np.zeros((fsbkt,), np.int32)
         fsp_pad[:flp] = prompt_speech_tokens
-        tok_bkt = _bucket(max(flp + n_tok, 1), self.token_buckets)
+        tok_bkt = _bucket(max(flp + n_tok, 1), self.synth_buckets)
         lm = len(prompt_mel)
         pm_bucket = _bucket(lm, self.mel_buckets) if lm else 0
         pm = np.zeros((1, pm_bucket, cfg.flow.output_size), np.float32)
@@ -998,7 +1142,7 @@ class Engine:
         t0 = time.time()
         if wav is None:
             n_all = flp + n_tok
-            tok_bkt = _bucket(max(n_all, 1), self.token_buckets)
+            tok_bkt = _bucket(max(n_all, 1), self.synth_buckets)
             synth = self._synth_fn(tok_bkt, pm_bucket, fsbkt)
             wav_dev, mel_dev = synth(
                 self.flow_params, self.hift_params, res.tokens, res.num_tokens,

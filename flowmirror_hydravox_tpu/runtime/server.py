@@ -510,41 +510,80 @@ class TTSService:
         max_tts = max(r[1] for r in rows0)
         est = eng._estimate_token_bucket(
             max_tts, 2 * max_tts, min(20 * max_tts, eng.max_tokens), 0)
-        cap_bkt = eng._bucket_token(min(20 * max_tts, eng.max_tokens))
+        lo_bkt = eng._bucket_synth(max(2 * max_tts, 1))
+        cap_bkt = eng._bucket_synth(min(20 * max_tts, eng.max_tokens))
         rng0 = jax.random.PRNGKey(0)
+
         # token buffers MUST be the canonical (max_tokens,) shape the serving
         # redispatch passes (GenerateResult.tokens): any other length would
         # warm a different trace, and the real redispatch would still compile
         # cold mid-traffic (measured: a 123 s batch-synth compile during a
         # load window because the prewarm traced max_tokens + head_num)
-        for tb in eng.token_buckets:
-            if not est < tb <= cap_bkt:
-                continue
-            if ("fallback", tb, tuple(batch_sizes)) in marks:
-                continue
-            marks.add(("fallback", tb, tuple(batch_sizes)))
-            n_tok = jnp.int32(min(tb, eng.max_tokens))
-            buf = jnp.zeros((eng.max_tokens,), jnp.int32)
-            pm0 = jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32)
+        def warm_solo(tb):
             jax.block_until_ready(eng._synth_fn(tb, 0, 0)(
-                eng.flow_params, eng.hift_params, buf, n_tok,
-                jnp.zeros((0,), jnp.int32), jnp.int32(0), pm0, jnp.int32(0),
-                jnp.zeros((1, 192), jnp.float32), rng0))
+                eng.flow_params, eng.hift_params,
+                jnp.zeros((eng.max_tokens,), jnp.int32),
+                jnp.int32(min(tb, eng.max_tokens)),
+                jnp.zeros((0,), jnp.int32), jnp.int32(0),
+                jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32),
+                jnp.int32(0), jnp.zeros((1, 192), jnp.float32), rng0))
+
+        def warm_batch(n_pad, tb):
+            jax.block_until_ready(eng._batch_synth_fn(n_pad, tb, 0, 0)(
+                eng.flow_params, eng.hift_params,
+                jnp.zeros((n_pad, eng.max_tokens), jnp.int32),
+                jnp.full((n_pad,), min(tb, eng.max_tokens), jnp.int32),
+                jnp.zeros((n_pad, 0), jnp.int32),
+                jnp.zeros((n_pad,), jnp.int32),
+                jnp.zeros((n_pad, 0, eng.cfg.flow.output_size), jnp.float32),
+                jnp.zeros((n_pad,), jnp.int32),
+                jnp.zeros((n_pad, 192), jnp.float32), rng0))
+            eng.register_warm_batch_synth(n_pad, tb, 0, 0)
+
+        # the flash-batch path is two-stage for coalesced traffic: decode,
+        # fetch realized counts, synth at the tight bucket (length-grouped
+        # when cheaper — engine._plan_synth_groups only ever uses shapes
+        # registered HERE, so this ladder defines the serving shapes).
+        # Ordering matters under the wall-clock bound: the shapes traffic is
+        # most likely to realize (large batch, buckets at/under the
+        # estimate) compile first; an unwarmed shape is never compiled
+        # mid-request — the planner just pads onto a warmer one.
+        ladder = []
+        in_range = [tb for tb in eng.synth_buckets if lo_bkt <= tb <= est]
+        for tb in reversed(in_range):
+            for n_pad in sorted((p for p in batch_sizes if p >= 2),
+                                reverse=True):
+                ladder.append(("batch", n_pad, tb))
+        for tb in (tb for tb in eng.synth_buckets if est < tb <= cap_bkt):
+            ladder.append(("solo", 0, tb))
             for n_pad in (p for p in batch_sizes if p >= 4):
-                jax.block_until_ready(eng._batch_synth_fn(n_pad, tb, 0, 0)(
-                    eng.flow_params, eng.hift_params,
-                    jnp.zeros((n_pad, eng.max_tokens), jnp.int32),
-                    jnp.full((n_pad,), n_tok, jnp.int32),
-                    jnp.zeros((n_pad, 0), jnp.int32),
-                    jnp.zeros((n_pad,), jnp.int32),
-                    jnp.zeros((n_pad, 0, eng.cfg.flow.output_size), jnp.float32),
-                    jnp.zeros((n_pad,), jnp.int32),
-                    jnp.zeros((n_pad, 192), jnp.float32), rng0))
-            logger.info("prewarmed fallback synth bucket %d", tb)
+                ladder.append(("batch", n_pad, tb))
+        deadline = t0 + timeout
+        for kind, n_pad, tb in ladder:
+            if time.time() > deadline:
+                logger.warning(
+                    "prewarm wall-clock budget (%.0fs) exhausted; remaining "
+                    "synth shapes stay cold (served via warmer buckets)",
+                    timeout)
+                break
+            key = ("fallback", kind, n_pad, tb)
+            if key in marks:
+                if kind == "batch":  # a fresh service on a warm engine
+                    eng.register_warm_batch_synth(n_pad, tb, 0, 0)
+                continue
+            marks.add(key)
+            if kind == "solo":
+                warm_solo(tb)
+            else:
+                warm_batch(n_pad, tb)
+            logger.info("prewarmed %s synth bucket %d x%d", kind, tb, n_pad)
         if self.batcher is not None:
             self.batcher.prewarm(
                 text_lens=(n_text,), token_counts=continuous_token_counts,
                 stream=stream, timeout=timeout)
+        # from here on, the grouped-synth planner must never compile a new
+        # batch-synth shape mid-traffic — the ladder above defines serving
+        eng.strict_shapes = True
         dt = time.time() - t0
         logger.info("service prewarm done in %.1fs", dt)
         return dt

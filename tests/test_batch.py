@@ -222,3 +222,91 @@ def test_batched_per_row_zero_shot_prompts():
     assert st_t["tokens"] == st_ab["tokens"]
     for a, b in zip(wav_t, wav_ab):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_synth_group_planner():
+    """The grouped-synth planner only uses warm shapes, prefers tight
+    grouping when it saves padded frames, and declines when the plain
+    dispatch is optimal or nothing is warm."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    eng = Engine(
+        CFG,
+        llm.init_params(k1, CFG.llm, jnp.float32),
+        flow.init_params(k2, CFG.flow, jnp.float32),
+        hift.init_params(k3, CFG.hift, jnp.float32),
+        max_tokens=48, prompt_buckets=(32, 64),
+        token_buckets=(64, 128), mel_buckets=(128,),
+        synth_buckets=(16, 32, 64, 128),
+    )
+    eng._GROUP_DISPATCH_OVERHEAD = 0  # tiny buckets: isolate the shape logic
+    n_alls = np.asarray([8, 7, 24, 30])
+
+    # nothing warm -> no plan (the plain dispatch compiles as before)
+    assert eng._plan_synth_groups(n_alls, 0, 0) is None
+
+    # warm: short pair fits (2, 16), long pair (2, 32); full batch (4, 32)
+    eng.register_warm_batch_synth(2, 16, 0, 0)
+    eng.register_warm_batch_synth(2, 32, 0, 0)
+    eng.register_warm_batch_synth(4, 32, 0, 0)
+    plan = eng._plan_synth_groups(n_alls, 0, 0)
+    # 2x16 + 2x32 = 96 beats 4x32 = 128
+    assert plan is not None and len(plan) == 2
+    (rows_a, b_a, t_a), (rows_b, b_b, t_b) = plan
+    assert sorted(rows_a) == [0, 1] and (b_a, t_a) == (2, 16)
+    assert sorted(rows_b) == [2, 3] and (b_b, t_b) == (2, 32)
+
+    # rows all long -> single-group plan equals the plain dispatch -> None
+    assert eng._plan_synth_groups(np.asarray([24, 30, 28, 25]), 0, 0) is None
+
+    # strict (serving) mode: a warm plan must win over a COLD plain dispatch
+    # even when its padded cost is higher — all rows land in bucket 64 but
+    # only (4, 128) is warm
+    eng._warm_group_shapes = {(4, 128, 0, 0)}
+    eng.strict_shapes = True
+    plan = eng._plan_synth_groups(np.asarray([40, 50, 60, 33]), 0, 0)
+    assert plan == [(tuple(int(i) for i in np.argsort([40, 50, 60, 33])), 4, 128)]
+
+    # offline mode (strict off): the one-time compile amortizes — prefer the
+    # tight base bucket and let it self-warm
+    eng.strict_shapes = False
+    assert eng._plan_synth_groups(np.asarray([40, 50, 60, 33]), 0, 0) is None
+
+    # prompt-bucket mismatch filters warm shapes out
+    assert eng._plan_synth_groups(np.asarray([40, 50, 60, 33]), 128, 0) is None
+
+
+def test_grouped_batch_synth_end_to_end():
+    """4 rows with disparate lengths route through two synth groups; audio
+    lengths and token counts match the plain path's accounting."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = (
+        llm.init_params(k1, CFG.llm, jnp.float32),
+        flow.init_params(k2, CFG.flow, jnp.float32),
+        hift.init_params(k3, CFG.hift, jnp.float32),
+    )
+    mk = lambda: Engine(  # noqa: E731
+        CFG, *params, max_tokens=48, prompt_buckets=(32, 64),
+        token_buckets=(64, 128), mel_buckets=(128,),
+        synth_buckets=(16, 32, 64, 128), fused=False,
+    )
+    texts = [np.arange(4, dtype=np.int32), np.arange(4, dtype=np.int32) + 1,
+             np.arange(12, dtype=np.int32), np.arange(12, dtype=np.int32) % 5]
+    kwargs = dict(inference_head_num=2, rng=jax.random.PRNGKey(3),
+                  min_token_text_ratio=2.0, max_token_text_ratio=2.0)
+
+    base = mk()
+    wavs_plain, st_plain = base.synthesize_batch(texts, **kwargs)
+    assert "synth_groups" not in st_plain  # nothing warm on first contact
+
+    grp = mk()
+    grp._GROUP_DISPATCH_OVERHEAD = 0
+    grp.register_warm_batch_synth(2, 16, 0, 0)
+    grp.register_warm_batch_synth(2, 32, 0, 0)
+    wavs_g, st_g = grp.synthesize_batch(texts, **kwargs)
+    assert st_g.get("synth_groups") is not None and len(st_g["synth_groups"]) == 2
+    # decode is identical regardless of synth grouping
+    assert st_g["tokens"] == st_plain["tokens"]
+    spt = CFG.flow.token_mel_ratio * CFG.hift.upsample_scale
+    for w, n in zip(wavs_g, st_g["tokens"]):
+        assert len(w) == n * spt
+        assert np.isfinite(w).all()
