@@ -5,14 +5,18 @@ with a hard subprocess timeout so a hung load scenario can never take the
 headline metrics down with it (BENCH_r03 rc=124: the whole bench died inside
 this section and every metric printed after it was lost).
 
-Measures, in order (each line is one JSON object on stdout):
-  service_throughput_8way        burst: 8 concurrent /tts through one worker
-  ttft_under_load_http           stream TTFT while 6 closed-loop /tts workers
-                                 hammer a window-coalescing server
-  ttft_under_load_http_continuous  same load on 4 continuous decode slots
+Measures, in order (each line is one JSON object on stdout) — priority
+order per VERDICT r4 item 1: the under-load TTFT numbers (the round-4/5
+headline claim) come FIRST so a budget kill can't lose them; the burst
+throughput probe runs last:
+  ttft_under_load_http_continuous  stream TTFT on 4 continuous decode slots
+                                 while 6 closed-loop /tts workers hammer them
+  ttft_under_load_http           same load on a window-coalescing server
   staggered_load_window          poisson open-loop 3 rps, window coalescing
   staggered_load_continuous      same arrivals on the continuous slots
   staggered_mode_winner          data-selected serving mode
+  staggered_capacity_continuous  8 rps probe that binds on compute
+  service_throughput_8way        burst: 8 concurrent /tts through one worker
 
 Design deltas from the round-3 in-bench version (VERDICT r3 items 1-2, 4, 8):
   - every service is PREWARMED with the actual benchmark payload before its
@@ -133,7 +137,8 @@ def main(argv=None):
               "elapsed_s": round(time.time() - t0, 1)})
         return out
 
-    # --- burst throughput: 8 concurrent /tts through one prewarmed worker ---
+    # --- burst throughput: 8 concurrent /tts through one prewarmed worker.
+    # Defined here, RUN LAST (it is the least load-shaped of the scenarios) --
     def throughput_8way():
         service = TTSService(engine, fe, request_timeout=300.0,
                              batch_window=0.05)
@@ -181,8 +186,6 @@ def main(argv=None):
         finally:
             service.shutdown()
 
-    section("service_throughput_8way", 500, throughput_8way)
-
     # --- servers for the load scenarios -------------------------------------
     def with_server(slots, fn):
         srv = make_server("127.0.0.1", 0, engine, fe, continuous_slots=slots,
@@ -222,18 +225,8 @@ def main(argv=None):
         stop_flag[0] = True
         return res
 
-    res_w = section("ttft_under_load_window", 400,
-                    lambda: with_server(0, ttft_under_load))
-    if res_w:
-        emit({
-            "aux": True, "metric": "ttft_under_load_http",
-            "ttft_p50_ms": res_w["ttft_p50_ms"], "ttft_p95_ms": res_w["ttft_p95_ms"],
-            "interchunk_gap_p95_ms": res_w["interchunk_gap_p95_ms"],
-            "stream_requests": res_w["requests"], "errors": res_w["errors"],
-            "bg_load": "6 closed-loop /tts workers", "target_ms": 200,
-        })
-
-    res_c = section("ttft_under_load_continuous", 400,
+    # continuous slots FIRST: the round-4/5 headline claim, must be captured
+    res_c = section("ttft_under_load_continuous", 180,
                     lambda: with_server(4, ttft_under_load))
     if res_c:
         emit({
@@ -244,10 +237,21 @@ def main(argv=None):
             "bg_load": "6 closed-loop /tts workers on the same 4 slots "
                        "(1 reserved for streams)",
             "host_dispatch_rtt_ms": rtt_ms,
-            "note": "the continuous TTFT path pays ~5 host round trips "
-                    "(admit, chunk+meta, synth+wav); subtract ~5x "
-                    "host_dispatch_rtt_ms for the design-bound latency",
+            "note": "first chunk rides the fused admit program: ONE dispatch "
+                    "+ ONE fetch (~2 host round trips) from slot assignment "
+                    "to audio",
             "target_ms": 200,
+        })
+
+    res_w = section("ttft_under_load_window", 150,
+                    lambda: with_server(0, ttft_under_load))
+    if res_w:
+        emit({
+            "aux": True, "metric": "ttft_under_load_http",
+            "ttft_p50_ms": res_w["ttft_p50_ms"], "ttft_p95_ms": res_w["ttft_p95_ms"],
+            "interchunk_gap_p95_ms": res_w["interchunk_gap_p95_ms"],
+            "stream_requests": res_w["requests"], "errors": res_w["errors"],
+            "bg_load": "6 closed-loop /tts workers", "target_ms": 200,
         })
 
     # --- staggered (poisson open-loop) arrivals: window vs continuous -------
@@ -272,7 +276,7 @@ def main(argv=None):
 
     modes = {}
     for label, slots in (("window", 0), ("continuous", 4)):
-        r_m = section(f"staggered_load_{label}", 400,
+        r_m = section(f"staggered_load_{label}", 90,
                       lambda slots=slots: with_server(slots, staggered))
         if not r_m:
             continue
@@ -312,7 +316,7 @@ def main(argv=None):
                         concurrency=16, duration=max(args.window, 15.0),
                         warmup=1, timeout=120)
 
-    r_cap = section("staggered_capacity_continuous", 300,
+    r_cap = section("staggered_capacity_continuous", 90,
                     lambda: with_server(4, capacity))
     if r_cap:
         emit({
@@ -323,6 +327,9 @@ def main(argv=None):
             "latency_p95_ms": r_cap["latency_p95_ms"],
             "rtf_effective": r_cap["rtf_effective"],
         })
+
+    # burst throughput LAST (shares every warm program by now)
+    section("service_throughput_8way", 70, throughput_8way)
 
     emit({"aux": True, "section": "bench_serving_total",
           "elapsed_s": round(time.time() - t_start, 1)})
