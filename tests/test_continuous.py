@@ -558,6 +558,34 @@ def test_stream_priority_admission(engine):
     assert all(r.error for r in plain)
 
 
+def test_stream_fairness_bound(engine):
+    """Stream priority is BOUNDED: after stream_fairness_k consecutive
+    stream admissions while whole-utterance work waits, one backlog request
+    is admitted before the next stream — sustained streaming load can no
+    longer starve the backlog to its result() timeout (ADVICE r4)."""
+    b = ContinuousBatcher(engine, slots=1, chunk_steps=8, head_num=2)
+    b.stream_fairness_k = 2
+    b._started = True  # manual ticks, no loop threads
+    b._state = b._init_state()
+    t = np.arange(5, dtype=np.int32)
+    streams = [b.submit(t, rng=jax.random.PRNGKey(i), stream=True,
+                        min_token_text_ratio=2.0, max_token_text_ratio=2.0)
+               for i in range(4)]
+    plain = b.submit(t, rng=jax.random.PRNGKey(9),
+                     min_token_text_ratio=2.0, max_token_text_ratio=2.0)
+    for _ in range(30):
+        b._tick()  # short streams may admit AND finish inside one tick
+        if plain.t_admit is not None:
+            break
+    assert plain.t_admit is not None, "backlog request starved by stream lane"
+    # the bound: at most stream_fairness_k streams were admitted before it
+    before = sum(1 for s in streams
+                 if s.t_admit is not None and s.t_admit < plain.t_admit)
+    assert before <= 2, f"{before} streams admitted before the backlog"
+    b._started = False
+    b.shutdown()
+
+
 def test_stream_lane_bypasses_worker_queue(engine):
     """Window mode (no continuous slots): a tts_stream request is served from
     the dedicated stream lane, not behind queued /tts work. Three slow /tts
