@@ -190,9 +190,13 @@ def ras_sample_heads(
 
     The rare repetition fallback is hoisted behind ONE lax.cond over
     any(repeated): the common step skips K full-vocab log_softmax + gumbel
-    + argmax chains entirely (measured ~0.2 ms/step of the heads=4 decode),
-    and when the cond fires the fallback draws the exact values the eager
-    form drew (same per-head rng_flat splits), so tokens are bit-identical."""
+    + argmax chains entirely (measured ~0.2 ms/step of the heads=4 SOLO
+    decode), and when the cond fires the fallback draws the exact values the
+    eager form drew (same per-head rng_flat splits), so tokens are
+    bit-identical.  Scope of the saving: callers that vmap this function
+    over slots/rows (the continuous chunk program, batched decode) lower
+    the cond to a select — both branches execute there, so only the
+    non-vmapped solo/streaming decode path gets the ~0.2 ms."""
     k = head_logits.shape[0]
     rngs = jax.random.split(rng, k)
     ignore = (num_decoded + jnp.arange(k)) < min_len

@@ -821,6 +821,12 @@ class Engine:
                 # length-grouped synth: short rows skip the long rows' padded
                 # frames.  All dispatches are queued before the first fetch so
                 # the device pipelines the groups.
+                # NOTE: tokens are identical either way, but the synthesis is
+                # SAMPLE-equivalent, not bit-identical, to the ungrouped
+                # dispatch — vocoder/CFM noise is drawn from the same rng
+                # over a different batch shape, so which plan the warm-shape
+                # planner picks changes the noise realization (never the
+                # distribution).
                 emb_full = (emb_rows if emb_rows.shape[0] == bsz else
                             np.broadcast_to(emb_rows, (bsz, emb_rows.shape[-1])))
                 pending = []
@@ -847,6 +853,20 @@ class Engine:
                 synth_groups = [(len(g), b, t) for g, b, t in plan]
             else:
                 tok_bkt = _bucket(max(int(n_alls.max()), 1), self.synth_buckets)
+                if (self.strict_shapes
+                        and (bsz, tok_bkt, pm_bucket, fsbkt)
+                        not in self._warm_group_shapes):
+                    # strict mode promises no mid-traffic compiles, but no
+                    # warm shape covers this realized batch (typically a
+                    # zero-shot pm_bucket the prewarm ladder didn't visit) —
+                    # the baseline dispatch below may cold-compile (~123 s).
+                    # Surface it so operators extend the prewarm instead of
+                    # debugging a one-off stall.
+                    logger.warning(
+                        "strict_shapes: no warm batch-synth shape covers "
+                        "(batch=%d, bucket=%d, pm=%d, sp=%d); dispatching a "
+                        "possibly-cold baseline — extend prewarm to this "
+                        "shape", bsz, tok_bkt, pm_bucket, fsbkt)
                 synth = self._batch_synth_fn(bsz, tok_bkt, pm_bucket, fsbkt)
                 wav_dev = synth(
                     self.flow_params, self.hift_params, res.tokens, res.num_tokens,

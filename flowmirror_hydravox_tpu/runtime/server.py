@@ -413,7 +413,8 @@ class TTSService:
 
     def prewarm(self, texts=None, speaker_id=None, head_nums=None,
                 batch_sizes=(1, 2, 4, 8), stream: bool = True,
-                continuous_token_counts=(60, 125), timeout: float = 1800.0):
+                continuous_token_counts=(60, 125), timeout: float = 1800.0,
+                zero_shot_prompt_shapes=()):
         """Compile every program the serving paths will use for traffic
         shaped like `texts` BEFORE it arrives: the flash-batch ladder
         (each padded batch size in `batch_sizes`), the solo path, the
@@ -528,17 +529,17 @@ class TTSService:
                 jnp.zeros((1, 0, eng.cfg.flow.output_size), jnp.float32),
                 jnp.int32(0), jnp.zeros((1, 192), jnp.float32), rng0))
 
-        def warm_batch(n_pad, tb):
-            jax.block_until_ready(eng._batch_synth_fn(n_pad, tb, 0, 0)(
+        def warm_batch(n_pad, tb, pmb=0, spb=0):
+            jax.block_until_ready(eng._batch_synth_fn(n_pad, tb, pmb, spb)(
                 eng.flow_params, eng.hift_params,
                 jnp.zeros((n_pad, eng.max_tokens), jnp.int32),
                 jnp.full((n_pad,), min(tb, eng.max_tokens), jnp.int32),
-                jnp.zeros((n_pad, 0), jnp.int32),
-                jnp.zeros((n_pad,), jnp.int32),
-                jnp.zeros((n_pad, 0, eng.cfg.flow.output_size), jnp.float32),
-                jnp.zeros((n_pad,), jnp.int32),
+                jnp.zeros((n_pad, spb), jnp.int32),
+                jnp.full((n_pad,), spb, jnp.int32),
+                jnp.zeros((n_pad, pmb, eng.cfg.flow.output_size), jnp.float32),
+                jnp.full((n_pad,), pmb, jnp.int32),
                 jnp.zeros((n_pad, 192), jnp.float32), rng0))
-            eng.register_warm_batch_synth(n_pad, tb, 0, 0)
+            eng.register_warm_batch_synth(n_pad, tb, pmb, spb)
 
         # the flash-batch path is two-stage for coalesced traffic: decode,
         # fetch realized counts, synth at the tight bucket (length-grouped
@@ -558,25 +559,40 @@ class TTSService:
             ladder.append(("solo", 0, tb))
             for n_pad in (p for p in batch_sizes if p >= 4):
                 ladder.append(("batch", n_pad, tb))
+        # zero-shot coalescing shapes (pm_bucket > 0): the SFT ladder above
+        # covers none of them, so strict mode would otherwise fall back to a
+        # possibly-cold baseline dispatch on the first coalesced zero-shot
+        # batch.  Callers name the (prompt-mel bucket, prompt-token bucket)
+        # pairs their enrolled prompts realize, e.g. a ~5 s clone prompt is
+        # (256, 128); each pair adds batch shapes at the likeliest buckets.
+        for pmb, spb in zero_shot_prompt_shapes:
+            zs_lo = eng._bucket_synth(max(spb + 2 * max_tts, 1))
+            zs_hi = eng._bucket_synth(min(spb + 20 * max_tts, eng.max_tokens))
+            zs_range = [tb for tb in eng.synth_buckets if zs_lo <= tb <= zs_hi]
+            for tb in zs_range:
+                for n_pad in (p for p in batch_sizes if p >= 2):
+                    ladder.append(("batch", n_pad, tb, pmb, spb))
         deadline = t0 + timeout
-        for kind, n_pad, tb in ladder:
+        for kind, n_pad, tb, *zs in ladder:
+            pmb, spb = zs if zs else (0, 0)
             if time.time() > deadline:
                 logger.warning(
                     "prewarm wall-clock budget (%.0fs) exhausted; remaining "
                     "synth shapes stay cold (served via warmer buckets)",
                     timeout)
                 break
-            key = ("fallback", kind, n_pad, tb)
+            key = ("fallback", kind, n_pad, tb, pmb, spb)
             if key in marks:
                 if kind == "batch":  # a fresh service on a warm engine
-                    eng.register_warm_batch_synth(n_pad, tb, 0, 0)
+                    eng.register_warm_batch_synth(n_pad, tb, pmb, spb)
                 continue
             marks.add(key)
             if kind == "solo":
                 warm_solo(tb)
             else:
-                warm_batch(n_pad, tb)
-            logger.info("prewarmed %s synth bucket %d x%d", kind, tb, n_pad)
+                warm_batch(n_pad, tb, pmb, spb)
+            logger.info("prewarmed %s synth bucket %d x%d (pm %d sp %d)",
+                        kind, tb, n_pad, pmb, spb)
         if self.batcher is not None:
             self.batcher.prewarm(
                 text_lens=(n_text,), token_counts=continuous_token_counts,
