@@ -15,15 +15,18 @@ NOTE: random-weight MTP heads draft near chance, so the measured acceptance
 is a LOWER bound — trained heads drive it up (proven in
 tests/test_llm.py::test_speculative_acceptance_rises_with_training).
 
-`--trained` measures the DESIGN POINT instead (VERDICT r3 item 7): it first
-trains the flagship-size model in-process on a structured token corpus
-(speech_token[t] = (start + t) % vocab — next-k-token prediction is exactly
-the draft skill, the same recipe as the unit test above but at full scale),
-then benches spec decode with those heads.  The corpus is synthetic, so the
-acceptance is an upper-bound demonstration that the THROUGHPUT machinery
-converts trained-head acceptance into tok/s; real-speech acceptance lands
-wherever real MTP training puts it (the reference ships trained heads,
-llm_multi_head_v3.py:866-922).
+`--trained` measures the DESIGN POINT instead (VERDICT r3 item 7 / r4 item
+2): it LOADS the committed trained-readout checkpoint
+(assets/spec_readout.npz — tools/train_spec_ckpt.py trains it offline, see
+that module for why a small readout artifact suffices) and only measures.
+Round 4 trained on-chip inside the bench section and timed out at 684 s;
+this path is a load + two engine benches, seconds on a warm cache.  The
+training corpus is synthetic, so the acceptance is an upper-bound
+demonstration that the THROUGHPUT machinery converts trained-head agreement
+into tok/s; real-speech acceptance lands wherever real MTP training puts it
+(the reference ships trained heads, llm_multi_head_v3.py:866-922).
+`--train_steps N` (with --trained --train_on_chip) restores the old
+in-process training for reproduction runs without the artifact.
 """
 
 from __future__ import annotations
@@ -43,8 +46,14 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--cache_dir", default=".jax_cache")
     p.add_argument("--trained", action="store_true",
-                   help="train the MTP heads first (structured corpus), then "
-                        "bench — the acceptance-at-design-point number")
+                   help="load the committed trained-readout checkpoint "
+                        "(assets/spec_readout.npz) and measure the "
+                        "acceptance-at-design-point number")
+    p.add_argument("--ckpt", default=None,
+                   help="override the trained-readout npz path")
+    p.add_argument("--train_on_chip", action="store_true",
+                   help="with --trained: ignore the artifact and train the "
+                        "full model in-process (reproduction mode; slow)")
     p.add_argument("--train_steps", type=int, default=150)
     args = p.parse_args(argv)
 
@@ -74,7 +83,16 @@ def main(argv=None):
     jax.block_until_ready(llm_p["llm_decoder"])
 
     train_acc = None
-    if args.trained:
+    ckpt_meta = None
+    if args.trained and not args.train_on_chip:
+        from .train_spec_ckpt import DEFAULT_ASSET, load_spec_readout
+
+        path = args.ckpt or DEFAULT_ASSET
+        llm_p, ckpt_meta = load_spec_readout(llm_p, path)
+        train_acc = float(ckpt_meta.get("train_acc", -1.0))
+        print(f"# loaded trained readout {path} "
+              f"(train_acc {train_acc:.3f})", flush=True)
+    elif args.trained:
         from ..train.steps import (
             OptimConfig, init_state, llm_train_step, make_optimizer,
         )
@@ -162,10 +180,12 @@ def main(argv=None):
             acceptance=summary["acceptance"],
             tokens_per_step=round(len(best.speech_tokens) / max(best.steps, 1), 2),
             heads1_tps=summary["heads1_best_tps"], speedup=summary["speedup"],
-            train_steps=args.train_steps, train_acc=round(train_acc or 0.0, 3),
-            note="exact heads=1 distribution; heads trained on a structured "
-                 "corpus (next-k prediction = the draft skill) — see module "
-                 "docstring for what this does and does not claim",
+            train_acc=round(train_acc or 0.0, 3),
+            ckpt=("in-chip" if args.train_on_chip else
+                  (ckpt_meta or {}).get("recipe", "assets/spec_readout.npz")[:60]),
+            note="exact heads=1 distribution; committed trained readout on a "
+                 "cyclic-successor corpus (tools/train_spec_ckpt.py) — see "
+                 "module docstrings for what this does and does not claim",
         )
     print(json.dumps(summary), flush=True)
     return summary

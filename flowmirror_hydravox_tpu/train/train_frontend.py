@@ -154,6 +154,11 @@ def main(argv=None):
     p.add_argument("--save_steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
+    p.add_argument("--augment", action="store_true",
+                   help="apply label-preserving recording-channel "
+                        "augmentation (reverb/noise/EQ/level — "
+                        "train/augment.py) to every crop; closes part of the "
+                        "synthetic-to-real gap for the speaker encoder")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -227,6 +232,11 @@ def main(argv=None):
             batches = _synthetic_batches(args.batch_size, args.seconds, args.n_speakers, args.seed)
         else:
             batches = _speaker_batches(args.wav_dir, args.batch_size, args.seconds, args.seed)
+
+    if args.augment:
+        from .augment import augment_batches
+
+        batches = augment_batches(batches, seed=args.seed)
 
     optimizer = make_optimizer(OptimConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
