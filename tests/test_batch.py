@@ -11,7 +11,6 @@ from flowmirror_hydravox_tpu.models import flow, hift, llm
 from flowmirror_hydravox_tpu.ops.sampling import SamplingParams
 from flowmirror_hydravox_tpu.runtime.engine import Engine
 
-pytestmark = pytest.mark.quick
 
 
 CFG = tiny_config()
@@ -22,6 +21,7 @@ def params():
     return llm.init_params(jax.random.PRNGKey(0), CFG.llm, jnp.float32)
 
 
+@pytest.mark.quick
 def test_generate_batched_rows_independent(params):
     """Each batched row must produce a valid sequence respecting its own
     min/max lengths; rows stop independently."""
@@ -53,6 +53,7 @@ def test_generate_batched_rows_independent(params):
         assert (toks[i, nums[i]:] == -1).all()
 
 
+@pytest.mark.quick
 def test_generate_batched_single_row_matches_unbatched(params):
     """B=1 batched decode must equal the unbatched loop given the same
     per-step rng stream is derived identically... they split rngs differently
@@ -77,6 +78,7 @@ def test_generate_batched_single_row_matches_unbatched(params):
     assert 4 <= int(r1.num_tokens[0]) <= 20
 
 
+@pytest.mark.quick
 def test_engine_synthesize_batch():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     engine = Engine(
@@ -102,6 +104,7 @@ def test_engine_synthesize_batch():
     assert stats["rtf"] > 0
 
 
+@pytest.mark.quick
 def test_fused_batch_matches_two_stage():
     import jax
     import jax.numpy as jnp
@@ -224,6 +227,7 @@ def test_batched_per_row_zero_shot_prompts():
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.quick
 def test_synth_group_planner():
     """The grouped-synth planner only uses warm shapes, prefers tight
     grouping when it saves padded frames, and declines when the plain

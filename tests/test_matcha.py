@@ -168,7 +168,6 @@ def test_denoiser_torch_parity():
                                atol=2e-3)
 
 
-@pytest.mark.quick
 def test_denoiser_bias_spec_and_reduction():
     """make_bias_spec drives a real (tiny) vocoder; denoising the raw bias
     audio at strength 1 should strictly reduce its energy."""

@@ -26,12 +26,30 @@ def test_spec_readout_roundtrip(tmp_path):
     np.savez_compressed(
         path, llm_decoder_bf16_bits=np.asarray(dec).view(np.uint16),
         meta=json.dumps({"train_acc": 0.9, "config": "test"}))
-    params = {"llm_decoder": jnp.zeros((8, 16), jnp.bfloat16)}
+    params = {"llm_decoder": jnp.zeros((8, 16), jnp.bfloat16),
+              "speech_embedding": jnp.ones((24, 16), jnp.bfloat16)}
     loaded, meta = load_spec_readout(params, path)
     assert meta["train_acc"] == 0.9
     # bit-exact round trip
     assert np.array_equal(np.asarray(loaded["llm_decoder"]).view(np.uint16),
                           np.asarray(dec).view(np.uint16))
+    # decoder-only artifact leaves the embedding untouched
+    assert np.array_equal(np.asarray(loaded["speech_embedding"]),
+                          np.asarray(params["speech_embedding"]))
+
+    # artifact with trained embedding rows: rows [0, M) replaced, rest kept
+    rows = (np.random.default_rng(1).standard_normal((4, 16)) * 0.1
+            ).astype(jnp.bfloat16)
+    path2 = os.path.join(tmp_path, "ck2.npz")
+    np.savez_compressed(
+        path2, llm_decoder_bf16_bits=np.asarray(dec).view(np.uint16),
+        speech_embedding_rows_bf16_bits=np.asarray(rows).view(np.uint16),
+        meta=json.dumps({"train_acc": 0.8}))
+    loaded2, _ = load_spec_readout(params, path2)
+    emb2 = np.asarray(loaded2["speech_embedding"])
+    assert np.array_equal(emb2[:4].view(np.uint16),
+                          np.asarray(rows).view(np.uint16))
+    assert np.array_equal(emb2[4:], np.asarray(params["speech_embedding"])[4:])
     # shape mismatch is a loud error, not silent reshaping
     bad = {"llm_decoder": jnp.zeros((4, 16), jnp.bfloat16)}
     with pytest.raises(AssertionError):

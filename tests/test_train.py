@@ -203,7 +203,6 @@ def test_grad_accum_llm_matches_full_batch():
         jax.tree.leaves(diffs))[-3:]
 
 
-@pytest.mark.quick
 def test_grad_accum_flow_splits_rng_per_micro_batch():
     """The flow accum path gives each micro-batch its own rng split; the
     accumulated grads equal the hand-computed mean of per-micro grads."""
@@ -250,7 +249,6 @@ def test_grad_accum_flow_splits_rng_per_micro_batch():
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
-@pytest.mark.quick
 def test_grad_accum_dpo_matches_full_batch():
     from flowmirror_hydravox_tpu.train.steps import dpo_train_step
 
