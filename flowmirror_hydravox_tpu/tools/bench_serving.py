@@ -186,21 +186,34 @@ def main(argv=None):
         finally:
             service.shutdown()
 
-    # --- servers for the load scenarios -------------------------------------
-    def with_server(slots, fn):
+    # --- servers for the load scenarios: ONE server per mode, reused by
+    # every scenario of that mode.  A fresh ContinuousBatcher per scenario
+    # re-jits its slot programs, and each new executable pays a first-
+    # execution upload over the tunnel (tens of seconds for the big decode
+    # programs) — sharing the server keeps that cost to one per mode. ------
+    servers = {}
+
+    def get_server(slots):
+        if slots in servers:
+            return servers[slots][1]
         srv = make_server("127.0.0.1", 0, engine, fe, continuous_slots=slots,
                           continuous_head_num=HEADS, request_timeout=120.0)
         service = srv.RequestHandlerClass.service
         th = threading.Thread(target=srv.serve_forever, daemon=True)
         th.start()
         url = f"http://127.0.0.1:{srv.server_address[1]}"
-        try:
-            # compile barrier: everything this scenario's traffic shape needs
-            service.prewarm(texts=[lg_text], speaker_id="spk0",
-                            head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
-                            stream=True, continuous_token_counts=(60, 125, 250))
-            return fn(url)
-        finally:
+        # compile barrier: everything this mode's traffic shapes need
+        service.prewarm(texts=[lg_text], speaker_id="spk0",
+                        head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
+                        stream=True, continuous_token_counts=(60, 125, 250))
+        servers[slots] = (srv, url, service)
+        return url
+
+    def with_server(slots, fn):
+        return fn(get_server(slots))
+
+    def shutdown_servers():
+        for srv, _url, service in servers.values():
             srv.shutdown()
             service.shutdown()
 
@@ -331,6 +344,7 @@ def main(argv=None):
     # burst throughput LAST (shares every warm program by now)
     section("service_throughput_8way", 70, throughput_8way)
 
+    shutdown_servers()
     emit({"aux": True, "section": "bench_serving_total",
           "elapsed_s": round(time.time() - t_start, 1)})
 

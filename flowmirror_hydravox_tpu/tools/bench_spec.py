@@ -64,6 +64,12 @@ def main(argv=None):
     if args.cache_dir:
         jax.config.update("jax_compilation_cache_dir", args.cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import os
+
+    if os.environ.get("HYDRAVOX_FAST_RNG", "1") not in ("0", "false"):
+        # match bench.py's serving PRNG so the decode programs here share
+        # the persistent-cache keys with the in-process bench sections
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     import jax.numpy as jnp
     import numpy as np

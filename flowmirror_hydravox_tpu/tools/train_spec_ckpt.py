@@ -44,19 +44,29 @@ DEFAULT_ASSET = os.path.join(
 
 
 def load_spec_readout(params: dict, path: str = DEFAULT_ASSET) -> dict:
-    """Return `params` with llm_decoder replaced by the committed trained
-    readout (stored as a uint16 bit-pattern view of bf16 — exact)."""
+    """Return `params` with llm_decoder (and, when the artifact carries
+    them, the trained speech-embedding rows) replaced by the committed
+    trained values (stored as uint16 bit-pattern views of bf16 — exact)."""
     import jax.numpy as jnp
     import numpy as np
 
     with np.load(path) as z:
         bits = z["llm_decoder_bf16_bits"]
         meta = json.loads(str(z["meta"]))
+        emb_bits = (z["speech_embedding_rows_bf16_bits"]
+                    if "speech_embedding_rows_bf16_bits" in z else None)
     dec = jnp.asarray(bits).view(jnp.bfloat16)
     assert dec.shape == params["llm_decoder"].shape, (
         f"checkpoint decoder {dec.shape} != model {params['llm_decoder'].shape}"
         f" (trained for {meta.get('config', '?')})")
-    return dict(params, llm_decoder=dec.astype(params["llm_decoder"].dtype)), meta
+    out = dict(params, llm_decoder=dec.astype(params["llm_decoder"].dtype))
+    if emb_bits is not None:
+        rows = jnp.asarray(emb_bits).view(jnp.bfloat16)
+        emb = params["speech_embedding"]
+        assert rows.shape[1] == emb.shape[1] and rows.shape[0] <= emb.shape[0]
+        out["speech_embedding"] = emb.at[: rows.shape[0]].set(
+            rows.astype(emb.dtype))
+    return out, meta
 
 
 def make_batch(rng, cfg, b, lt_max, ls, m_tokens):
@@ -88,6 +98,10 @@ def main(argv=None):
                    help="cyclic corpus alphabet (> RAS win_size so the "
                         "repetition fallback never triggers)")
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--decoder_only", action="store_true",
+                   help="freeze the speech-embedding rows too (smaller "
+                        "artifact, measurably lower acceptance: the readout "
+                        "alone can't separate 24 random layers' mixing)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--cache_dir", default=".jax_cache")
@@ -103,6 +117,10 @@ def main(argv=None):
     if args.cache_dir:
         jax.config.update("jax_compilation_cache_dir", args.cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("HYDRAVOX_FAST_RNG", "1") not in ("0", "false"):
+        # match bench.py / bench_spec: shared persistent-cache keys for the
+        # eval engine's decode programs
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     import jax.numpy as jnp
     import numpy as np
@@ -122,9 +140,14 @@ def main(argv=None):
         frozen = dict(params)
         del frozen["llm_decoder"]
         opt = optax.adam(args.lr)
+        train_emb = not args.decoder_only
 
-        def loss_fn(dec, frozen_p, batch):
-            full = dict(frozen_p, llm_decoder=dec)
+        def loss_fn(tr, frozen_p, batch):
+            full = dict(frozen_p, llm_decoder=tr["dec"])
+            if "emb" in tr:
+                e = frozen_p["speech_embedding"]
+                full["speech_embedding"] = e.at[: tr["emb"].shape[0]].set(
+                    tr["emb"].astype(e.dtype))
             out = llm_model.forward_loss(
                 full, cfg.llm, batch["text_token"], batch["text_len"],
                 batch["speech_token"], batch["speech_len"])
@@ -134,44 +157,56 @@ def main(argv=None):
         # become XLA constants, and 1.2 GB of constants makes the compile
         # effectively never finish on the remote compiler
         @jax.jit
-        def step(dec, opt_state, frozen_p, batch):
+        def step(tr, opt_state, frozen_p, batch):
             (loss, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                dec, frozen_p, batch)
+                tr, frozen_p, batch)
             upd, opt_state = opt.update(g, opt_state)
-            return optax.apply_updates(dec, upd), opt_state, loss, acc
+            return optax.apply_updates(tr, upd), opt_state, loss, acc
 
-        dec = params["llm_decoder"].astype(jnp.float32)
-        opt_state = opt.init(dec)
+        tr = {"dec": params["llm_decoder"].astype(jnp.float32)}
+        if train_emb:
+            # the corpus alphabet's embedding rows train too: the readout
+            # alone cannot separate what 24 random layers mix, but trainable
+            # inputs can be SHAPED for downstream separability; artifact
+            # cost is m_tokens x hidden (~100 KB)
+            tr["emb"] = params["speech_embedding"][:m_tokens].astype(jnp.float32)
+        opt_state = opt.init(tr)
         rng_np = np.random.default_rng(0)
         t0 = time.time()
         for i in range(args.steps):
             batch = jax.tree.map(jnp.asarray, make_batch(
                 rng_np, cfg, args.batch, args.lt_max, args.ls, m_tokens))
-            dec, opt_state, loss, acc = step(dec, opt_state, frozen, batch)
+            tr, opt_state, loss, acc = step(tr, opt_state, frozen, batch)
             if i % 50 == 0 or i == args.steps - 1:
                 print(f"# step {i}: loss {float(loss):.3f} "
                       f"acc {float(acc):.3f} ({time.time()-t0:.0f}s)",
                       flush=True)
         train_acc = float(acc)
-        dec_bf16 = np.asarray(dec.astype(jnp.bfloat16))
+        dec_bf16 = np.asarray(tr["dec"].astype(jnp.bfloat16))
         meta = dict(
             config="tiny" if args.tiny else "flagship",
             steps=args.steps, batch=args.batch, lt_max=args.lt_max,
             ls=args.ls, m_tokens=m_tokens, lr=args.lr,
+            train_embedding=train_emb,
             train_acc=round(train_acc, 4),
-            recipe="decoder-only readout on cyclic-successor corpus; "
-                   "backbone/embeddings/heads frozen at init_params("
-                   "PRNGKey(0) split[0]) — see module docstring",
+            recipe="shared-decoder readout (+ corpus-alphabet embedding "
+                   "rows) on cyclic-successor corpus; backbone/heads frozen "
+                   "at init_params(PRNGKey(0) split[0]) — see module "
+                   "docstring",
         )
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        np.savez_compressed(
-            args.out,
-            llm_decoder_bf16_bits=dec_bf16.view(np.uint16),
-            meta=json.dumps(meta),
-        )
+        arrays = dict(llm_decoder_bf16_bits=dec_bf16.view(np.uint16),
+                      meta=json.dumps(meta))
+        if train_emb:
+            emb_bf16 = np.asarray(tr["emb"].astype(jnp.bfloat16))
+            arrays["speech_embedding_rows_bf16_bits"] = emb_bf16.view(np.uint16)
+        np.savez_compressed(args.out, **arrays)
         print(f"# saved {args.out} "
               f"({os.path.getsize(args.out)/1e6:.1f} MB)", flush=True)
         params = dict(params, llm_decoder=jnp.asarray(dec_bf16).astype(dt))
+        if train_emb:
+            params["speech_embedding"] = params["speech_embedding"].at[
+                :m_tokens].set(jnp.asarray(emb_bf16).astype(dt))
     else:
         params, meta = load_spec_readout(params, args.out)
         train_acc = meta.get("train_acc", -1.0)
