@@ -196,7 +196,7 @@ def main():
     # training on-chip inside the bench (round 4 burned 684 s and timed out)
     run_tool(["flowmirror_hydravox_tpu.tools.bench_spec", "--trained",
               "--cache_dir", cache_dir],
-             "spec_decode_trained", min(150, max(remaining() - 60, 0)))
+             "spec_decode_trained", min(240, max(remaining() - 60, 0)))
 
     # ---- two-stage engine: per-stage sweeps (accurate llm_time/TPS split) --
     engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen,

@@ -50,11 +50,27 @@ def load_spec_readout(params: dict, path: str = DEFAULT_ASSET) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
+    import jax
+
     with np.load(path) as z:
         bits = z["llm_decoder_bf16_bits"]
         meta = json.loads(str(z["meta"]))
         emb_bits = (z["speech_embedding_rows_bf16_bits"]
                     if "speech_embedding_rows_bf16_bits" in z else None)
+    want = meta.get("prng_impl")
+    have = str(jax.config.jax_default_prng_impl)
+    if want and want != have:
+        # the frozen backbone regenerates from the SEED under the session's
+        # prng impl; trained against a different impl the readout is noise
+        # (measured acceptance 0.94 -> 0.07)
+        import warnings
+
+        warnings.warn(
+            f"spec readout {path} was trained against the {want!r} prng "
+            f"impl but this session uses {have!r}: the regenerated backbone "
+            f"differs and acceptance will collapse. Set "
+            f"jax_default_prng_impl={want!r} (HYDRAVOX_FAST_RNG toggles it "
+            f"in the benches) or retrain.")
     dec = jnp.asarray(bits).view(jnp.bfloat16)
     assert dec.shape == params["llm_decoder"].shape, (
         f"checkpoint decoder {dec.shape} != model {params['llm_decoder'].shape}"
@@ -188,6 +204,10 @@ def main(argv=None):
             steps=args.steps, batch=args.batch, lt_max=args.lt_max,
             ls=args.ls, m_tokens=m_tokens, lr=args.lr,
             train_embedding=train_emb,
+            # the frozen backbone regenerates from PRNGKey(0) under THIS
+            # prng impl — a different impl yields a different init and the
+            # readout no longer matches (measured: acceptance 0.94 -> 0.07)
+            prng_impl=str(jax.config.jax_default_prng_impl),
             train_acc=round(train_acc, 4),
             recipe="shared-decoder readout (+ corpus-alphabet embedding "
                    "rows) on cyclic-successor corpus; backbone/heads frozen "

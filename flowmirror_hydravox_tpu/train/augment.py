@@ -66,10 +66,14 @@ def _eq(rng: np.random.Generator, wav: np.ndarray) -> np.ndarray:
 def augment_wav(rng: np.random.Generator, wav: np.ndarray) -> np.ndarray:
     """One random channel realization of `wav` (float32 mono 16 kHz)."""
     out = wav.astype(np.float32)
-    # reverb (70%)
+    # reverb (70%) — FFT convolution: direct np.convolve is O(n*m) and the
+    # IR reaches 6400 taps (0.4 s RT), far too slow inside a data loader
     if rng.random() < 0.7:
         ir = _room_ir(rng)
-        out = np.convolve(out, ir)[: len(wav)].astype(np.float32)
+        n_fft = int(2 ** np.ceil(np.log2(len(out) + len(ir) - 1)))
+        out = np.fft.irfft(
+            np.fft.rfft(out, n_fft) * np.fft.rfft(ir, n_fft), n_fft
+        )[: len(wav)].astype(np.float32)
     # EQ / band-limiting (80%)
     if rng.random() < 0.8:
         out = _eq(rng, out)
