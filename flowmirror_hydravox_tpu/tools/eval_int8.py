@@ -100,33 +100,35 @@ def main(argv=None):
 
     # ---- 2. next-token distribution drift on shared bf16 prefixes ----------
     heads = min(4, cfg.llm.head_num)
+    tb = engines["bf16"]._bucket_prompt(tl)
+    pb = engines["bf16"]._bucket_prompt(max(n_tok, 1))
 
-    def head_dists(params, text, prefix):
-        tb = engines["bf16"]._bucket_prompt(len(text))
-        pad = np.zeros((tb,), np.int32)
-        pad[: len(text)] = text
+    @jax.jit
+    def head_dists(params, text_pad, text_len, prefix_pad, prefix_len):
         emb, plen = llm_model.build_inference_prompt(
-            params, cfg.llm, jnp.asarray(pad), jnp.int32(len(text)),
-            jnp.asarray(prefix.astype(np.int32)), jnp.int32(len(prefix)))
+            params, cfg.llm, text_pad, text_len, prefix_pad, prefix_len)
         state = llm_model.init_generate_state(
             params, cfg.llm, jax.random.PRNGKey(0), emb, plen,
             inference_head_num=heads, max_tokens=max_gen)
         logits = llm_model.mtp_logits(params, cfg.llm, state["last_hidden"], heads)
         return jax.nn.softmax(logits, axis=-1)  # (heads, V)
 
-    jdists = jax.jit(head_dists, static_argnums=())
     kls, top1 = [], []
     for i, text in enumerate(texts[:3]):
+        text_pad = np.zeros((tb,), np.int32)
+        text_pad[: len(text)] = text
         for cut in (0, len(seqs["bf16"][i]) // 2):
-            prefix = seqs["bf16"][i][:cut]
-            d_b = np.asarray(head_dists(engines["bf16"].llm_params, text, prefix),
+            prefix = np.zeros((pb,), np.int32)
+            prefix[:cut] = seqs["bf16"][i][:cut]
+            probe = (jnp.asarray(text_pad), jnp.int32(len(text)),
+                     jnp.asarray(prefix), jnp.int32(cut))
+            d_b = np.asarray(head_dists(engines["bf16"].llm_params, *probe),
                              np.float64)
-            d_q = np.asarray(head_dists(engines["int8"].llm_params, text, prefix),
+            d_q = np.asarray(head_dists(engines["int8"].llm_params, *probe),
                              np.float64)
             kls.append(np.sum(d_b * (np.log(d_b + 1e-12) - np.log(d_q + 1e-12)),
                               axis=-1))
             top1.append(d_b.argmax(-1) == d_q.argmax(-1))
-    del jdists
     kls = np.stack(kls)  # (probes, heads)
     top1 = np.stack(top1)
 
