@@ -678,6 +678,31 @@ def test_service_prewarm_marks_batch_shapes(engine):
         service.shutdown()
 
 
+def test_service_prewarm_zero_shot_shapes(engine):
+    """prewarm(zero_shot_prompt_shapes=[(pm, sp)]) extends the batch-synth
+    ladder to zero-shot shapes (pm_bucket > 0), so strict mode can route
+    coalesced zero-shot batches onto warm programs (ADVICE r4)."""
+    from flowmirror_hydravox_tpu.frontend.frontend import Frontend, SpeakerInfo
+    from flowmirror_hydravox_tpu.runtime.server import TTSService
+
+    frontend = Frontend(engine.cfg)
+    rng = np.random.default_rng(0)
+    frontend.add_speaker(
+        "a", SpeakerInfo(embedding=rng.standard_normal(192).astype(np.float32)))
+    service = TTSService(engine, frontend, request_timeout=600.0,
+                         batch_window=0.1)
+    try:
+        service.prewarm(texts=["zs shapes"], speaker_id="a", head_nums=[2],
+                        batch_sizes=(1, 2), stream=False,
+                        zero_shot_prompt_shapes=[(128, 32)])
+        zs_warm = [k for k in engine._warm_group_shapes
+                   if k[2] == 128 and k[3] == 32]
+        assert zs_warm, "no zero-shot (pm=128, sp=32) batch-synth shape warmed"
+        assert engine.strict_shapes
+    finally:
+        service.shutdown()
+
+
 @pytest.mark.quick
 def test_reserved_stream_slot(engine):
     """reserve_stream_slots=1: whole-utterance traffic can occupy at most
