@@ -96,9 +96,17 @@ def augment_wav(rng: np.random.Generator, wav: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def augment_batches(batches, seed: int = 0):
-    """Wrap a (wavs, labels) generator with per-crop channel augmentation."""
+def augment_batches(batches, seed: int = 0, prob: float = 0.5):
+    """Wrap a (wavs, labels) generator with per-crop channel augmentation.
+
+    `prob` < 1 keeps a clean view of some crops in every batch: training on
+    augmented views ONLY makes the embedding channel-invariant but collapses
+    between-speaker spread (measured on the real-speech eval: gap 0.249 ->
+    0.187 at prob 1.0); mixing clean and augmented views keeps the clean
+    manifold anchored while still teaching channel invariance."""
     rng = np.random.default_rng(seed + 777)
     for wavs, labels in batches:
-        aug = np.stack([augment_wav(rng, w) for w in wavs])
+        aug = np.stack([
+            augment_wav(rng, w) if rng.random() < prob else w for w in wavs
+        ])
         yield aug, labels

@@ -157,8 +157,12 @@ def main(argv=None):
     p.add_argument("--augment", action="store_true",
                    help="apply label-preserving recording-channel "
                         "augmentation (reverb/noise/EQ/level — "
-                        "train/augment.py) to every crop; closes part of the "
+                        "train/augment.py); closes part of the "
                         "synthetic-to-real gap for the speaker encoder")
+    p.add_argument("--augment_prob", type=float, default=0.5,
+                   help="per-crop probability of augmenting (the rest stay "
+                        "clean views — augment-only training collapses "
+                        "between-speaker spread)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -236,7 +240,8 @@ def main(argv=None):
     if args.augment:
         from .augment import augment_batches
 
-        batches = augment_batches(batches, seed=args.seed)
+        batches = augment_batches(batches, seed=args.seed,
+                                  prob=args.augment_prob)
 
     optimizer = make_optimizer(OptimConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
