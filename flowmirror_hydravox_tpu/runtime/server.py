@@ -414,7 +414,7 @@ class TTSService:
     def prewarm(self, texts=None, speaker_id=None, head_nums=None,
                 batch_sizes=(1, 2, 4, 8), stream: bool = True,
                 continuous_token_counts=(60, 125), timeout: float = 1800.0,
-                zero_shot_prompt_shapes=()):
+                zero_shot_prompt_shapes=(), ladder_token_cap=None):
         """Compile every program the serving paths will use for traffic
         shaped like `texts` BEFORE it arrives: the flash-batch ladder
         (each padded batch size in `batch_sizes`), the solo path, the
@@ -511,8 +511,18 @@ class TTSService:
         max_tts = max(r[1] for r in rows0)
         est = eng._estimate_token_bucket(
             max_tts, 2 * max_tts, min(20 * max_tts, eng.max_tokens), 0)
+        # ladder_token_cap trims the fallback ladder's upper reach: each
+        # shape costs a compile (cold) plus a program upload (~8-55 s on a
+        # tunnel-attached host), and callers who KNOW their traffic's token
+        # range (benchmarks, fixed-domain deployments) can skip the shapes
+        # it never realizes — uncovered counts just dispatch the baseline
+        # with the strict-mode warning
+        hard_cap = min(20 * max_tts, eng.max_tokens)
+        if ladder_token_cap is not None:
+            hard_cap = min(hard_cap, int(ladder_token_cap))
         lo_bkt = eng._bucket_synth(max(2 * max_tts, 1))
-        cap_bkt = eng._bucket_synth(min(20 * max_tts, eng.max_tokens))
+        cap_bkt = eng._bucket_synth(hard_cap)
+        est = min(est, cap_bkt)
         rng0 = jax.random.PRNGKey(0)
 
         # token buffers MUST be the canonical (max_tokens,) shape the serving

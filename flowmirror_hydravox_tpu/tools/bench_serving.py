@@ -48,6 +48,15 @@ def emit(obj):
 
 
 def main(argv=None):
+    import logging
+
+    # prewarm progress to stderr: a cold first prewarm runs for many minutes
+    # and the service logs each compiled shape — without this the bench looks
+    # hung from outside
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s", stream=sys.stderr)
+
     p = argparse.ArgumentParser()
     p.add_argument("--cache_dir", default=None)
     p.add_argument("--budget", type=float, default=1500.0,
@@ -202,10 +211,15 @@ def main(argv=None):
         th = threading.Thread(target=srv.serve_forever, daemon=True)
         th.start()
         url = f"http://127.0.0.1:{srv.server_address[1]}"
-        # compile barrier: everything this mode's traffic shapes need
+        # compile barrier: everything this mode's traffic shapes need.
+        # ladder_token_cap=256: the bench's one payload realizes 60-200
+        # tokens (random weights), so the 384-768 fallback buckets would be
+        # pure prewarm cost (~8-55 s per shape over the tunnel) for shapes
+        # the scenarios never hit
         service.prewarm(texts=[lg_text], speaker_id="spk0",
                         head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
-                        stream=True, continuous_token_counts=(60, 125, 250))
+                        stream=True, continuous_token_counts=(60, 125, 250),
+                        ladder_token_cap=256)
         servers[slots] = (srv, url, service)
         return url
 
