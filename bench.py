@@ -151,27 +151,47 @@ def main():
                       "elapsed_s": round(time.time() - T_START, 1)}))
 
     def run_tool(mod_args, name, budget_s):
-        """One subprocess tool bounded by budget_s; relays its JSON lines."""
+        """One subprocess tool bounded by budget_s; relays its JSON lines.
+
+        stdout goes to a FILE, not a pipe: on timeout the lines the tool
+        already printed are relayed anyway (round-5 dev: the serving bench
+        timed out mid-suite and subprocess.run(capture_output=True) threw
+        away the metrics it HAD captured)."""
+        import tempfile
+
         with section(name, budget_s) as ok:
             if not ok:
                 return
-            try:
-                proc = subprocess.run(
+            rc, timed_out = None, False
+            with tempfile.TemporaryFile(mode="w+t") as out_f, \
+                    tempfile.TemporaryFile(mode="w+t") as err_f:
+                proc = subprocess.Popen(
                     [sys.executable, "-m"] + mod_args,
-                    capture_output=True, text=True, timeout=budget_s,
+                    stdout=out_f, stderr=err_f, text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
+                try:
+                    rc = proc.wait(timeout=budget_s)
+                except subprocess.TimeoutExpired:
+                    timed_out = True
+                    proc.kill()
+                    proc.wait()
+                out_f.seek(0)
+                err_f.seek(0)
                 got = False
-                for ln in proc.stdout.strip().splitlines():
+                for ln in out_f.read().strip().splitlines():
                     if ln.startswith("{"):
                         print(json.dumps({"aux": True, **json.loads(ln)}))
                         got = True
-                if not got:
+                if timed_out:
                     print(json.dumps({
                         "aux": True, "metric": name,
-                        "error": f"exit {proc.returncode}: {proc.stderr[-300:]}"}))
-            except subprocess.TimeoutExpired:
-                print(json.dumps({"aux": True, "metric": name,
-                                  "error": f"timeout after {budget_s}s"}))
+                        "error": f"timeout after {budget_s}s"
+                                 + ("" if got else " (no output captured)")}))
+                elif not got:
+                    err_tail = err_f.read()[-300:]
+                    print(json.dumps({
+                        "aux": True, "metric": name,
+                        "error": f"exit {rc}: {err_tail}"}))
 
     # ---- serving under load FIRST among aux (VERDICT r4 items 1 & 3: the
     # round's headline claim — stream TTFT under load — must be captured

@@ -887,15 +887,21 @@ class ContinuousBatcher:
             yield item
 
     def prewarm(self, text_lens=(16,), token_counts=(125,),
-                stream: bool = True, timeout: float = 1800.0) -> float:
+                stream: bool = True, timeout: float = 1800.0,
+                token_cap: int | None = None) -> float:
         """Compile every program the slots will use — admit (per text
         bucket), the shared chunk program, whole-utterance synthesis for the
         expected token buckets, and the stream-chunk ladder — by running real
         dummy requests end to end.  Call BEFORE serving traffic: an XLA
         compile landing inside a serving window blocks the decode loop for
         tens of seconds and reads as starvation (BENCH_r03's 30-47 s TTFT
-        under load was exactly this).  Returns seconds spent."""
+        under load was exactly this).  `token_cap` bounds the longest decode
+        prewarmed (callers who KNOW their traffic's token range skip the
+        ratio-cap pass — on a tunnel-attached host that one pass costs
+        ~2 compiles / 60-110 s for shapes the traffic never realizes).
+        Returns seconds spent."""
         t0 = time.time()
+        deadline = t0 + timeout
         # engine-level marks: a LATER batcher on the same engine (serving
         # bench scenarios, restarts) shares the engine's synth/stream-chunk
         # programs — it only needs ONE pass per text bucket to exercise its
@@ -909,9 +915,18 @@ class ContinuousBatcher:
             # run past the largest explicit count would otherwise compile
             # their synth/stream-chunk buckets cold, mid-traffic
             cap = min(self.max_tokens, 20 * n_text)
-            counts = sorted(set(tuple(token_counts) + (cap,)))
+            if token_cap is not None:
+                cap = min(cap, int(token_cap))
+            counts = sorted(set(
+                c for c in tuple(token_counts) + (cap,) if c <= cap))
             ran_one = False
             for n_tok in counts:
+                if ran_one and time.time() > deadline:
+                    logger.warning(
+                        "continuous prewarm wall-clock budget (%.0fs) "
+                        "exhausted; remaining token counts stay cold "
+                        "(compile on first use)", timeout)
+                    break
                 key = ("cont", self._bucket(n_text), n_tok, stream,
                        self.head_k, self.spec)
                 if key in marks and (ran_one or n_tok != counts[-1]):
@@ -931,12 +946,18 @@ class ContinuousBatcher:
                         rng=jax.random.PRNGKey(1))
                     for _ in self.stream_result(req, timeout=timeout):
                         pass
-        if stream:
+        if stream and time.time() < deadline:
             # every chunk-program bucket a slot stream can touch (see
             # StreamingSynthesizer.prewarm_ladder) — engine-level jit cache,
             # shared with solo streaming sessions
-            self._get_streamer().prewarm_ladder(
-                int(min(self.max_tokens, 20 * max(text_lens))))
+            ladder_cap = min(self.max_tokens, 20 * max(text_lens))
+            if token_cap is not None:
+                ladder_cap = min(ladder_cap, int(token_cap))
+            self._get_streamer().prewarm_ladder(int(ladder_cap))
+        elif stream:
+            logger.warning(
+                "continuous prewarm budget exhausted before the stream "
+                "chunk ladder; stream finalize shapes compile on first use")
         dt = time.time() - t0
         logger.info("continuous prewarm done in %.1fs", dt)
         return dt

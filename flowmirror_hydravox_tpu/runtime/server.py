@@ -414,7 +414,8 @@ class TTSService:
     def prewarm(self, texts=None, speaker_id=None, head_nums=None,
                 batch_sizes=(1, 2, 4, 8), stream: bool = True,
                 continuous_token_counts=(60, 125), timeout: float = 1800.0,
-                zero_shot_prompt_shapes=(), ladder_token_cap=None):
+                zero_shot_prompt_shapes=(), ladder_token_cap=None,
+                engine_paths: bool = True):
         """Compile every program the serving paths will use for traffic
         shaped like `texts` BEFORE it arrives: the flash-batch ladder
         (each padded batch size in `batch_sizes`), the solo path, the
@@ -423,7 +424,11 @@ class TTSService:
         a serving window stalls every concurrent request for tens of seconds
         (BENCH_r03's 30-47 s TTFT under load); after prewarm the window/
         continuous modes serve exclusively from warm program caches.
-        Returns seconds spent."""
+        `engine_paths=False` skips the engine-level flash-batch/solo/stream
+        shapes entirely and warms only the continuous-slot programs — the
+        right profile for a slots-only deployment where every supported
+        request rides the batcher (unsupported ones still fall back to the
+        engine and compile on first use).  Returns seconds spent."""
         t0 = time.time()
         texts = texts or ["预热语句：新闻播报的语速通常是每分钟两百四十字左右。"]
         if speaker_id is None:
@@ -441,7 +446,7 @@ class TTSService:
         if not hasattr(self.engine, "_prewarm_marks"):
             self.engine._prewarm_marks = set()
         marks = self.engine._prewarm_marks
-        for text in texts:
+        for text in (texts if engine_paths else []):
             task = {"type": "tts", "text": text, "speaker_id": speaker_id}
             rows = self._prepare_batch_rows(task)
             for head in head_nums:
@@ -582,6 +587,8 @@ class TTSService:
             for tb in zs_range:
                 for n_pad in (p for p in batch_sizes if p >= 2):
                     ladder.append(("batch", n_pad, tb, pmb, spb))
+        if not engine_paths:
+            ladder = []
         deadline = t0 + timeout
         for kind, n_pad, tb, *zs in ladder:
             pmb, spb = zs if zs else (0, 0)
@@ -604,9 +611,14 @@ class TTSService:
             logger.info("prewarmed %s synth bucket %d x%d (pm %d sp %d)",
                         kind, tb, n_pad, pmb, spb)
         if self.batcher is not None:
+            # the engine ladder above may have spent most of the budget:
+            # hand the batcher what is actually LEFT, not the full window
+            # (round-5 dev: the nested full-window timeout let a bench's
+            # prewarm overrun its subprocess budget by minutes)
             self.batcher.prewarm(
                 text_lens=(n_text,), token_counts=continuous_token_counts,
-                stream=stream, timeout=timeout)
+                stream=stream, timeout=max(deadline - time.time(), 20.0),
+                token_cap=ladder_token_cap)
         # from here on, the grouped-synth planner must never compile a new
         # batch-synth shape mid-traffic — the ladder above defines serving
         eng.strict_shapes = True

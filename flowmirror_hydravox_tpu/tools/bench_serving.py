@@ -211,15 +211,22 @@ def main(argv=None):
         th = threading.Thread(target=srv.serve_forever, daemon=True)
         th.start()
         url = f"http://127.0.0.1:{srv.server_address[1]}"
-        # compile barrier: everything this mode's traffic shapes need.
-        # ladder_token_cap=256: the bench's one payload realizes 60-200
-        # tokens (random weights), so the 384-768 fallback buckets would be
-        # pure prewarm cost (~8-55 s per shape over the tunnel) for shapes
-        # the scenarios never hit
+        # compile barrier: everything this mode's traffic shapes need,
+        # bounded by the GLOBAL budget (round-5 dev: an unbounded cold
+        # prewarm here once ate the whole subprocess budget before the
+        # first scenario ran).  ladder_token_cap=256: the bench's one
+        # payload realizes 60-200 tokens (random weights), so the 384-768
+        # fallback buckets would be pure prewarm cost (~8-55 s per shape
+        # over the tunnel) for shapes the scenarios never hit.
+        # slots>0: every scenario request (stream AND whole-utterance)
+        # rides the batcher, so the engine-level flash-batch/solo/stream
+        # ladder is dead weight for this server — skip it (engine_paths).
         service.prewarm(texts=[lg_text], speaker_id="spk0",
                         head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
                         stream=True, continuous_token_counts=(60, 125, 250),
-                        ladder_token_cap=256)
+                        ladder_token_cap=256,
+                        engine_paths=(slots == 0),
+                        timeout=max(remaining() - 45.0, 20.0))
         servers[slots] = (srv, url, service)
         return url
 
@@ -252,7 +259,13 @@ def main(argv=None):
         stop_flag[0] = True
         return res
 
-    # continuous slots FIRST: the round-4/5 headline claim, must be captured
+    # continuous slots FIRST: the round-4/5 headline claim, must be captured.
+    # Scenario order maximizes what a budget kill preserves: EVERY scenario
+    # on the already-warm continuous server runs before the window server
+    # pays its own prewarm (round-5 dev: one 520 s run spent 330 s warming
+    # the continuous server, captured its TTFT, then had 27 s left — the
+    # old order would have burned that on a window prewarm instead of the
+    # ~45 s marginal staggered/capacity scenarios).
     res_c = section("ttft_under_load_continuous", 180,
                     lambda: with_server(4, ttft_under_load))
     if res_c:
@@ -268,17 +281,6 @@ def main(argv=None):
                     "+ ONE fetch (~2 host round trips) from slot assignment "
                     "to audio",
             "target_ms": 200,
-        })
-
-    res_w = section("ttft_under_load_window", 150,
-                    lambda: with_server(0, ttft_under_load))
-    if res_w:
-        emit({
-            "aux": True, "metric": "ttft_under_load_http",
-            "ttft_p50_ms": res_w["ttft_p50_ms"], "ttft_p95_ms": res_w["ttft_p95_ms"],
-            "interchunk_gap_p95_ms": res_w["interchunk_gap_p95_ms"],
-            "stream_requests": res_w["requests"], "errors": res_w["errors"],
-            "bg_load": "6 closed-loop /tts workers", "target_ms": 200,
         })
 
     # --- staggered (poisson open-loop) arrivals: window vs continuous -------
@@ -302,11 +304,12 @@ def main(argv=None):
         return out
 
     modes = {}
-    for label, slots in (("window", 0), ("continuous", 4)):
+
+    def run_staggered(label, slots):
         r_m = section(f"staggered_load_{label}", 90,
-                      lambda slots=slots: with_server(slots, staggered))
+                      lambda: with_server(slots, staggered))
         if not r_m:
-            continue
+            return
         modes[label] = r_m
         emit({
             "aux": True, "metric": f"staggered_load_{label}",
@@ -320,18 +323,6 @@ def main(argv=None):
                     "arrival-bound at this rate (floor = 1/(rate*mean_audio)); "
                     "tail latency + admission are the capacity signals",
         })
-    if len(modes) == 2:
-        better = min(modes, key=lambda k: modes[k]["latency_p95_ms"] or 1e18)
-        note = ("fixed decode slots bound the tail: admitted requests don't "
-                "wait for a coalescing window" if better == "continuous" else
-                "window coalescing amortizes the per-dispatch tunnel cost "
-                "(~30ms) that the chunked continuous mode pays per chunk")
-        emit({
-            "aux": True, "metric": "staggered_mode_winner", "winner": better,
-            "p95_window_ms": modes["window"]["latency_p95_ms"],
-            "p95_continuous_ms": modes["continuous"]["latency_p95_ms"],
-            "note": note,
-        })
 
     # --- capacity probe: staggered arrivals fast enough to bind on compute --
     # at 3 rps the open-loop rtf_effective is arrival-bound; at 8 rps the
@@ -343,6 +334,8 @@ def main(argv=None):
                         concurrency=16, duration=max(args.window, 15.0),
                         warmup=1, timeout=120)
 
+    # remaining CONTINUOUS scenarios (server already warm, ~45 s each) ...
+    run_staggered("continuous", 4)
     r_cap = section("staggered_capacity_continuous", 90,
                     lambda: with_server(4, capacity))
     if r_cap:
@@ -353,6 +346,32 @@ def main(argv=None):
             "latency_p50_ms": r_cap["latency_p50_ms"],
             "latency_p95_ms": r_cap["latency_p95_ms"],
             "rtf_effective": r_cap["rtf_effective"],
+        })
+
+    # ... then the WINDOW server pays its prewarm once for both scenarios
+    res_w = section("ttft_under_load_window", 150,
+                    lambda: with_server(0, ttft_under_load))
+    if res_w:
+        emit({
+            "aux": True, "metric": "ttft_under_load_http",
+            "ttft_p50_ms": res_w["ttft_p50_ms"], "ttft_p95_ms": res_w["ttft_p95_ms"],
+            "interchunk_gap_p95_ms": res_w["interchunk_gap_p95_ms"],
+            "stream_requests": res_w["requests"], "errors": res_w["errors"],
+            "bg_load": "6 closed-loop /tts workers", "target_ms": 200,
+        })
+    run_staggered("window", 0)
+
+    if len(modes) == 2:
+        better = min(modes, key=lambda k: modes[k]["latency_p95_ms"] or 1e18)
+        note = ("fixed decode slots bound the tail: admitted requests don't "
+                "wait for a coalescing window" if better == "continuous" else
+                "window coalescing amortizes the per-dispatch tunnel cost "
+                "(~30ms) that the chunked continuous mode pays per chunk")
+        emit({
+            "aux": True, "metric": "staggered_mode_winner", "winner": better,
+            "p95_window_ms": modes["window"]["latency_p95_ms"],
+            "p95_continuous_ms": modes["continuous"]["latency_p95_ms"],
+            "note": note,
         })
 
     # burst throughput LAST (shares every warm program by now)
