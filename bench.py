@@ -43,6 +43,35 @@ import numpy as np
 T_START = time.time()
 BUDGET_S = float(os.environ.get("HYDRAVOX_BENCH_BUDGET", 1500))
 
+# every metric captured during the run, compacted — re-emitted as ONE line
+# right before the final headline because the driver keeps only the LAST
+# ~2000 chars of stdout: in rounds 2-4 the early sections' numbers scrolled
+# out of that tail and read as "never ran" even when they did
+SUMMARY = {}
+_DROP_KEYS = ("aux", "metric", "note", "unit", "bg_load", "step_time_def",
+              "batch", "tokens", "skipped")
+
+
+def record(m: dict):
+    name = m.get("metric")
+    if not name:
+        return
+    if m.get("skipped"):
+        SUMMARY[name] = "skip"
+        return
+    if "error" in m:
+        SUMMARY[name] = "err"
+        return
+    keep = {k: v for k, v in m.items()
+            if k not in _DROP_KEYS and isinstance(v, (int, float, bool))
+            or k == "winner"}
+    SUMMARY[name] = keep["value"] if list(keep) == ["value"] else keep
+
+
+def emit(m: dict):
+    record(m)
+    print(json.dumps(m))
+
 
 def remaining():
     return BUDGET_S - (time.time() - T_START)
@@ -60,17 +89,17 @@ class section:
 
     def __enter__(self):
         if not self.ok:
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": self.name, "skipped": True,
-                "note": f"budget: {remaining():.0f}s left, need ~{self.need_s:.0f}s"}))
+                "note": f"budget: {remaining():.0f}s left, need ~{self.need_s:.0f}s"})
         self.t0 = time.time()
         return self.ok
 
     def __exit__(self, et, ev, tb):
         if et is not None and issubclass(et, Exception):
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": self.name,
-                "error": f"{et.__name__}: {ev}"[:300]}))
+                "error": f"{et.__name__}: {ev}"[:300]})
         if self.ok:
             print(json.dumps({
                 "aux": True, "section": self.name,
@@ -180,26 +209,30 @@ def main():
                 got = False
                 for ln in out_f.read().strip().splitlines():
                     if ln.startswith("{"):
-                        print(json.dumps({"aux": True, **json.loads(ln)}))
+                        emit({"aux": True, **json.loads(ln)})
                         got = True
                 if timed_out:
-                    print(json.dumps({
+                    emit({
                         "aux": True, "metric": name,
                         "error": f"timeout after {budget_s}s"
-                                 + ("" if got else " (no output captured)")}))
+                                 + ("" if got else " (no output captured)")})
                 elif not got:
                     err_tail = err_f.read()[-300:]
-                    print(json.dumps({
+                    emit({
                         "aux": True, "metric": name,
-                        "error": f"exit {rc}: {err_tail}"}))
+                        "error": f"exit {rc}: {err_tail}"})
 
     # ---- serving under load FIRST among aux (VERDICT r4 items 1 & 3: the
     # round's headline claim — stream TTFT under load — must be captured
-    # before anything optional gets a chance to eat the budget) -------------
+    # before anything optional gets a chance to eat the budget).  Budget
+    # from the measured warm-cache sweep (2026-08-20 on this host):
+    # continuous prewarm+TTFT ~190 s, staggered + capacity ~16 s each,
+    # window prewarm+TTFT ~220 s with the trimmed (1,8)x192 ladder,
+    # staggered window ~45 s, 8way ~70 s -> ~560 s + margin ------------------
     run_tool(["flowmirror_hydravox_tpu.tools.bench_serving",
               "--cache_dir", cache_dir,
-              "--budget", str(int(min(430, max(remaining() - 120, 60))))],
-             "bench_serving", min(460, max(remaining() - 100, 60)))
+              "--budget", str(int(min(640, max(remaining() - 120, 60))))],
+             "bench_serving", min(670, max(remaining() - 100, 60)))
 
     # ---- train-step benches (subprocesses: a compiler OOM/SIGKILL degrades
     # to one error line — the GAN program once crashed the remote compiler).
@@ -246,13 +279,13 @@ def main():
                     if r2.tps > best_tps:
                         best_tps, best = r2.tps, r2
                 aux[heads] = best
-                print(json.dumps({
+                emit({
                     "aux": True, "metric": f"speech_tokens_per_sec_heads{heads}",
                     "value": round(best.tps, 2), "unit": "tok/s",
                     "tokens": int(len(best.speech_tokens)), "steps": best.steps,
                     "llm_time_s": round(best.llm_time, 4),
                     "compile_s": round(compile_time, 1),
-                }))
+                })
 
     # ---- TTFT: time to the first streamed ~1 s chunk at heads=4 ------------
     with section("ttft_solo", 120) as ok:
@@ -275,11 +308,11 @@ def main():
 
             first_chunk_latency(jax.random.PRNGKey(7))  # warmup/compile
             ttfts = [first_chunk_latency(jax.random.PRNGKey(200 + i)) for i in range(3)]
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "ttft_first_chunk_heads4",
                 "value": round(float(np.median(ttfts)) * 1000, 1), "unit": "ms",
                 "target_ms": 200,
-            }))
+            })
 
     # ---- flash batch: 4 utterances decode+vocode together (config 4) -------
     with section("flash_batch", 150) as ok:
@@ -298,13 +331,13 @@ def main():
                 _, stats = run_batch(jax.random.PRNGKey(60 + i))
                 if best is None or stats["rtf"] < best["rtf"]:
                     best = stats
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "flash_batch4_rtf_heads4",
                 "value": round(best["rtf"], 5), "unit": "x_realtime",
                 "tokens": best["tokens"],
                 "llm_s": round(best["llm_time"], 4),
                 "synth_s": round(best["synth_time"], 4),
-            }))
+            })
 
     # ---- honest stage split + decode HBM roofline ---------------------------
     with section("stage_split_roofline", 100) as ok:
@@ -326,12 +359,12 @@ def main():
             hift_s = min(probes)  # min: the tunnel adds tens of ms of jitter
             r2 = aux[4]  # two-stage run: accurate llm/synth split
             flow_s = max(r2.synth_time - hift_s, 0.0)
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "stage_times_heads4",
                 "llm_s": round(r2.llm_time, 4), "flow_s": round(flow_s, 4),
                 "hift_s": round(hift_s, 4),
                 "fused_total_s": round(r.total_time, 4),
-            }))
+            })
 
             # decode HBM roofline: each base-LLM step streams the backbone
             # layers, the active MTP heads, and the shared decoder once from
@@ -381,7 +414,7 @@ def main():
             step_s = (time.time() - t0) / (reps_r * max(steps_r, 1))
             hbm_peak = 819e9
             roofline_pct = (weight_bytes / step_s) / hbm_peak * 100
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "decode_hbm_roofline_heads4",
                 "value": round(roofline_pct, 1), "unit": "%_of_819GBps",
                 "weight_gb": round(weight_bytes / 1e9, 3),
@@ -392,7 +425,7 @@ def main():
                     r2.llm_time / max(r2.steps, 1) * 1000, 3),
                 "tokens_per_sec_per_chip": round(
                     r2.tps / max(len(jax.devices()), 1), 1),
-            }))
+            })
 
     # ---- weight-only int8 serving mode (ops/quant.py) -----------------------
     with section("int8", 100) as ok:
@@ -423,14 +456,14 @@ def main():
                 if best_q is None or rq.total_time < best_q.total_time:
                     best_q = rq
             rtf_q = best_q.total_time / (len(best_q.audio) / cfg.sample_rate)
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "rtf_e2e_heads4_int8",
                 "value": round(rtf_q, 5), "unit": "x_realtime",
                 "tokens_per_sec": round(best_tps_q.tps, 1),
                 "llm_time_s": round(best_tps_q.llm_time, 4),
                 "note": "weight-only int8 LLM (--quantize int8); bf16 is the "
                         "default/headline",
-            }))
+            })
             del engine_q, engine_q2
 
     # ---- self-speculative MTP decode (--spec-decode), random weights --------
@@ -457,7 +490,7 @@ def main():
                 rs = run_s(jax.random.PRNGKey(320 + i))
                 if best_s is None or rs.tps > best_s.tps:
                     best_s = rs
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "spec_decode_tokens_per_sec_heads4",
                 "value": round(best_s.tps, 2), "unit": "tok/s",
                 "acceptance": round(best_s.spec_acceptance, 3),
@@ -467,7 +500,7 @@ def main():
                 "note": "exact heads=1 output distribution (verified drafts); "
                         "random weights = acceptance floor, see "
                         "spec_decode_trained for the trained number",
-            }))
+            })
             del engine_s
 
     # ---- Matcha-TTS RTF (vendored second stack, reference metric) -----------
@@ -502,16 +535,41 @@ def main():
             np.asarray(wav)  # fetch = sync (axon)
             t_m = (time.time() - t0) / reps_m
             audio_s_m = float(mlen[0]) * mcfg.hop_length / mcfg.sample_rate
-            print(json.dumps({
+            emit({
                 "aux": True, "metric": "matcha_rtf",
                 "value": round(t_m / max(audio_s_m, 1e-9), 5), "unit": "x_realtime",
                 "synth_s": round(t_m, 4), "audio_s": round(audio_s_m, 3),
                 "note": "full-size Matcha + HiFi-GAN, 10 ODE steps, reference "
                         "metric matcha_tts.py:138",
-            }))
+            })
 
     print(json.dumps({"aux": True, "section": "bench_total",
                       "elapsed_s": round(time.time() - T_START, 1)}))
+    # one COMPACT line with every captured metric: the driver keeps only the
+    # last ~2000 chars of stdout, so numbers printed early (serving, train
+    # steps) would otherwise scroll out of the recorded tail (VERDICT r4
+    # item 2 — the round-4 headline printed fine and was still "lost")
+    record(headline)
+    summary = dict(SUMMARY)
+    line = json.dumps({"aux": True, "summary": summary}, separators=(",", ":"))
+    # the summary + headline together must fit the ~2000-char tail: shrink
+    # multi-field entries (largest first) to their single most salient field
+    # until the line fits
+    prime = ("value", "ttft_p50_ms", "latency_p95_ms", "tokens_per_sec",
+             "step_ms", "rtf_effective", "winner")
+    while len(line) > 1800:
+        dicts = sorted((k for k, v in summary.items() if isinstance(v, dict)
+                        and len(v) > 1),
+                       key=lambda k: -len(json.dumps(summary[k])))
+        if not dicts:
+            break
+        k = dicts[0]
+        v = summary[k]
+        pick = next((p for p in prime if p in v), next(iter(v)))
+        summary[k] = v[pick]
+        line = json.dumps({"aux": True, "summary": summary},
+                          separators=(",", ":"))
+    print(line)
     # final line = the driver-parsed headline, identical to the early print
     print(json.dumps(headline))
 

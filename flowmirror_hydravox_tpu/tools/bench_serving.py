@@ -221,10 +221,17 @@ def main(argv=None):
         # slots>0: every scenario request (stream AND whole-utterance)
         # rides the batcher, so the engine-level flash-batch/solo/stream
         # ladder is dead weight for this server — skip it (engine_paths).
+        # slots==0 (window mode): batch_sizes (1, 8) only — the 6 closed-
+        # loop workers coalesce into groups of 2-8 and the planner pads any
+        # group onto the warm 8-row shape, so the 2/4-row rungs would be
+        # ~20-40 s of prewarm each for a latency scenario they don't change
+        # (round-5 dev: the full (1,2,4,8)x finer-bucket ladder cost ~450 s
+        # and starved the window scenarios out of the budget).
         service.prewarm(texts=[lg_text], speaker_id="spk0",
-                        head_nums=[HEADS], batch_sizes=(1, 2, 4, 8),
+                        head_nums=[HEADS],
+                        batch_sizes=(1, 2, 4, 8) if slots else (1, 8),
                         stream=True, continuous_token_counts=(60, 125, 250),
-                        ladder_token_cap=256,
+                        ladder_token_cap=256 if slots else 192,
                         engine_paths=(slots == 0),
                         timeout=max(remaining() - 45.0, 20.0))
         servers[slots] = (srv, url, service)
