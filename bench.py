@@ -202,8 +202,16 @@ def main():
                     rc = proc.wait(timeout=budget_s)
                 except subprocess.TimeoutExpired:
                     timed_out = True
-                    proc.kill()
-                    proc.wait()
+                    # SIGTERM first: give the tool a chance to unwind its
+                    # device client — a SIGKILLed process can leave queued
+                    # work on the remote chip that starves later sections
+                    # (observed as a multi-hour tunnel backlog, round-5 dev)
+                    proc.terminate()
+                    try:
+                        proc.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                        proc.wait()
                 out_f.seek(0)
                 err_f.seek(0)
                 got = False
@@ -238,8 +246,11 @@ def main():
     # to one error line — the GAN program once crashed the remote compiler).
     # Budgets from measured warm-cache costs + margin; each is skipped with
     # a note when the remaining budget says it can no longer fit. ----------
-    for which, budget_s in (("llm", 240), ("flow", 150), ("gan", 180),
-                            ("dpo", 180)):
+    # measured warm-cache costs on this host (2026-08-20): llm 32 s,
+    # flow 68 s, gan 187 s (one ~150 s program recompiles every run —
+    # it never lands in the persistent cache), dpo 86 s
+    for which, budget_s in (("llm", 150), ("flow", 150), ("gan", 280),
+                            ("dpo", 160)):
         run_tool(["flowmirror_hydravox_tpu.tools.bench_train",
                   "--which", which, "--cache_dir", cache_dir],
                  f"train_step_{which}", min(budget_s, max(remaining() - 60, 0)))
