@@ -182,13 +182,17 @@ def main():
     def run_tool(mod_args, name, budget_s):
         """One subprocess tool bounded by budget_s; relays its JSON lines.
 
-        stdout goes to a FILE, not a pipe: on timeout the lines the tool
-        already printed are relayed anyway (round-5 dev: the serving bench
-        timed out mid-suite and subprocess.run(capture_output=True) threw
-        away the metrics it HAD captured)."""
+        Skips (with a note) unless the FULL budget_s plus a 60 s global
+        margin still fits — a shrunken budget would kill the tool mid-
+        compile, which both loses the metric AND risks leaving queued
+        remote work (the round-5 tunnel wedge).  stdout goes to a FILE,
+        not a pipe: on timeout the lines the tool already printed are
+        relayed anyway (round-5 dev: the serving bench timed out mid-suite
+        and subprocess.run(capture_output=True) threw away the metrics it
+        HAD captured)."""
         import tempfile
 
-        with section(name, budget_s) as ok:
+        with section(name, budget_s + 60) as ok:
             if not ok:
                 return
             rc, timed_out = None, False
@@ -240,7 +244,7 @@ def main():
     run_tool(["flowmirror_hydravox_tpu.tools.bench_serving",
               "--cache_dir", cache_dir,
               "--budget", str(int(min(640, max(remaining() - 120, 60))))],
-             "bench_serving", min(670, max(remaining() - 100, 60)))
+             "bench_serving", int(min(670, max(remaining() - 100, 60))))
 
     # ---- train-step benches (subprocesses: a compiler OOM/SIGKILL degrades
     # to one error line — the GAN program once crashed the remote compiler).
@@ -253,14 +257,14 @@ def main():
                             ("dpo", 160)):
         run_tool(["flowmirror_hydravox_tpu.tools.bench_train",
                   "--which", which, "--cache_dir", cache_dir],
-                 f"train_step_{which}", min(budget_s, max(remaining() - 60, 0)))
+                 f"train_step_{which}", budget_s)
 
     # ---- spec decode with TRAINED heads (VERDICT r4 item 2): measure-only —
     # loads the committed checkpoint (assets/spec_readout.npz) instead of
     # training on-chip inside the bench (round 4 burned 684 s and timed out)
     run_tool(["flowmirror_hydravox_tpu.tools.bench_spec", "--trained",
               "--cache_dir", cache_dir],
-             "spec_decode_trained", min(240, max(remaining() - 60, 0)))
+             "spec_decode_trained", 200)
 
     # ---- two-stage engine: per-stage sweeps (accurate llm_time/TPS split) --
     engine = Engine(cfg, llm_params, flow_params, hift_params, max_tokens=max_gen,
