@@ -297,6 +297,15 @@ def main(argv=None):
             state, metrics = step_tok(state, jnp.asarray(wavs))
         else:
             state, metrics = step_spk(state, jnp.asarray(wavs), jnp.asarray(labels))
+        if (i + 1) % 8 == 0:
+            # backpressure: bound the async-dispatch queue.  Each step ships
+            # a raw-audio batch (batch x seconds x 16 kHz floats, ~12 MB at
+            # the shipped-recipe shape); unbounded dispatch let ~50 steps
+            # (~600 MB) queue ahead on a tunnel-attached host, saturating
+            # the link for every other client for minutes.  On locally
+            # attached devices the device is the bottleneck, so this sync
+            # costs nothing.
+            jax.block_until_ready(metrics)
         if (i + 1) % args.logging_steps == 0 or i == 0:
             m = {k: float(v) for k, v in metrics.items()}
             logger.info("step %d %s (%.1fs)", i + 1, m, time.time() - t0)
