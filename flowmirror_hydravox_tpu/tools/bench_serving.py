@@ -374,6 +374,11 @@ def main(argv=None):
                 "wait for a coalescing window" if better == "continuous" else
                 "window coalescing amortizes the per-dispatch tunnel cost "
                 "(~30ms) that the chunked continuous mode pays per chunk")
+        if (modes["window"]["latency_p95_ms"] or 0) > 5000:
+            note += ("; window p95 includes one-off cold-shape compile(s) — "
+                     "its bench ladder is trimmed to 192 tokens for budget, "
+                     "so a longer realized decode pays a first-use compile "
+                     "the production full-ladder prewarm would have covered")
         emit({
             "aux": True, "metric": "staggered_mode_winner", "winner": better,
             "p95_window_ms": modes["window"]["latency_p95_ms"],
